@@ -1,0 +1,111 @@
+"""Table catalog over a directory of parquet files.
+
+Spark-native analogue of the reference's eager catalog layer
+(etl_io.py:114-138: ``connect`` loads table list, per-table column titles and
+per-column value labels up front). Here the catalog is lazy and metadata-only:
+we register each ``<dir>/<name>.parquet`` as a temp view so both the DataFrame
+API and ``spark.sql`` see the same names, and expose the catalog queries
+(`tables`, `columns`) from Spark's own catalog instead of side dicts.
+
+At 100 TB the same class points at an object-store prefix / metastore —
+nothing here materializes data on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as _pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Canonical driver test tables (TESTDATA.md).
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class TableCatalog:
+    """Registry of named parquet tables under one root directory.
+
+    Mirrors `IPEDSHandler.connect` + `get_tables`/`get_varnames`
+    (etl_io.py:36-138) with Spark's catalog: views are registered once,
+    reads stay lazy, and schema queries hit parquet footers only.
+    """
+
+    spark: SparkSession
+    root: str
+    register_views: bool = True
+    _tables: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        # the catalog must work on ANY session (the driver passes its own):
+        # nanosecond parquet timestamps need this runtime-settable conf,
+        # and oracle parity assumes UTC timestamp rendering.
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for fname in sorted(os.listdir(self.root)):
+            if fname.endswith(".parquet"):
+                name = fname[: -len(".parquet")]
+                self._tables[name] = os.path.join(self.root, fname)
+        if self.register_views:
+            for name in self._tables:
+                self.table(name).createOrReplaceTempView(name)
+
+    # -- catalog queries (S5/S6 analogues) ---------------------------------
+    def tables(self) -> list[str]:
+        """Table list; reference: ``get_tables`` etl_io.py:36-53."""
+        return sorted(self._tables)
+
+    def columns(self, name: str) -> list[str]:
+        """Column names; reference: ``get_varnames`` etl_io.py:55-83."""
+        return self.table(name).columns
+
+    def path(self, name: str) -> str:
+        return self._tables[name]
+
+    # -- scans (S2 analogue) -------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        """Lazy projected scan of one table (etl_io.py:156-201).
+
+        Nanosecond parquet timestamps (unsupported by Spark's vectorized
+        reader) are read as long (``nanosAsLong``, session.py) and floor-
+        converted to microsecond timestamps here — a codegen'd expression,
+        still lazy/distributed. Oracles cast the same columns with
+        ``CAST(x AS TIMESTAMP)`` (ns->us floor) for bit-parity.
+        """
+        if name not in self._tables:
+            raise KeyError(
+                f"unknown table {name!r}; available: {self.tables()}"
+            )
+        path = self._tables[name]
+        df = self.spark.read.parquet(path)
+        for c in self._nanos_cols(path):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return df
+
+    @staticmethod
+    def _nanos_cols(path: str) -> list[str]:
+        """Columns stored as timestamp[ns] (footer-only check, no data read)."""
+        schema = _pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if str(f.type).startswith("timestamp[ns")
+        ]
+
+    def sql(self, query: str) -> DataFrame:
+        """Raw-SQL passthrough (S4; etl_io.py:194-198) — a real parser
+        (Catalyst) instead of the reference's ``split('FROM ')`` hack."""
+        return self.spark.sql(query)

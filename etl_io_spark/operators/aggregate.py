@@ -1,0 +1,82 @@
+"""Grouped aggregation operators (SURVEY.md §2.4, A1-A7).
+
+The reference's groupbys (etl_io.py:459-462 sum, 536-539 count, 597-604
+school counts, 816-818 product) map 1:1 onto ``df.groupBy().agg(...)``,
+which Spark executes as partial (map-side) + final aggregation around one
+hash-partitioned shuffle — the property that makes these scale: only
+group-key cardinality crosses the wire, never raw rows.
+
+All helpers alias outputs explicitly so engine results match oracle SQL
+column-for-column (driver contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def group_sum(
+    df: DataFrame, keys: Sequence[str], measures: Sequence[str]
+) -> DataFrame:
+    """Multi-measure group SUM (A1/A2; etl_io.py:459-462).
+
+    The reference sums *all* remaining columns after groupby; we take the
+    measure list explicitly (column pruning: un-summed columns never leave
+    the scan)."""
+    return df.groupBy(*keys).agg(
+        *[F.sum(m).alias(f"sum_{m}") for m in measures]
+    )
+
+
+def group_count(
+    df: DataFrame, keys: Sequence[str], count_col: str, alias: str = "count"
+) -> DataFrame:
+    """Group COUNT (A3/A4; etl_io.py:536-539 ``PROG_COUNT``)."""
+    return df.groupBy(*keys).agg(F.count(count_col).alias(alias))
+
+
+def group_count_distinct(
+    df: DataFrame, keys: Sequence[str], col: str, alias: str = "n_distinct"
+) -> DataFrame:
+    """Distinct count per group (A5/A6 *intent*).
+
+    The reference's ``schools()`` counts rows where it documents distinct
+    schools (bug noted at etl_io.py:591/597-599; SURVEY.md §2.8). We
+    implement the documented intent: ``COUNT(DISTINCT col)``."""
+    return df.groupBy(*keys).agg(F.countDistinct(col).alias(alias))
+
+
+def group_product(
+    df: DataFrame, keys: Sequence[str], col: str, alias: str = "product"
+) -> DataFrame:
+    """Group PRODUCT (A7; etl_io.py:816-818 IM×LV scale multiply).
+
+    ``F.product`` is a native partial-aggregable function (log-sum under the
+    hood is unnecessary — Spark's ImperativeAggregate multiplies), so this
+    shuffles only group keys like any sum."""
+    return df.groupBy(*keys).agg(F.product(col).alias(alias))
+
+
+def rollup_sum(
+    df: DataFrame, keys: Sequence[str], measures: Sequence[str]
+) -> DataFrame:
+    """Hierarchical rollup — the natural upgrade for the reference's
+    geo × CIP-level re-query pattern (SURVEY.md §2.4 note): one pass
+    produces every prefix level of ``keys`` with NULL padding."""
+    return df.rollup(*keys).agg(
+        *[F.sum(m).alias(f"sum_{m}") for m in measures]
+    )
+
+
+def cube_sum(
+    df: DataFrame, keys: Sequence[str], measures: Sequence[str]
+) -> DataFrame:
+    """Full cube over ``keys`` (all 2^k groupings in one shuffle)."""
+    return df.cube(*keys).agg(*[F.sum(m).alias(f"sum_{m}") for m in measures])
+
+
+def agg_exprs(df: DataFrame, keys: Sequence[str], *exprs: Column) -> DataFrame:
+    """Escape hatch: arbitrary aliased aggregate expressions."""
+    return df.groupBy(*keys).agg(*exprs)

@@ -1,0 +1,88 @@
+"""SparkSession factory with scale-aware defaults.
+
+The same builder serves local testing (``local[N]``) and a real cluster:
+everything below is config, not code, so the plan shapes we validate at
+sf0.01 hold unchanged at 100 TB — only partition counts and memory move.
+
+Key choices (rationale in comments; all are Spark built-ins):
+  * AQE on — runtime coalescing of shuffle partitions, skew-join splitting
+    and dynamic broadcast conversion replace any hand-tuned physical plan.
+  * Arrow on — every pandas-interop path (toPandas, pandas UDFs,
+    applyInPandas/mapInPandas) is Arrow-batched, never row-at-a-time pickle.
+  * shuffle.partitions sized to cores locally; on a cluster AQE coalesces
+    from a deliberately-high initial number, so we set the initial high and
+    let AQE shrink rather than hardcoding a small value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    # --- adaptive execution: the scale story -------------------------------
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # let AQE pick real partition counts; start high so huge shuffles
+    # never underpartition, and let coalescing shrink small ones.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
+    # --- arrow / pandas interop --------------------------------------------
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # --- broadcast: dims in this engine are small; 64 MiB covers decode /
+    # crosswalk tables while AQE still converts larger ones at runtime.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # --- sane file splits: 128 MiB matches common parquet row-group sizing.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # session timezone pinned so timestamp semantics match the oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # nanosecond parquet timestamps (events.ts) surface as long; the
+    # catalog converts them to microsecond timestamps lazily (catalog.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # ANSI off: engine semantics are permissive like the reference
+    # (bad casts -> null, not errors); flip per-query when needed.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "etl_io_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset so the
+    same entry points run under the driver harness and on a cluster where
+    ``master`` comes from spark-submit.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is None:
+        master = "local[*]"
+    builder = builder.master(master)
+
+    conf = dict(_DEFAULTS)
+    # local mode: shuffle partitions = cores (AQE coalesces below that);
+    # on a cluster the initialPartitionNum + AQE governs instead.
+    if master.startswith("local"):
+        cores = os.cpu_count() or 8
+        conf["spark.sql.shuffle.partitions"] = str(min(32, cores))
+        conf["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] = str(
+            min(64, cores * 2)
+        )
+        conf.setdefault("spark.driver.memory", "8g")
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
