@@ -11,8 +11,12 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_io_spark.catalog import TableCatalog
+from etl_io_spark.functions import cleaning
+from etl_io_spark.operators import aggregate as agg
+from etl_io_spark.operators import joins, reshape, select as sel, window as win
 from etl_io_spark.plans import pipelines
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -50,3 +54,570 @@ def _cat(spark: SparkSession, sf_dir: str) -> TableCatalog:
 @register("pricing_summary", pipelines.PRICING_SUMMARY_SQL)
 def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.pricing_summary(_cat(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# S2/S3 + P1/P3/P4: parameterized projected scan with scalar-or-list filters
+# --------------------------------------------------------------------------
+@register(
+    "select_project_filter",
+    """
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    WHERE c_nationkey IN (1, 2, 3) AND c_mktsegment = 'BUILDING'
+    """,
+)
+def _select_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = sel.select(
+        _cat(spark, sf_dir).table("customer"),
+        columns=["c_custkey", "c_name", "c_acctbal"],
+        filters={"c_nationkey": [1, 2, 3], "c_mktsegment": "BUILDING"},
+    )
+    return df.withColumn("c_acctbal", F.round("c_acctbal", 2))
+
+
+# --------------------------------------------------------------------------
+# P7 + P9: string-length predicate (CIP hierarchy-level shape) + distinct
+# --------------------------------------------------------------------------
+@register(
+    "filter_length_distinct",
+    "SELECT DISTINCT p_brand FROM part WHERE LENGTH(p_brand) = 8",
+)
+def _filter_length_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = sel.where_length(_cat(spark, sf_dir).table("part"), "p_brand", 8)
+    return sel.distinct_rows(df.select("p_brand"))
+
+
+# --------------------------------------------------------------------------
+# P8: null-drop (nulls manufactured via NULLIF so the op actually fires)
+# --------------------------------------------------------------------------
+@register(
+    "drop_nulls_filter",
+    """
+    SELECT c_custkey, bal FROM (
+      SELECT c_custkey, ROUND(NULLIF(GREATEST(c_acctbal, 0), 0), 2) AS bal
+      FROM customer
+    ) WHERE bal IS NOT NULL
+    """,
+)
+def _drop_nulls_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _cat(spark, sf_dir).table("customer").select(
+        "c_custkey",
+        F.round(F.nullif(F.greatest("c_acctbal", F.lit(0.0)), F.lit(0.0)), 2).alias("bal"),
+    )
+    return sel.drop_nulls(df, subset=["bal"])
+
+
+# --------------------------------------------------------------------------
+# F1 + F2: dict decode with unmapped-passthrough + bulk rename
+# --------------------------------------------------------------------------
+@register(
+    "decode_rename",
+    """
+    SELECT s_suppkey AS supplier_id,
+           CASE CAST(s_nationkey AS VARCHAR)
+             WHEN '0' THEN 'ALGERIA' WHEN '1' THEN 'ARGENTINA'
+             WHEN '2' THEN 'BRAZIL'
+             ELSE CAST(s_nationkey AS VARCHAR)
+           END AS nation_label
+    FROM supplier
+    """,
+)
+def _decode_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _cat(spark, sf_dir).table("supplier").select("s_suppkey", "s_nationkey")
+    df = cleaning.decode_map(
+        df, {"s_nationkey": {0: "ALGERIA", 1: "ARGENTINA", 2: "BRAZIL"}}
+    )
+    return cleaning.rename_columns(
+        df, {"s_suppkey": "supplier_id", "s_nationkey": "nation_label"}
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 + F4: fact × broadcast dim chain + human-readable concat label
+# --------------------------------------------------------------------------
+@register(
+    "dim_join_label",
+    """
+    SELECT s_suppkey, s_name, n_name || ', ' || r_name AS geo_label
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def _dim_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _cat(spark, sf_dir)
+    sup = c.table("supplier").withColumnRenamed("s_nationkey", "n_nationkey")
+    df = joins.dim_join(sup, c.table("nation"), on="n_nationkey")
+    df = joins.dim_join(
+        df.withColumnRenamed("n_regionkey", "r_regionkey"),
+        c.table("region"),
+        on="r_regionkey",
+    )
+    return df.select(
+        "s_suppkey", "s_name", cleaning.concat_label("n_name", "r_name").alias("geo_label")
+    )
+
+
+# --------------------------------------------------------------------------
+# J4: semi-join filter (the reference's collect-IDs-into-IN, kept on-cluster)
+# --------------------------------------------------------------------------
+@register(
+    "semi_join_filter",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def _semi_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _cat(spark, sf_dir)
+    keys = c.table("customer").where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    df = joins.semi_join_filter(c.table("orders"), keys, on="o_custkey")
+    return df.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+# --------------------------------------------------------------------------
+# anti-join: keys with no match
+# --------------------------------------------------------------------------
+@register(
+    "anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def _anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _cat(spark, sf_dir)
+    keys = (
+        c.table("orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return joins.anti_join(c.table("customer"), keys, on="c_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 translate: crosswalk dedup→dropna→chained joins (J2/J3)
+# --------------------------------------------------------------------------
+@register(
+    "translate_crosswalk",
+    """
+    SELECT c_custkey, c_mktsegment, n_regionkey, r_name
+    FROM customer
+    JOIN (SELECT DISTINCT n_nationkey, n_regionkey FROM nation
+          WHERE n_nationkey IS NOT NULL AND n_regionkey IS NOT NULL) xw
+      ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def _translate_crosswalk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _cat(spark, sf_dir)
+    data = c.table("customer").withColumnRenamed("c_nationkey", "n_nationkey")
+    data_2 = c.table("region").withColumnRenamed("r_regionkey", "n_regionkey")
+    out = joins.translate(
+        data, c.table("nation"), left="n_nationkey", right="n_regionkey", data_2=data_2
+    )
+    return out.select("c_custkey", "c_mktsegment", "n_regionkey", "r_name")
+
+
+# --------------------------------------------------------------------------
+# F6: stringified-list parse + explode (Rosetta cip_2020 shape)
+# --------------------------------------------------------------------------
+@register(
+    "explode_list_column",
+    """
+    SELECT code, COUNT(*) AS n FROM (
+      SELECT UNNEST([CAST(n_nationkey AS VARCHAR), CAST(n_regionkey AS VARCHAR)]) AS code
+      FROM nation
+    ) GROUP BY code
+    """,
+)
+def _explode_list_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # build the reference's stringified-list column ("['a', 'b']"), then
+    # parse with from_json and explode natively (etl_io.py:924-934)
+    df = _cat(spark, sf_dir).table("nation").select(
+        F.format_string("['%s', '%s']", "n_nationkey", "n_regionkey").alias("lst")
+    )
+    df = joins.parse_list_column(df, "lst")
+    df = df.select(F.explode("lst").alias("code"))
+    return agg.group_count(df, ["code"], "code", alias="n")
+
+
+# --------------------------------------------------------------------------
+# A3/A4: group count (programs-per-CIP shape)
+# --------------------------------------------------------------------------
+@register(
+    "group_count",
+    """
+    SELECT l_partkey, COUNT(l_orderkey) AS prog_count
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def _group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.group_count(
+        _cat(spark, sf_dir).table("lineitem"), ["l_partkey"], "l_orderkey", "prog_count"
+    )
+
+
+# --------------------------------------------------------------------------
+# A5/A6 intent: count distinct per group (schools-per-geo shape)
+# --------------------------------------------------------------------------
+@register(
+    "count_distinct_group",
+    """
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def _count_distinct_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.group_count_distinct(
+        _cat(spark, sf_dir).table("orders"), ["o_orderpriority"], "o_custkey"
+    )
+
+
+# --------------------------------------------------------------------------
+# A7: group product (IM×LV scale-multiply shape)
+# --------------------------------------------------------------------------
+@register(
+    "group_product",
+    """
+    SELECT l_orderkey, ROUND(PRODUCT(1 + l_discount), 6) AS product
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def _group_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _cat(spark, sf_dir).table("lineitem").select(
+        "l_orderkey", (F.lit(1) + F.col("l_discount")).alias("gross")
+    )
+    out = agg.group_product(df, ["l_orderkey"], "gross")
+    return out.withColumn("product", F.round("product", 6))
+
+
+# --------------------------------------------------------------------------
+# rollup / cube (geo × CIP-level hierarchy shape)
+# --------------------------------------------------------------------------
+@register(
+    "rollup_geo",
+    """
+    SELECT r_name, n_name, ROUND(SUM(c_acctbal), 2) AS sum_c_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def _rollup_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _cat(spark, sf_dir)
+    df = (
+        c.table("customer")
+        .withColumnRenamed("c_nationkey", "n_nationkey")
+        .join(F.broadcast(c.table("nation")), "n_nationkey")
+        .withColumnRenamed("n_regionkey", "r_regionkey")
+        .join(F.broadcast(c.table("region")), "r_regionkey")
+    )
+    out = agg.rollup_sum(df, ["r_name", "n_name"], ["c_acctbal"])
+    return out.withColumn("sum_c_acctbal", F.round("sum_c_acctbal", 2))
+
+
+@register(
+    "cube_flags",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def _cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _cat(spark, sf_dir)
+        .table("lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# R1/R2: long→wide pivot (quant_view shape, etl_io.py:822-825)
+# --------------------------------------------------------------------------
+@register(
+    "pivot_returnflag",
+    """
+    SELECT l_linestatus,
+           ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+           ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def _pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = reshape.pivot_wide(
+        _cat(spark, sf_dir).table("lineitem"),
+        index="l_linestatus",
+        pivot_col="l_returnflag",
+        value_col="l_quantity",
+        values=["A", "N", "R"],
+        agg=F.round(F.sum("l_quantity"), 2),
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# R3: one-hot encode (qual_view shape, etl_io.py:870-871)
+# --------------------------------------------------------------------------
+@register(
+    "one_hot_priority",
+    """
+    SELECT o_orderkey,
+           COALESCE(BOOL_OR(o_orderpriority = '1-URGENT'), false)        AS "1-URGENT",
+           COALESCE(BOOL_OR(o_orderpriority = '2-HIGH'), false)          AS "2-HIGH",
+           COALESCE(BOOL_OR(o_orderpriority = '3-MEDIUM'), false)        AS "3-MEDIUM",
+           COALESCE(BOOL_OR(o_orderpriority = '4-NOT SPECIFIED'), false) AS "4-NOT SPECIFIED",
+           COALESCE(BOOL_OR(o_orderpriority = '5-LOW'), false)           AS "5-LOW"
+    FROM orders GROUP BY o_orderkey
+    """,
+)
+def _one_hot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reshape.one_hot(
+        _cat(spark, sf_dir).table("orders"),
+        index="o_orderkey",
+        category_col="o_orderpriority",
+        values=["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    )
+
+
+# --------------------------------------------------------------------------
+# melt: wide→long unpivot (inverse of R1)
+# --------------------------------------------------------------------------
+@register(
+    "melt_unpivot",
+    """
+    SELECT p_partkey, 'p_size' AS variable, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+)
+def _melt_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _cat(spark, sf_dir).table("part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return reshape.melt(df, ["p_partkey"], ["p_size", "p_retailprice"])
+
+
+# --------------------------------------------------------------------------
+# window: top-k per group, running sum, lag
+# --------------------------------------------------------------------------
+@register(
+    "window_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def _window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = win.top_k_per_group(
+        _cat(spark, sf_dir).table("orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+    return out.withColumn("o_totalprice", F.round("o_totalprice", 2))
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey), 2) AS run_total
+    FROM orders
+    """,
+)
+def _window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = win.running_agg(
+        _cat(spark, sf_dir).table("orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        partition_by=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        col="o_totalprice",
+        alias="run_total",
+    )
+    return out.select("o_custkey", "o_orderkey", F.round("run_total", 2).alias("run_total"))
+
+
+@register(
+    "window_lag",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey), 2) AS prev_price
+    FROM orders
+    """,
+)
+def _window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = win.lag_lead(
+        _cat(spark, sf_dir).table("orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        partition_by=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        col="o_totalprice",
+        offset=1,
+        alias="prev_price",
+    )
+    return out.select("o_custkey", "o_orderkey", F.round("prev_price", 2).alias("prev_price"))
+
+
+# --------------------------------------------------------------------------
+# set ops
+# --------------------------------------------------------------------------
+@register(
+    "set_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def _set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _cat(spark, sf_dir).table("orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def _set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _cat(spark, sf_dir)
+    had_f = (
+        c.table("orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.table("customer").select("c_custkey").exceptAll(had_f).distinct()
+
+
+@register(
+    "set_union_counts",
+    """
+    SELECT kind, COUNT(*) AS n FROM (
+      SELECT 'cust' AS kind, c_custkey AS k FROM customer
+      UNION ALL
+      SELECT 'supp' AS kind, s_suppkey AS k FROM supplier
+    ) GROUP BY kind
+    """,
+)
+def _set_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _cat(spark, sf_dir)
+    u = c.table("customer").select(
+        F.lit("cust").alias("kind"), F.col("c_custkey").alias("k")
+    ).unionByName(
+        c.table("supplier").select(F.lit("supp").alias("kind"), F.col("s_suppkey").alias("k"))
+    )
+    return u.groupBy("kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# F3: zero-pad dotted code normalization (CIP shape, etl_io.py:374-381)
+# --------------------------------------------------------------------------
+@register(
+    "normalize_codes",
+    """
+    SELECT norm, COUNT(*) AS n FROM (
+      SELECT CASE WHEN p_partkey % 3 = 0
+                  THEN LPAD(CAST(p_size % 10 AS VARCHAR), 2, '0')
+                  ELSE LPAD(CAST(p_size % 10 AS VARCHAR), 2, '0') || '.' ||
+                       CAST(p_partkey % 100 AS VARCHAR)
+             END AS norm
+      FROM part
+    ) GROUP BY norm
+    """,
+)
+def _normalize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # build dotted / undotted raw codes like '1.1001' / '7', then normalize
+    df = _cat(spark, sf_dir).table("part").select(
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            (F.col("p_size") % 10).cast("string"),
+        )
+        .otherwise(
+            F.format_string("%d.%d", F.col("p_size") % 10, F.col("p_partkey") % 100)
+        )
+        .alias("raw")
+    )
+    df = df.select(cleaning.normalize_code("raw").alias("norm"))
+    return agg.group_count(df, ["norm"], "norm", alias="n")
+
+
+# --------------------------------------------------------------------------
+# JSON extraction on events.props (F6-adjacent; SURVEY.md §2.6 note)
+# --------------------------------------------------------------------------
+@register(
+    "json_extract_events",
+    """
+    SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def _json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _cat(spark, sf_dir).table("events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return df.groupBy("event_type").agg(F.sum("k").alias("sum_k"))
+
+
+# --------------------------------------------------------------------------
+# events: tumbling window aggregation (batch-mode parity of the streaming op)
+# --------------------------------------------------------------------------
+@register(
+    "events_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def _events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _cat(spark, sf_dir).table("events")
+    return (
+        df.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# global top-k (TakeOrderedAndProject)
+# --------------------------------------------------------------------------
+@register(
+    "top_k_orders",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def _top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sel.top_k(
+        _cat(spark, sf_dir).table("orders").select("o_orderkey", "o_totalprice"),
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=100,
+    )
+    return out.withColumn("o_totalprice", F.round("o_totalprice", 2))

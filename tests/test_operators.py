@@ -1,0 +1,130 @@
+"""Unit tests for relational operators on tiny in-memory frames,
+including reference-quirk cases (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from etl_io_spark.functions import cleaning
+from etl_io_spark.operators import joins, reshape, select as sel, window as win
+from etl_io_spark.operators.reshape import DuplicatePivotKeyError
+
+
+# ---------------------------------------------------------------- cleaning
+def test_decode_map_passthrough_unmapped(spark):
+    df = spark.createDataFrame([Row(code=1), Row(code=2), Row(code=99)])
+    out = cleaning.decode_map(df, {"code": {1: "one", 2: "two"}})
+    got = {r["code"] for r in out.collect()}
+    assert got == {"one", "two", "99"}  # unmapped code preserved as string
+
+
+def test_rename_ignores_unknown_keys(spark):
+    df = spark.createDataFrame([Row(a=1)])
+    out = cleaning.rename_columns(df, {"a": "x", "nope": "y"})
+    assert out.columns == ["x"]
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("1.1001", "01.1001"),  # the reference's canonical case (etl_io.py:374)
+        ("11.0101", "11.0101"),
+        ("1", "01"),
+        ("99", "99"),
+    ],
+)
+def test_normalize_code(spark, raw, expected):
+    df = spark.createDataFrame([Row(c=raw)])
+    got = df.select(cleaning.normalize_code("c").alias("n")).collect()[0]["n"]
+    assert got == expected
+
+
+# ---------------------------------------------------------------- joins
+def test_translate_duplicate_key_multiplication(spark):
+    """pandas merge multiplies rows on duplicate keys; Spark inner join
+    must do the same (SURVEY.md §7 phase 2 hard case)."""
+    data = spark.createDataFrame([Row(soc="A", v=1)])
+    xw = spark.createDataFrame(
+        [Row(soc="A", cip="x"), Row(soc="A", cip="y"), Row(soc="A", cip="x")]
+    )
+    out = joins.translate(data, xw, left="soc", right="cip")
+    # dedup on (soc, cip) first -> 2 rows, then 1x2 multiplication
+    assert out.count() == 2
+
+
+def test_translate_how_passthrough(spark):
+    data = spark.createDataFrame([Row(soc="A", v=1), Row(soc="B", v=2)])
+    xw = spark.createDataFrame([Row(soc="A", cip="x")])
+    assert joins.translate(data, xw, "soc", "cip", how="inner").count() == 1
+    assert joins.translate(data, xw, "soc", "cip", how="left").count() == 2
+    assert joins.translate(data, xw, "soc", "cip", how="left_anti").count() == 1
+
+
+def test_parse_list_column_and_explode(spark):
+    df = spark.createDataFrame([Row(k=1, lst="['11.0101', '11.0201']"), Row(k=2, lst="[]")])
+    parsed = joins.parse_list_column(df, "lst")
+    exploded = parsed.select("k", F.explode("lst").alias("cip"))
+    rows = exploded.collect()
+    assert {(r["k"], r["cip"]) for r in rows} == {(1, "11.0101"), (1, "11.0201")}
+
+
+def test_parse_list_column_malformed_gives_null(spark):
+    df = spark.createDataFrame([Row(lst="not a list")])
+    parsed = joins.parse_list_column(df, "lst")
+    assert parsed.collect()[0]["lst"] is None
+
+
+# ---------------------------------------------------------------- reshape
+def test_pivot_strict_raises_on_duplicates(spark):
+    df = spark.createDataFrame(
+        [Row(i="a", p="x", v=1.0), Row(i="a", p="x", v=2.0)]
+    )
+    with pytest.raises(DuplicatePivotKeyError):
+        reshape.pivot_wide(df, "i", "p", "v", strict=True)
+
+
+def test_pivot_wide_values_skip_discovery(spark):
+    df = spark.createDataFrame([Row(i="a", p="x", v=1.0), Row(i="a", p="y", v=2.0)])
+    out = reshape.pivot_wide(df, "i", "p", "v", values=["x", "y", "z"])
+    row = out.collect()[0]
+    assert (row["x"], row["y"], row["z"]) == (1.0, 2.0, None)
+
+
+def test_one_hot_fills_false(spark):
+    df = spark.createDataFrame([Row(i=1, c="a"), Row(i=2, c="b")])
+    out = reshape.one_hot(df, "i", "c")
+    m = {r["i"]: (r["a"], r["b"]) for r in out.collect()}
+    assert m == {1: (True, False), 2: (False, True)}
+
+
+def test_melt_roundtrip(spark):
+    df = spark.createDataFrame([Row(k=1, a=1.0, b=2.0)])
+    long = reshape.melt(df, ["k"], ["a", "b"])
+    assert long.count() == 2
+    wide = reshape.pivot_wide(long, "k", "variable", "value")
+    row = wide.collect()[0]
+    assert (row["a"], row["b"]) == (1.0, 2.0)
+
+
+# ---------------------------------------------------------------- select
+def test_build_predicate_scalar_and_list(spark):
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=2, b="x"), Row(a=1, b="y")]
+    )
+    out = sel.select(df, filters={"a": [1], "b": "x"})
+    assert out.count() == 1
+
+
+def test_select_where_string(spark):
+    df = spark.createDataFrame([Row(a=1), Row(a=5)])
+    assert sel.select(df, where="a > 2").count() == 1
+
+
+# ---------------------------------------------------------------- window
+def test_top_k_per_group_deterministic(spark):
+    df = spark.createDataFrame(
+        [Row(g=1, v=10.0, id=1), Row(g=1, v=10.0, id=2), Row(g=1, v=5.0, id=3)]
+    )
+    out = win.top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], k=2)
+    assert [r["id"] for r in out.orderBy("rn").collect()] == [1, 2]
