@@ -1,0 +1,82 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol: one shared SparkSession (startup excluded — the driver grades query
+throughput, not JVM boot), each query timed to full materialization via a
+count-ish action that forces every operator. Headline set spans scan/filter,
+join, agg, window, pivot, events windowing and the north-star extensions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: queries() keys graded as the headline set; anything absent is skipped
+#: so bench.py never breaks while coverage grows.
+HEADLINE = [
+    "pricing_summary",
+    "dim_join_label",
+    "semi_join_filter",
+    "group_count",
+    "count_distinct_group",
+    "pivot_returnflag",
+    "one_hot_priority",
+    "window_topk_per_group",
+    "window_running_sum",
+    "events_tumbling_window",
+    "json_extract_events",
+    "top_k_orders",
+    "translate_crosswalk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "text_quality",
+    "token_count",
+]
+
+
+def main() -> None:
+    from etl_io_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        df = qs[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        # noop sink forces full evaluation of every output column —
+        # a count() would let Catalyst prune the projections being timed.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
