@@ -55,6 +55,12 @@ class TableCatalog:
         # and oracle parity assumes UTC timestamp rendering.
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # cached subplans bypass AQE coalescing, so an untouched 200-default
+        # would pin 200-task stages even on tiny data; respect any value the
+        # user set explicitly.
+        if self.spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            cores = os.cpu_count() or 8
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(min(32, cores)))
         for fname in sorted(os.listdir(self.root)):
             if fname.endswith(".parquet"):
                 name = fname[: -len(".parquet")]

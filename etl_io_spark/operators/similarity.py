@@ -1,0 +1,221 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two paths:
+
+  * brute-force cosine top-k — the exact baseline: broadcast the (small)
+    query set against the corpus, dot products as codegen'd array
+    expressions, per-query top-k via window. Corpus never shuffles; cost is
+    one scan × |queries|.
+  * LSH-bucketed ANN — the scale path: random-hyperplane sign buckets
+    (deterministic, seed-free: plane components are ±1 from md5 parity of
+    (plane, dim)), candidates share a bucket, exact rescoring within the
+    bucket. At 100 TB the bucket join replaces the corpus×queries blowup;
+    recall is tunable via number of planes/tables.
+
+Embeddings in the test corpus are L2-normalized (verified), so cosine ==
+dot product; ``cosine`` still normalizes defensively unless told otherwise.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float|double> columns — zip_with+aggregate,
+    accumulating in double for cross-engine parity."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column, assume_normalized: bool = False) -> Column:
+    d = dot(a, b)
+    if assume_normalized:
+        return d
+    return d / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    assume_normalized: bool = False,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    ``queries``: (query_id, embedding). The query side is broadcast — the
+    corpus is scanned once regardless of |queries|; ranking is
+    deterministic (similarity desc, then corpus id)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        )
+    )
+    sim = F.round(
+        cosine(F.col(vec_col), F.col("__qvec"), assume_normalized), round_to
+    )
+    scored = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(q)
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _plane_signs(planes: int, dims: int, table: int = 0) -> list[list[int]]:
+    """Deterministic ±1 hyperplane components: sign = parity of the first
+    hex digit of md5('table:p:d'). Seed-free and reproducible in any
+    engine; ``table`` derives independent plane sets for multi-table LSH."""
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{table}:{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for d in range(dims)
+        ]
+        for p in range(planes)
+    ]
+
+
+def lsh_bucket(vec_col: Column, signs: list[list[int]]) -> Column:
+    """Bucket id = bits of sign(v · plane_p) over all planes."""
+    bucket: Column = F.lit(0)
+    for p, plane in enumerate(signs):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(s)) for s in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 6,
+    tables: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH: a candidate
+    shares the query's bucket in ANY of ``tables`` independent plane sets;
+    candidates are rescored exactly, then ranked.
+
+    With p planes the corpus splits into 2^p buckets per table → candidate
+    cost ~tables·|corpus|/2^p per query; recall ≈ 1-(1-r)^tables for
+    single-table recall r. The joins are hash joins on (table, bucket) —
+    never a cross join — so the same plan holds when the corpus is 100 TB:
+    only bucket-matched pairs materialize."""
+    buckets_c = []
+    buckets_q = []
+    for t in range(tables):
+        signs = _plane_signs(planes, dims, table=t)
+        buckets_c.append(
+            corpus.select(
+                id_col,
+                vec_col,
+                F.lit(t).alias("__t"),
+                lsh_bucket(F.col(vec_col), signs).alias("__bucket"),
+            )
+        )
+        buckets_q.append(
+            queries.select(
+                query_id_col,
+                F.col(vec_col).alias("__qvec"),
+                F.lit(t).alias("__t"),
+                lsh_bucket(F.col(vec_col), signs).alias("__bucket"),
+            )
+        )
+    c = buckets_c[0]
+    for extra in buckets_c[1:]:
+        c = c.unionByName(extra)
+    q = buckets_q[0]
+    for extra in buckets_q[1:]:
+        q = q.unionByName(extra)
+    sim = F.round(cosine(F.col(vec_col), F.col("__qvec"), True), round_to)
+    scored = (
+        c.join(F.broadcast(q), ["__t", "__bucket"])
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("cosine_sim"),
+        )
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    )
+
+
+def neardup_pairs_cosine(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    dims: int = 64,
+    exact: bool = False,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, a < b.
+
+    ``exact=True`` runs the full self-join (oracle-checkable; O(n²) — test
+    scales only). Default buckets by hyperplane signs first: near-identical
+    vectors almost surely share all sign bits, so the self-join runs per
+    bucket — the scale path."""
+    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    if exact:
+        joined = a.crossJoin(b)
+    else:
+        signs = _plane_signs(planes, dims)
+        a = a.withColumn("__bucket", lsh_bucket(F.col("va"), signs))
+        b = b.withColumn("__bucket", lsh_bucket(F.col("vb"), signs))
+        joined = a.join(b, "__bucket")
+    sim = F.round(cosine(F.col("va"), F.col("vb"), True), round_to)
+    return (
+        joined.where(F.col("a") < F.col("b"))
+        .select("a", "b", sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )

@@ -621,3 +621,324 @@ def _top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=100,
     )
     return out.withColumn("o_totalprice", F.round("o_totalprice", 2))
+
+
+# ==========================================================================
+# North-star extensions: dedup / similarity / text analysis
+# ==========================================================================
+from etl_io_spark.operators import dedup, similarity, text  # noqa: E402
+
+#: DuckDB-side 60-bit md5 hash (parity with text.hash60; see text.py)
+_H = "CAST(('0x' || substring(md5({s}),1,15)) AS BIGINT)"
+
+#: shared oracle CTEs: whitespace tokens, distinct hashed 3-gram shingles
+_SHINGLE_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, {_H.format(s='g')} AS sh FROM (
+    SELECT doc_id,
+           UNNEST([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                   for i in generate_series(1, len(l) - 2)]) AS g
+    FROM toks)
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT text AS content_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY text
+    """,
+)
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_cat(spark, sf_dir).table("documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_exact_hash",
+    f"""
+    SELECT {_H.format(s='text')} AS content_key,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def _dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(
+        _cat(spark, sf_dir).table("documents"), "doc_id", "text", by_hash=True
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _SHINGLE_CTE
+    + """,
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b,
+           ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON a = sa.doc_id
+    JOIN sz sb ON b = sb.doc_id
+    WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.3
+    """,
+)
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _cat(spark, sf_dir).table("documents"), "doc_id", "text", n=3, threshold=0.3
+    )
+
+
+def _minhash_oracle(num_perm: int = 16, bands: int = 4) -> str:
+    """DuckDB replica of minhash_lsh_candidates (dedup.py)."""
+    rpb = num_perm // bands
+    p = dedup.MINHASH_P
+    a = ", ".join(str(dedup._perm_a(j)) for j in range(num_perm))
+    b = ", ".join(str(dedup._perm_b(j)) for j in range(num_perm))
+    return (
+        _SHINGLE_CTE
+        + f""",
+    perms AS (SELECT UNNEST(generate_series(0, {num_perm - 1})) AS j),
+    sig AS (
+      SELECT doc_id, j,
+             MIN((([{a}][j+1]) * (sh % {p}) + ([{b}][j+1])) % {p}) AS minhash
+      FROM sh, perms GROUP BY doc_id, j
+    ),
+    bkeys AS (
+      SELECT doc_id, CAST(j // {rpb} AS INT) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j)) AS bkey
+      FROM sig GROUP BY doc_id, CAST(j // {rpb} AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bkeys x JOIN bkeys y ON x.band = y.band AND x.bkey = y.bkey
+      WHERE x.doc_id < y.doc_id
+    )
+    SELECT a, b,
+           ROUND(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = a
+    JOIN sig sb ON sb.doc_id = b AND sb.j = sa.j
+    GROUP BY a, b
+    """
+    )
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(
+        _cat(spark, sf_dir).table("documents"), "doc_id", "text", num_perm=16, bands=4
+    )
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    """DuckDB replica of dedup.simhash: per-bit majority of token hashes."""
+    h = _H.format(s="t")
+    sig = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {bb}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 "
+        f"THEN {2**bb} ELSE 0 END)"
+        for bb in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, {h} AS h FROM tok)
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash
+    FROM hashed GROUP BY doc_id
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(
+        _cat(spark, sf_dir).table("documents"), "doc_id", "text", bits=32
+    )
+
+
+# -- similarity ------------------------------------------------------------
+#: sequential double-precision dot product in DuckDB (parity with
+#: similarity.dot: left-fold, floats cast to double before multiply)
+_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "[{a}[i]::DOUBLE * {b}[i]::DOUBLE for i in generate_series(1, len({a}))]), "
+    "(x, y) -> x + y)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+    "[{a}[i]::DOUBLE * {a}[i]::DOUBLE for i in generate_series(1, len({a}))]), "
+    "(x, y) -> x + y))"
+)
+
+
+@register(
+    "similarity_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             ROUND({_DOT.format(a='e.embedding', b='qv')}
+                   / ({_NORM.format(a='e.embedding')} * {_NORM.format(a='qv')}),
+                   6) AS cosine_sim
+      FROM embeddings e, q WHERE e.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def _similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _cat(spark, sf_dir).table("embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, queries, k=10)
+
+
+@register("similarity_ann_lsh")  # no SQL oracle: approximate op; recall tested
+def _similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _cat(spark, sf_dir).table("embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ann_lsh_topk(emb, queries, k=10, planes=4)
+
+
+@register(
+    "embedding_neardup",
+    f"""
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND({_DOT.format(a='a.embedding', b='b.embedding')}, 6) AS cosine_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND ROUND({_DOT.format(a='a.embedding', b='b.embedding')}, 6) >= 0.4
+    """,
+)
+def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.neardup_pairs_cosine(
+        _cat(spark, sf_dir).table("embeddings"), threshold=0.4, exact=True
+    )
+
+
+# -- text analysis ---------------------------------------------------------
+_SW = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+               AS n_punct
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, n_chars, len(toks) AS n_words,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum([LENGTH(w) for w in toks]) * 1.0 / len(toks)
+                  ELSE 0.0 END AS mean_word_len,
+             CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END
+               AS punct_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN len([w for w in toks if w IN ({_SW})]) * 1.0 / len(toks)
+                  ELSE 0.0 END AS stopword_ratio
+      FROM t
+    )
+    SELECT doc_id, n_chars, n_words,
+           ROUND(mean_word_len, 4) AS mean_word_len,
+           ROUND(punct_ratio, 4) AS punct_ratio,
+           ROUND(stopword_ratio, 4) AS stopword_ratio,
+           ROUND((CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+                 + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+                 + (CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END), 2)
+             AS quality_score
+    FROM f
+    """,
+)
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_features(
+        _cat(spark, sf_dir).table("documents"), "doc_id", "text"
+    )
+
+
+@register(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cat(spark, sf_dir).table("documents").select(
+        "doc_id",
+        text.token_count_ws("text").alias("ws_tokens"),
+        text.token_count_bpe("text").alias("bpe_tokens"),
+    )
+
+
+def _lang_oracle() -> str:
+    score = (
+        "CASE WHEN len(toks) > 0 THEN "
+        "len([w for w in toks if w IN ({words})]) * 1.0 / len(toks) "
+        "ELSE 0.0 END"
+    )
+    scores = {
+        lang: score.format(words=", ".join(f"'{w}'" for w in words))
+        for lang, words in text.LANG_MARKERS.items()
+    }
+    sel_cols = ",\n             ".join(
+        f"{expr} AS s_{lang}" for lang, expr in scores.items()
+    )
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    case = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in sorted(scores)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    s AS (SELECT doc_id,
+             {sel_cols}
+          FROM t),
+    g AS (SELECT doc_id, s_de, s_en, s_es, s_fr, {best} AS best FROM s)
+    SELECT doc_id, ROUND(best, 4) AS lang_score,
+           CASE WHEN best > 0 THEN (CASE {case} END) ELSE 'und' END AS lang_pred
+    FROM g
+    """
+
+
+@register("lang_id", _lang_oracle())
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_cat(spark, sf_dir).table("documents"), "doc_id", "text")
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, md5(text) AS md5_hex,
+           {_H.format(s='text')} AS hash60,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          [CAST(ascii(x) AS BIGINT)
+                           for x in string_split_regex(text, '')]),
+             (acc, x) -> (acc * 31 + x) % {text.ROLLING_MOD}) AS rolling_hash
+    FROM documents
+    """,
+)
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_cat(spark, sf_dir).table("documents"), "doc_id", "text")

@@ -1,0 +1,163 @@
+"""North-star operator tests: dedup families, similarity search, text
+analysis — invariant-based where no SQL oracle exists (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from etl_io_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = "the quick brown fox jumps over the lazy dog and runs far away now"
+    other = "completely different content about spark engines and parquet files here"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),        # exact dup of 1
+            Row(doc_id=3, text=near),        # near dup of 1 (1 token changed)
+            Row(doc_id=4, text=other),       # unrelated
+        ]
+    )
+
+
+# ---------------------------------------------------------------- dedup
+def test_exact_dedup_groups(spark, docs):
+    out = {r["keep_id"]: r["n_dups"] for r in dedup.exact_dedup(docs, "doc_id", "text").collect()}
+    assert out == {1: 2, 3: 1, 4: 1}
+
+
+def test_exact_dedup_by_hash_same_groups(spark, docs):
+    out = dedup.exact_dedup(docs, "doc_id", "text", by_hash=True)
+    assert {r["n_dups"] for r in out.collect()} == {2, 1}
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0          # identical docs
+    assert 0.5 < pairs[(1, 3)] < 1.0     # near dup
+    assert (1, 4) not in pairs           # unrelated
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs):
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", num_perm=8)
+    rows = sig.collect()
+    s = {i: {r["j"]: r["minhash"] for r in rows if r["doc_id"] == i} for i in (1, 2, 4)}
+    assert s[1] == s[2]
+    assert s[1] != s[4]
+
+
+def test_minhash_lsh_candidates_recall_and_precision(spark, docs):
+    cand = dedup.minhash_lsh_candidates(docs, "doc_id", "text", num_perm=16, bands=4)
+    got = {(r["a"], r["b"]): r["est_jaccard"] for r in cand.collect()}
+    assert got[(1, 2)] == 1.0            # exact dup always caught
+    assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
+
+
+def test_simhash_hamming(spark, docs):
+    sig = dedup.simhash(docs, "doc_id", "text", bits=32)
+    s = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    assert s[1] == s[2]  # identical text -> identical signature
+    near = bin(s[1] ^ s[3]).count("1")
+    far = bin(s[1] ^ s[4]).count("1")
+    assert near < far  # near-dup closer in hamming space than unrelated
+
+
+def test_simhash_hamming_distance_expr(spark):
+    df = spark.createDataFrame([Row(a=0b1011, b=0b0010)])
+    got = df.select(dedup.hamming_distance(F.col("a"), F.col("b")).alias("d")).collect()[0]["d"]
+    assert got == 2
+
+
+# ---------------------------------------------------------------- similarity
+@pytest.fixture(scope="module")
+def emb(spark):
+    from etl_io_spark.catalog import TableCatalog
+
+    return TableCatalog(spark, "/root/testdata/sf0.001").table("embeddings")
+
+
+def test_brute_force_topk_shape_and_selfsim(spark, emb):
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, q, k=5).collect()
+    assert len(out) == 15
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        sims = [r["cosine_sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)  # top-k monotonicity
+        assert all(-1.0001 <= s <= 1.0001 for s in sims)
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, emb):
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, q, k=10, assume_normalized=True)
+    approx = similarity.ann_lsh_topk(emb, q, k=10, planes=3, tables=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5  # 4 tables × (3 planes / 8 buckets) on random vectors
+
+
+def test_neardup_identical_vectors(spark):
+    v = [1.0] + [0.0] * 3
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=v), Row(vec_id=2, embedding=v),
+         Row(vec_id=3, embedding=[0.0, 1.0, 0.0, 0.0])]
+    )
+    out = similarity.neardup_pairs_cosine(df, threshold=0.99, dims=4, exact=True)
+    assert [(r["a"], r["b"]) for r in out.collect()] == [(1, 2)]
+
+
+# ---------------------------------------------------------------- text
+def test_quality_features_empty_text(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="")])
+    r = text.quality_features(df, "doc_id", "text").collect()[0]
+    assert r["n_words"] == 0 and r["mean_word_len"] == 0.0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="hello world, x2!")])
+    r = df.select(
+        text.token_count_ws("text").alias("ws"),
+        text.token_count_bpe("text").alias("bpe"),
+    ).collect()[0]
+    assert r["ws"] == 3
+    # hello | world | , | x | 2 | !
+    assert r["bpe"] == 6
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat of the house and a dog"),
+            Row(doc_id=2, text="der hund ist und das haus"),
+            Row(doc_id=3, text="xyzzy plugh"),
+        ]
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(df, "doc_id", "text").collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprint_rolling_hash_matches_python(spark):
+    s = "spark engine"
+    df = spark.createDataFrame([Row(doc_id=1, text=s)])
+    r = text.fingerprint(df, "doc_id", "text").collect()[0]
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % text.ROLLING_MOD
+    assert r["rolling_hash"] == acc
+    import hashlib
+
+    assert r["md5_hex"] == hashlib.md5(s.encode()).hexdigest()

@@ -53,7 +53,10 @@ def run_check(sf_dir: str, only: list[str] | None = None) -> int:
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
 
-    spark = get_spark("check")
+    spark = get_spark(
+        "check", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in STAR_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
