@@ -101,6 +101,24 @@ class TableCatalog:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         return df
 
+    def table_stream(
+        self, name: str, source_dir: str, max_files_per_trigger: int = 1
+    ) -> DataFrame:
+        """Streaming scan with the same schema/timestamp semantics as
+        ``table(name)``: reads ``source_dir`` as a file stream using the
+        raw parquet schema (nanos as long), then applies the identical
+        lazy ns->us conversion — so batch and stream plans are twins."""
+        path = self._tables[name]
+        raw_schema = self.spark.read.parquet(path).schema
+        df = (
+            self.spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir)
+        )
+        for c in self._nanos_cols(path):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return df
+
     @staticmethod
     def _nanos_cols(path: str) -> list[str]:
         """Columns stored as timestamp[ns] (footer-only check, no data read)."""

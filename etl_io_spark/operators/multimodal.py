@@ -1,0 +1,222 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Treats media as opaque ``binary`` columns plus a typed metadata struct, with
+decode / feature-extract / resize / frame-sample implemented as Arrow-batched
+``mapInPandas`` stages (the pattern for CPU-bound per-item Python work at
+scale: one Python worker per partition, columnar Arrow transfer, no
+row-at-a-time pickling).
+
+The actual codec step is STUBBED — this container has no image/audio
+libraries. Two decoders are provided:
+
+  * ``fake_decode`` (default): deterministic pseudo-decoder that derives a
+    small pixel/sample array from the bytes' md5 — real Spark plumbing
+    (schemas, batching, partitioning) with reproducible test output.
+  * ``library_decode``: the production hook; raises ``NotImplementedError``
+    with the dependency name unless PIL/soundfile are importable.
+
+At 100 TB: binaries live in object storage; this module's pattern holds with
+``data`` replaced by a (uri, byte_range) and the decoder doing ranged GETs —
+the mapInPandas topology (shard by file, batch by Arrow) is unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: canonical media-table schema: opaque payload + typed metadata
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("data", BinaryType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("format", StringType(), True),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("pixels", ArrayType(IntegerType()), True),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mean_value", StringType(), False),  # formatted for parity
+        StructField("n_values", IntegerType(), False),
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("frame_fingerprint", StringType(), False),
+    ]
+)
+
+
+def synthesize_media(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table derived from ``documents`` (test/dev
+    stand-in for a real binary ingest): payload = utf-8 bytes of the text,
+    metadata derived from doc stats. Pure Catalyst expressions."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+        (F.pmod(F.col("doc_id"), F.lit(16)) + 4).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(8)) + 4).cast("int").alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        (F.pmod(F.col("doc_id"), F.lit(10)) + 1).cast("int").alias("n_frames"),
+        F.lit("fake").alias("format"),
+    )
+
+
+def fake_decode(data: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic pseudo-decoder: md5-seeded byte stream shaped to
+    (height, width). Stands in for a real codec; stable across runs."""
+    n = width * height
+    out = bytearray()
+    counter = 0
+    while len(out) < n:
+        out.extend(hashlib.md5(data + counter.to_bytes(4, "big")).digest())
+        counter += 1
+    return np.frombuffer(bytes(out[:n]), dtype=np.uint8).reshape(height, width)
+
+
+def library_decode(data: bytes, width: int, height: int) -> np.ndarray:
+    """Production decoder hook — requires an image library not present in
+    this container."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "library_decode requires Pillow; install PIL or use fake_decode"
+        ) from e
+    raise NotImplementedError("wire PIL.Image.open(BytesIO(data)) here")
+
+
+Decoder = Callable[[bytes, int, int], np.ndarray]
+
+
+def decode_media(df: DataFrame, decoder: Decoder = fake_decode) -> DataFrame:
+    """Decode binary payloads to pixel arrays via Arrow-batched mapInPandas.
+
+    Batches stream through the Python worker (constant memory per batch);
+    partitioning is inherited, so co-partitioning with a downstream join
+    key survives the decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = [
+                decoder(d, w, h).ravel().astype("int32").tolist()
+                for d, w, h in zip(pdf["data"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "pixels": pixels,
+                }
+            )
+
+    return df.mapInPandas(run, DECODED_SCHEMA)
+
+
+def resize_media(
+    df: DataFrame, out_w: int, out_h: int, decoder: Decoder = fake_decode
+) -> DataFrame:
+    """Decode + nearest-neighbor resize in one Python pass (numpy indexing —
+    vectorized, no per-pixel Python loop)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d, w, h in zip(pdf["data"], pdf["width"], pdf["height"]):
+                img = decoder(d, w, h)
+                ys = (np.arange(out_h) * h // out_h).astype(int)
+                xs = (np.arange(out_w) * w // out_w).astype(int)
+                out.append(img[np.ix_(ys, xs)].ravel().astype("int32").tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": out_w,
+                    "height": out_h,
+                    "pixels": out,
+                }
+            )
+
+    return df.mapInPandas(run, DECODED_SCHEMA)
+
+
+def extract_features(df: DataFrame, decoder: Decoder = fake_decode) -> DataFrame:
+    """Per-item feature extraction (mean pixel value, count) — the shape of
+    an embedding/feature step; numeric output formatted to fixed precision
+    so results are engine-portable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means, counts = [], []
+            for d, w, h in zip(pdf["data"], pdf["width"], pdf["height"]):
+                img = decoder(d, w, h)
+                means.append(f"{img.mean():.4f}")
+                counts.append(img.size)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "mean_value": means, "n_values": counts}
+            )
+
+    return df.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def frame_fingerprint(data: bytes, index: int) -> str:
+    """Deterministic per-frame fingerprint: md5 over the payload hex plus
+    the frame index — defined on arbitrary binary, reproducible in SQL
+    (``md5(lower(hex(data)) || ':' || i)``)."""
+    return hashlib.md5(f"{bytes(data).hex()}:{index}".encode()).hexdigest()
+
+
+def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video frame sampling: emit every ``every_n``-th frame index with its
+    deterministic fingerprint. One input row fans out to
+    ceil(n_frames / every_n) rows — mapInPandas handles the 1:N expansion
+    naturally."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, fps = [], [], []
+            for mid, d, n in zip(pdf["media_id"], pdf["data"], pdf["n_frames"]):
+                for i in range(0, int(n), every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    fps.append(frame_fingerprint(d, i))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame_fingerprint": fps}
+            )
+
+    return df.mapInPandas(run, FRAMES_SCHEMA)

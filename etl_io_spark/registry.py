@@ -942,3 +942,216 @@ def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_cat(spark, sf_dir).table("documents"), "doc_id", "text")
+
+
+# ==========================================================================
+# Streaming surface (batch-mode parity of the stream ops; streaming runs in
+# tests/test_streaming.py over readStream + memory sink)
+# ==========================================================================
+from etl_io_spark.streaming import windows as stream_win  # noqa: E402
+
+
+@register(
+    "events_sliding_window",
+    """
+    SELECT window_start, event_type, COUNT(*) AS n FROM (
+      SELECT UNNEST([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+                     time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                       - INTERVAL '5 minutes']) AS window_start,
+             event_type
+      FROM events
+    ) GROUP BY window_start, event_type
+    """,
+)
+def _events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_win.sliding_agg(
+        _cat(spark, sf_dir).table("events"), width="10 minutes", slide="5 minutes"
+    )
+
+
+@register(
+    "events_session_window",
+    """
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+               AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def _events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_win.session_agg(
+        _cat(spark, sf_dir).table("events"), gap="30 minutes"
+    )
+
+
+# ==========================================================================
+# Multimodal plumbing (binary columns + mapInPandas stages; decode stubbed
+# behind a deterministic fake — see operators/multimodal.py)
+# ==========================================================================
+from etl_io_spark.operators import multimodal as mm  # noqa: E402
+
+
+@register(
+    "media_metadata",
+    """
+    SELECT kind, width, COUNT(*) AS n, SUM(n_frames) AS total_frames
+    FROM (
+      SELECT 'image' AS kind,
+             CAST(doc_id % 16 + 4 AS INT) AS width,
+             CAST(doc_id % 10 + 1 AS INT) AS n_frames
+      FROM documents
+    ) GROUP BY kind, width
+    """,
+)
+def _media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.synthesize_media(_cat(spark, sf_dir).table("documents"))
+    return media.groupBy("kind", "width").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_frames").alias("total_frames")
+    )
+
+
+@register(
+    "media_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           CAST(UNNEST(generate_series(0, CAST(doc_id % 10 AS INT), 2)) AS INT)
+             AS frame_index,
+           md5(lower(hex(encode(text))) || ':' ||
+               UNNEST(generate_series(0, CAST(doc_id % 10 AS INT), 2)))
+             AS frame_fingerprint
+    FROM documents
+    """,
+)
+def _media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.synthesize_media(_cat(spark, sf_dir).table("documents"))
+    return mm.sample_frames(media, every_n=2)
+
+
+@register("media_features")  # fake-decode md5 chain: not SQL-expressible
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.synthesize_media(_cat(spark, sf_dir).table("documents"))
+    return mm.extract_features(media)
+
+
+# ==========================================================================
+# Composite pipelines through the handler facades (Q1-Q6 analogues;
+# plans/handlers.py mirrors the reference's IPEDSHandler/ONETHandler API)
+# ==========================================================================
+from etl_io_spark.plans import handlers  # noqa: E402
+
+_UNITS_CTE = """
+WITH units AS (
+  SELECT c_custkey AS unit_id, n_name AS geo_nation, r_name AS geo_region,
+         c_mktsegment AS segment
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+"""
+
+
+@register(
+    "awards_pipeline",
+    _UNITS_CTE
+    + """
+    SELECT geo_nation,
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN 'Urgent' WHEN '2-HIGH' THEN 'High'
+             WHEN '3-MEDIUM' THEN 'Medium' WHEN '4-NOT SPECIFIED' THEN 'Unspecified'
+             WHEN '5-LOW' THEN 'Low' ELSE o_orderpriority
+           END AS o_orderpriority,
+           ROUND(SUM(o_totalprice), 2) AS sum_totalprice,
+           COUNT(*) AS n_orders
+    FROM orders JOIN units ON o_custkey = unit_id
+    WHERE geo_region IN ('ASIA', 'EUROPE') AND segment = 'MACHINERY'
+    GROUP BY geo_nation, 2
+    """,
+)
+def _awards_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tab = handlers.StarTabulation(_cat(spark, sf_dir))
+    return tab.awards(
+        region=["ASIA", "EUROPE"],
+        segment="MACHINERY",
+        keep_geography="geo_nation",
+        label=True,
+    )
+
+
+@register(
+    "programs_pipeline",
+    _UNITS_CTE
+    + """
+    SELECT geo_region, o_orderpriority,
+           COUNT(DISTINCT unit_id) AS prog_count
+    FROM orders JOIN units ON o_custkey = unit_id
+    GROUP BY geo_region, o_orderpriority
+    """,
+)
+def _programs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tab = handlers.StarTabulation(_cat(spark, sf_dir))
+    return tab.programs(keep_geography="geo_region")
+
+
+@register(
+    "units_count_pipeline",
+    _UNITS_CTE
+    + """
+    SELECT geo_region, COUNT(DISTINCT unit_id) AS n_units
+    FROM orders JOIN units ON o_custkey = unit_id
+    GROUP BY geo_region
+    """,
+)
+def _units_count_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tab = handlers.StarTabulation(_cat(spark, sf_dir))
+    return tab.units_count(keep_geography="geo_region")
+
+
+@register(
+    "quant_pivot_pipeline",
+    """
+    SELECT user_id,
+           ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2)    AS click,
+           ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 2)    AS error,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+           ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 2)   AS signup,
+           ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2)     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def _quant_pivot_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    el = handlers.StarElements(_cat(spark, sf_dir))
+    return el.quant_view(pivot=True)
+
+
+@register(
+    "qual_onehot_pipeline",
+    """
+    SELECT user_id,
+           COALESCE(BOOL_OR(event_type = 'click'), false)    AS click,
+           COALESCE(BOOL_OR(event_type = 'error'), false)    AS error,
+           COALESCE(BOOL_OR(event_type = 'purchase'), false) AS purchase,
+           COALESCE(BOOL_OR(event_type = 'signup'), false)   AS signup,
+           COALESCE(BOOL_OR(event_type = 'view'), false)     AS view
+    FROM events WHERE user_id < 25 GROUP BY user_id
+    """,
+)
+def _qual_onehot_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    el = handlers.StarElements(_cat(spark, sf_dir))
+    return el.qual_view(users=list(range(25)), onehot=True)

@@ -1,0 +1,80 @@
+"""Structured Streaming tests: the same operator run in batch and via
+readStream + availableNow trigger + memory sink must agree after the
+source is exhausted (SURVEY.md §7 phase 4 parity strategy)."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from etl_io_spark.catalog import TableCatalog
+from etl_io_spark.streaming import windows as sw
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_source(spark, tmp_path_factory):
+    """Copy the events table into a tmp dir to act as a file-stream source
+    (testdata is read-only; a stream source dir must be listable)."""
+    src_dir = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF}/events.parquet", src_dir / "part-0.parquet")
+    cat = TableCatalog(spark, SF)
+    return str(src_dir), cat
+
+
+def _run_stream(spark, stream_df, mode="complete"):
+    name = f"q_{uuid.uuid4().hex[:8]}"
+    q = sw.run_to_memory_sink(stream_df, name, output_mode=mode)
+    out = spark.table(name)
+    rows = out.collect()
+    q.stop()
+    return rows
+
+
+def _as_sets(rows):
+    return {tuple(r) for r in rows}
+
+
+def test_tumbling_stream_matches_batch(spark, event_source):
+    path, cat = event_source
+    batch_df = cat.table("events")
+    stream = cat.table_stream("events", path)
+    got = _run_stream(
+        spark, sw.tumbling_agg(stream, watermark="1 hour"), mode="complete"
+    )
+    want = sw.tumbling_agg(batch_df).collect()
+    assert _as_sets(got) == _as_sets(want)
+    assert len(want) > 0
+
+
+def test_session_stream_matches_batch(spark, event_source):
+    path, cat = event_source
+    batch_df = cat.table("events")
+    stream = cat.table_stream("events", path)
+    got = _run_stream(
+        spark, sw.session_agg(stream, watermark="1 hour"), mode="complete"
+    )
+    want = sw.session_agg(batch_df).collect()
+    assert _as_sets(got) == _as_sets(want)
+
+
+def test_stream_dedup_bounded_state(spark, event_source):
+    path, cat = event_source
+    batch_df = cat.table("events")
+    stream = cat.table_stream("events", path)
+    deduped = sw.dedup_events(
+        stream, subset=["user_id", "event_type"], watermark="1 day"
+    )
+    got = _run_stream(spark, deduped.select("user_id", "event_type"), mode="append")
+    want = batch_df.select("user_id", "event_type").distinct().collect()
+    assert _as_sets(got) == _as_sets(want)
+
+
+def test_batch_dedup_twin(spark):
+    df = TableCatalog(spark, SF).table("events")
+    out = sw.dedup_events(df, subset=["user_id", "event_type"])
+    assert out.count() == df.select("user_id", "event_type").distinct().count()
