@@ -33,14 +33,21 @@ HEADLINE = [
     "window_topk_per_group",
     "window_running_sum",
     "events_tumbling_window",
+    "events_session_window",
     "json_extract_events",
     "top_k_orders",
     "translate_crosswalk",
+    "awards_pipeline",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "similarity_topk",
+    "similarity_ann_lsh",
     "text_quality",
     "token_count",
+    "doc_fingerprint",
+    "media_frame_sample",
 ]
 
 

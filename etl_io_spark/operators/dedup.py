@@ -66,8 +66,13 @@ def shingle_sets(
     Jaccard and MinHash. ``max_doc_freq`` drops shingles appearing in more
     than that many docs (skew + signal: ubiquitous shingles carry no
     dedup information but quadratic join cost)."""
+    # tokenize once into a real column so the split isn't re-evaluated per
+    # shingle reference, then build shingles positionally (see word_ngrams)
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     sh = (
-        df.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("sh"))
+        toked.select(
+            F.col(id_col), F.explode(word_ngrams(F.col("__toks"), n)).alias("sh")
+        )
         .select(id_col, hash60(F.col("sh")).alias("sh"))
         .distinct()
     )
@@ -117,6 +122,34 @@ def ngram_jaccard_pairs(
     return out
 
 
+def minhash_signatures_wide(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signatures in wide form: (id, sig array<bigint>[num_perm]).
+
+    All permutations are computed as ``num_perm`` parallel MIN aggregates
+    over the shingle rows — ONE groupBy on the doc id, no shingle×perm
+    explode. Versus the naive explode plan this cuts shuffled rows by
+    num_perm× (at 100 TB that is the difference between shuffling the
+    corpus and shuffling it 16 times)."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    x = F.pmod(F.col("sh"), F.lit(MINHASH_P))
+    mins = [
+        F.min(F.pmod(F.lit(_perm_a(j)) * x + F.lit(_perm_b(j)), F.lit(MINHASH_P))).alias(
+            f"__m{j}"
+        )
+        for j in range(num_perm)
+    ]
+    wide = sh.groupBy(id_col).agg(*mins)
+    return wide.select(
+        id_col, F.array(*[f"__m{j}" for j in range(num_perm)]).alias("sig")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -124,28 +157,13 @@ def minhash_signatures(
     num_perm: int = 16,
     n: int = 3,
 ) -> DataFrame:
-    """MinHash signatures: for each permutation j, min over the doc's
-    shingle hashes of (A_j·x + B_j) mod P.
-
-    One explode (shingles × num_perm) feeds a single partial-aggregating
-    groupBy — the shuffle carries num_perm longs per doc. Output:
-    (id, j, minhash)."""
-    sh = shingle_sets(df, id_col, text_col, n)
-    perms = F.array(*[F.lit(j) for j in range(num_perm)])
-    x = F.pmod(F.col("sh"), F.lit(MINHASH_P))
-    exploded = sh.select(
-        id_col, x.alias("x"), F.explode(perms).alias("j")
+    """MinHash signatures in long form (id, j, minhash) — thin unpivot of
+    the wide form (one row per doc crosses the shuffle, the explode happens
+    after aggregation where rows are already tiny)."""
+    wide = minhash_signatures_wide(df, id_col, text_col, num_perm, n)
+    return wide.select(
+        id_col, F.posexplode("sig").alias("j", "minhash")
     )
-    a = F.element_at(
-        F.array(*[F.lit(_perm_a(j)) for j in range(num_perm)]), F.col("j") + 1
-    )
-    b = F.element_at(
-        F.array(*[F.lit(_perm_b(j)) for j in range(num_perm)]), F.col("j") + 1
-    )
-    hashed = exploded.withColumn(
-        "h", F.pmod(a * F.col("x") + b, F.lit(MINHASH_P))
-    )
-    return hashed.groupBy(id_col, "j").agg(F.min("h").alias("minhash"))
 
 
 def minhash_lsh_candidates(
@@ -165,23 +183,32 @@ def minhash_lsh_candidates(
     once to score agreement. Bucket join replaces the O(n²) cross join —
     the 100 TB dedup path."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, n).cache()
-    banded = sig.withColumn(
-        "band", F.floor(F.col("j") / rows_per_band).cast("int")
-    )
-    # band key = md5 of the in-band minhashes in j-order (portable string
-    # form: "v0,v1,..." — reproducible in any engine)
-    band_key = banded.groupBy(id_col, "band").agg(
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
+    sig = minhash_signatures_wide(df, id_col, text_col, num_perm, n).cache()
+    # band keys straight from the wide signature: md5 of the in-band
+    # minhashes in j-order ("v0,v1,..." — reproducible in any engine);
+    # one row per (doc, band) via a post-aggregation explode of tiny rows.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows_per_band + j + 1).cast(
+                                "string"
+                            )
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bkey"),
             )
-        ).alias("bkey")
+            for b in range(bands)
+        ]
     )
+    band_key = sig.select(
+        id_col, F.explode(band_structs).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     a = band_key.select(F.col(id_col).alias("a"), "band", "bkey")
     b = band_key.select(F.col(id_col).alias("b"), "band", "bkey")
     cand = (
@@ -190,18 +217,22 @@ def minhash_lsh_candidates(
         .select("a", "b")
         .distinct()
     )
-    sa = sig.select(F.col(id_col).alias("a"), "j", F.col("minhash").alias("ma"))
-    sb = sig.select(F.col(id_col).alias("b"), "j", F.col("minhash").alias("mb"))
+    # rescore: one broadcast-able join per side against the wide sigs,
+    # agreement fraction as a single zip_with/aggregate expression
+    sa = sig.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
     scored = (
         cand.join(sa, "a")
-        .join(sb, ["b", "j"])
-        .groupBy("a", "b")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0))
-                / F.count(F.lit(1)),
-                6,
-            ).alias("est_jaccard")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(agree / F.lit(num_perm), 6).alias("est_jaccard"),
         )
     )
     return scored

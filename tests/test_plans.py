@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: the plan shapes that make the engine
+scale must not silently regress (SURVEY.md §4 — pushdown, broadcast,
+top-k, partial aggregation are the 100 TB load-bearing properties)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "select_project_filter")
+    assert "PushedFilters" in plan
+    assert "In(c_nationkey" in plan and "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "select_project_filter")
+    # projection must reach the parquet reader: no extra columns read
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string" in plan
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "dim_join_label")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_stays_semi_and_broadcasts(spark):
+    plan = _plan(spark, "semi_join_filter")
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = _plan(spark, "top_k_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort shuffle
+
+
+def test_agg_is_partial_then_final(spark):
+    plan = _plan(spark, "pricing_summary")
+    # two HashAggregate levels around one exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_minhash_single_shuffle_signature(spark):
+    """The wide MinHash aggregation must not explode shingles×perms: the
+    plan has exactly one aggregate over the shingle rows (16 min() columns),
+    not a posexplode feeding the aggregation."""
+    from etl_io_spark.catalog import TableCatalog
+    from etl_io_spark.operators import dedup
+
+    docs = TableCatalog(spark, SF).table("documents")
+    plan = (
+        dedup.minhash_signatures_wide(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "posexplode" not in plan.lower()
