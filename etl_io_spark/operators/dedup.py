@@ -67,14 +67,19 @@ def shingle_sets(
     than that many docs (skew + signal: ubiquitous shingles carry no
     dedup information but quadratic join cost)."""
     # tokenize once into a real column so the split isn't re-evaluated per
-    # shingle reference, then build shingles positionally (see word_ngrams)
+    # shingle reference, then build shingles positionally (see word_ngrams).
+    # Dedup happens map-side via array_distinct BEFORE the explode: a doc's
+    # shingles all live in its own row, so uniquifying there replaces the
+    # post-explode distinct — i.e. removes a full shuffle of the largest
+    # intermediate in every Jaccard/MinHash plan.
     toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
-    sh = (
-        toked.select(
-            F.col(id_col), F.explode(word_ngrams(F.col("__toks"), n)).alias("sh")
-        )
-        .select(id_col, hash60(F.col("sh")).alias("sh"))
-        .distinct()
+    sh = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(word_ngrams(F.col("__toks"), n), lambda s: hash60(s))
+            )
+        ).alias("sh"),
     )
     if max_doc_freq is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))

@@ -181,7 +181,7 @@ class StarElements:
             pivot_col="event_type",
             value_col="value",
             values=["click", "error", "purchase", "signup", "view"],
-            agg=F.round(F.sum("value"), 2),
+            agg_fn=lambda c: F.round(F.sum(c), 2),
         )
 
     def qual_view(

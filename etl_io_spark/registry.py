@@ -361,7 +361,7 @@ def _pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         pivot_col="l_returnflag",
         value_col="l_quantity",
         values=["A", "N", "R"],
-        agg=F.round(F.sum("l_quantity"), 2),
+        agg_fn=lambda c: F.round(F.sum(c), 2),
     )
     return out
 

@@ -1,0 +1,130 @@
+"""Sinks (SURVEY.md §2.1, S13-S14).
+
+The reference's only sink is a whole-database copy into sqlite3 via a
+per-table ``DataFrame.to_sql`` loop (etl_io.py:203-219), plus a TODO naming
+never-built ``to_excel and to_db methods`` (etl_io.py:947). The Spark-native
+sink surface is wider and is what a 100 TB pipeline actually needs:
+
+  * partitioned / bucketed parquet — the primary warehouse format. Partition
+    columns drive partition pruning on read; bucketing co-locates join keys
+    so repeated joins on the bucket key shuffle neither side.
+  * whole-catalog copy — the ``to_sqlite3`` equivalent: every registered
+    table written through one writer config.
+  * JDBC — the ``to_db`` intent; gated because this container ships no
+    JDBC driver jar.
+  * Excel — the ``to_excel`` intent; driver-side by nature (a .xlsx is not
+    a distributed format), gated on openpyxl and explicitly collect-bounded.
+
+Every writer takes a DataFrame and returns the written path/identifier so
+pipelines can chain read-back verification.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> str:
+    """Parquet sink with optional hive-style partitioning.
+
+    ``partition_by`` should be low-cardinality columns that downstream
+    queries filter on (date, region): each distinct value becomes a
+    directory, and Catalyst prunes unread partitions at scan time.
+    ``max_records_per_file`` caps file size so a skewed partition writes
+    many files instead of one huge one."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+    return path
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    num_buckets: int = 32,
+    sort_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> str:
+    """Bucketed managed table (saveAsTable — bucketing requires a catalog
+    table, not a bare path). Joins/aggs on the bucket key between two
+    tables bucketed the same way run shuffle-free — the 100 TB answer to
+    "this fact table is joined on the same key every day"."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+    return table
+
+
+def write_csv(
+    df: DataFrame, path: str, sep: str = ",", mode: str = "overwrite"
+) -> str:
+    """CSV/TSV sink (header on; the reference's flat-file world)."""
+    df.write.mode(mode).option("header", True).option("sep", sep).csv(path)
+    return path
+
+
+def copy_warehouse(
+    tables: Mapping[str, DataFrame],
+    target_dir: str,
+    partition_by: Mapping[str, Sequence[str]] | None = None,
+    mode: str = "overwrite",
+) -> dict[str, str]:
+    """Whole-catalog copy — the ``to_sqlite3`` equivalent (S13;
+    etl_io.py:203-219): write every table in the mapping under
+    ``target_dir/<name>.parquet``, optionally partitioned per-table.
+    Returns {table: written_path}."""
+    out: dict[str, str] = {}
+    pb = partition_by or {}
+    for name, df in tables.items():
+        path = os.path.join(target_dir, f"{name}.parquet")
+        out[name] = write_parquet(df, path, partition_by=pb.get(name, ()), mode=mode)
+    return out
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: Mapping[str, str] | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """JDBC sink (S14 ``to_db`` intent). Thin passthrough to
+    ``df.write.jdbc`` — fails with a clear error when no driver jar is on
+    the classpath (this container ships none), which is the honest
+    behavior: silently landing to a file would not be "to_db"."""
+    df.write.jdbc(url=url, table=table, mode=mode, properties=dict(properties or {}))
+    return table
+
+
+def to_excel(df: DataFrame, path: str, max_rows: int = 100_000) -> str:
+    """Excel sink (S14 ``to_excel`` intent) — driver-side by nature.
+
+    Bounded collect: refuses more than ``max_rows`` so a fat-finger on a
+    100 TB table fails fast instead of OOMing the driver. Gated on
+    openpyxl (absent here)."""
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"to_excel is driver-side and capped at {max_rows} rows; "
+            "filter/aggregate first or raise max_rows explicitly"
+        )
+    pdf = df.toPandas()
+    try:
+        pdf.to_excel(path, index=False)
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError("to_excel requires the 'openpyxl' package") from e
+    return path

@@ -1,0 +1,128 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The built-in windowed aggregations in ``windows.py`` cover everything the
+``events`` table needs declaratively; this module is the escape hatch for
+semantics Spark's operators can't express — here, a per-key *running
+profile* that emits an updated summary row on every trigger and expires
+idle keys by processing-time timeout. That shape (per-entity accumulator +
+timeout-driven flush) is the canonical applyInPandasWithState use-case:
+sessionization with custom close conditions, per-user quota counters,
+online feature accumulation for a training-data pipeline.
+
+Scale notes: state is partitioned by the grouping key across executors and
+checkpointed by the state store; per-key state here is O(1) (four scalars),
+so total state = O(distinct keys) regardless of event volume. The same
+function doubles as a batch operator through ``applyInPandas`` (state-free
+pass) so correctness is oracle-checkable on the batch side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "n BIGINT, total DOUBLE, min_v DOUBLE, max_v DOUBLE"
+OUTPUT_SCHEMA = (
+    "user_id BIGINT, n BIGINT, total DOUBLE, min_v DOUBLE, max_v DOUBLE, "
+    "mean_v DOUBLE, closed BOOLEAN"
+)
+
+
+def _merge(
+    state: tuple[int, float, float, float] | None, values: pd.Series
+) -> tuple[int, float, float, float]:
+    n, total, mn, mx = state if state is not None else (0, 0.0, float("inf"), float("-inf"))
+    if len(values):
+        n += int(len(values))
+        total += float(values.sum())
+        mn = min(mn, float(values.min()))
+        mx = max(mx, float(values.max()))
+    return n, total, mn, mx
+
+
+def _profile_fn(timeout_ms: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, total, mn, mx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n": n,
+                        "total": round(total, 6),
+                        "min_v": mn,
+                        "max_v": mx,
+                        "mean_v": round(total / n, 6) if n else None,
+                        "closed": True,
+                    }
+                ]
+            )
+            return
+        cur = state.get if state.exists else None
+        for pdf in pdfs:
+            cur = _merge(cur, pdf["value"])
+        if cur is None:
+            return
+        state.update(cur)
+        state.setTimeoutDuration(timeout_ms)
+        n, total, mn, mx = cur
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n": n,
+                    "total": round(total, 6),
+                    "min_v": mn,
+                    "max_v": mx,
+                    "mean_v": round(total / n, 6) if n else None,
+                    "closed": False,
+                }
+            ]
+        )
+
+    return fn
+
+
+def user_profile_stream(
+    events: DataFrame, timeout_ms: int = 60_000
+) -> DataFrame:
+    """Streaming per-user running profile (count/sum/min/max/mean of
+    ``value``) with processing-time expiry: an update row per key per
+    trigger, and a final ``closed=True`` row when the key goes idle for
+    ``timeout_ms``."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _profile_fn(timeout_ms),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def user_profile_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of ``user_profile_stream`` — the oracle-checkable side.
+    Declarative aggregation (no pandas) because batch needs no state."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.round(F.avg("value"), 6).alias("mean_v"),
+        )
+        .withColumn("closed", F.lit(False))
+    )

@@ -1,0 +1,120 @@
+"""Tests for the applyInPandasWithState operator and the sink surface
+(SURVEY.md §2.1 S13-S14, §2.7 streaming UDAF row)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_io_spark.catalog import TableCatalog
+from etl_io_spark.sources import writers
+from etl_io_spark.streaming import stateful, windows as sw
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_source(spark, tmp_path_factory):
+    src_dir = tmp_path_factory.mktemp("events_state_stream")
+    shutil.copy(f"{SF}/events.parquet", src_dir / "part-0.parquet")
+    cat = TableCatalog(spark, SF)
+    return str(src_dir), cat
+
+
+def test_stateful_profile_matches_batch_twin(spark, event_source):
+    path, cat = event_source
+    stream = cat.table_stream("events", path)
+    name = f"q_{uuid.uuid4().hex[:8]}"
+    q = sw.run_to_memory_sink(
+        stateful.user_profile_stream(stream), name, output_mode="append"
+    )
+    q.stop()
+    # one source file + availableNow → one trigger → one update row per key;
+    # the last (only) non-closed row per user must equal the batch aggregate
+    got = {
+        r["user_id"]: (r["n"], r["total"], r["min_v"], r["max_v"], r["mean_v"])
+        for r in spark.table(name).where(~F.col("closed")).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["total"], r["min_v"], r["max_v"], r["mean_v"])
+        for r in stateful.user_profile_batch(cat.table("events")).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_batch_twin_shape(spark):
+    out = stateful.user_profile_batch(TableCatalog(spark, SF).table("events"))
+    assert set(out.columns) == {
+        "user_id", "n", "total", "min_v", "max_v", "mean_v", "closed",
+    }
+    row = out.where(F.col("n") > 1).first()
+    assert row["min_v"] <= row["mean_v"] <= row["max_v"]
+
+
+def test_write_parquet_partitioned_roundtrip(spark, tmp_path):
+    cat = TableCatalog(spark, SF)
+    df = cat.table("orders")
+    path = writers.write_parquet(
+        df, str(tmp_path / "orders_p"), partition_by=["o_orderpriority"]
+    )
+    # hive layout: one dir per priority → partition pruning on read
+    dirs = [d for d in os.listdir(path) if d.startswith("o_orderpriority=")]
+    assert len(dirs) == df.select("o_orderpriority").distinct().count()
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()
+    pruned = back.where(F.col("o_orderpriority") == "1-URGENT")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+
+def test_copy_warehouse_all_tables(spark, tmp_path):
+    cat = TableCatalog(spark, SF)
+    tables = {n: cat.table(n) for n in ("region", "nation")}
+    out = writers.copy_warehouse(tables, str(tmp_path / "wh"))
+    assert set(out) == {"region", "nation"}
+    for name, path in out.items():
+        assert spark.read.parquet(path).count() == tables[name].count()
+
+
+def test_write_csv_roundtrip(spark, tmp_path):
+    cat = TableCatalog(spark, SF)
+    df = cat.table("region")
+    path = writers.write_csv(df, str(tmp_path / "region_tsv"), sep="\t")
+    back = (
+        spark.read.option("header", True)
+        .option("sep", "\t")
+        .schema(df.schema)
+        .csv(path)
+    )
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_to_excel_row_cap(spark):
+    df = TableCatalog(spark, SF).table("orders")
+    with pytest.raises(ValueError, match="capped"):
+        writers.to_excel(df, "/tmp/never.xlsx", max_rows=5)
+
+
+def test_bucketed_table_shuffle_free_join(spark, tmp_path):
+    """Two tables bucketed on the join key join without an Exchange —
+    the S13-at-scale payoff."""
+    cat = TableCatalog(spark, SF)
+    writers.write_bucketed_table(
+        cat.table("orders"), "b_orders", ["o_custkey"], num_buckets=4
+    )
+    writers.write_bucketed_table(
+        cat.table("customer"), "b_customer", ["c_custkey"], num_buckets=4
+    )
+    a = spark.table("b_orders")
+    b = spark.table("b_customer")
+    joined = a.join(b, a.o_custkey == b.c_custkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+    assert joined.count() > 0
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
