@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 
@@ -119,3 +119,101 @@ def translate(
     if data_2 is not None:
         out = out.join(data_2, on=right, how=how)
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    ts_col: str = "ts",
+    right_cols: Sequence[str] = (),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: attach to each left row the most recent right row with
+    ``right.ts <= left.ts`` within the same key group (time-series
+    enrichment; absent from the reference — SURVEY.md §2.3 "not present"
+    list — but essential for the events table).
+
+    Spark-native single-shuffle plan (the union trick): tag both sides,
+    union them, and carry the latest right payload forward with
+    ``last(..., ignorenulls=True)`` over (key, ts, side) ordering — right
+    rows sort before left rows at equal ts, so ties match. Cost is ONE
+    shuffle of |left|+|right| rows keyed by the join key; there is no
+    range-condition join (which Spark would plan as a broadcast
+    nested-loop — quadratic) and state per key is O(1). Skewed keys
+    behave like any window: AQE cannot split a single partitionBy key, so
+    pre-filter pathological keys if one key dominates.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rcols = list(right_cols) or [
+        c for c in right.columns if c not in keys and c != ts_col
+    ]
+    payload = F.struct(*[F.col(c) for c in rcols])
+    l_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(
+            right.select(payload.alias("p")).schema["p"].dataType
+        ).alias("__payload"),
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+    )
+    # align schemas: left columns missing on the right become nulls
+    for c in left.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(
+                c, F.lit(None).cast(left.schema[c].dataType)
+            )
+    unioned = r_tagged.select(l_tagged.columns).unionByName(l_tagged)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__m", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = carried.where(F.col("__side") == 1).drop("__side", "__payload")
+    for c in rcols:
+        out = out.withColumn(f"{c}{suffix}", F.col("__m")[c])
+    return out.drop("__m")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-busting equi-join: split each hot key on the big side into
+    ``salt`` sub-keys and replicate the small side once per sub-key.
+
+    A plain shuffle join puts ALL rows of a hot key in one task — the
+    classic 100 TB straggler. Salting appends pmod(hash(row), salt) to the
+    big side's join key (deterministic, derived from the whole row) and
+    explodes the small side ×``salt``, so the hot key spreads over
+    ``salt`` tasks. Result is row-identical to the unsalted join for
+    inner/left joins (every (key, salt) pair still meets its match).
+
+    Complements AQE skew handling: AQE splits oversized *partitions* after
+    a stage materializes; salting prevents the single-giant-task shape up
+    front and also covers joins AQE won't rewrite (e.g. under windowed
+    stages). Use when one side is far too big to broadcast and key
+    frequency is known-skewed.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    b = big.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)
+        ).cast("int"),
+    )
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return b.join(s, keys + ["__salt"], how).drop("__salt")

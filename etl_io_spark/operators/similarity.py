@@ -219,3 +219,101 @@ def neardup_pairs_cosine(
         .select("a", "b", sim.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def ivf_assign_cells(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization: pick ``n_cells`` deterministic centroids
+    (the corpus vectors with the smallest md5-derived id hash — a seed-free
+    stand-in for k-means; swap in trained centroids at will) and assign
+    every corpus vector to its nearest centroid with one ``max_by``
+    aggregation.
+
+    Returns (centroids(cell, embedding), assigned(corpus columns + cell)).
+    The assignment plan is corpus × broadcast(centroids) → per-id max_by —
+    one map-side-combining shuffle of |corpus| rows; no window, no sort."""
+    from etl_io_spark.operators.text import hash60
+
+    # distributed top-K pick (TakeOrderedAndProject — no global sort);
+    # the row_number window then orders only the n_cells picked rows.
+    picked = (
+        corpus.select(id_col, vec_col)
+        .orderBy(hash60(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+    )
+    w = Window.orderBy(hash60(F.col(id_col).cast("string")), F.col(id_col))
+    centroids = picked.select(
+        (F.row_number().over(w) - 1).alias("cell"),
+        F.col(vec_col).alias("__cvec"),
+    )
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "cell",
+        dot(F.col(vec_col), F.col("__cvec")).alias("__sim"),
+    )
+    assigned = scored.groupBy(id_col).agg(
+        F.max_by("cell", F.struct(F.col("__sim"), -F.col("cell"))).alias("cell"),
+        F.first(vec_col).alias(vec_col),
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest cells per query
+    and rescore exactly inside them.
+
+    The scale shape: candidate cost is ~|corpus|·nprobe/n_cells per query
+    versus |corpus| for brute force; the corpus-side join is a hash join on
+    ``cell`` against a broadcast probe list, so the corpus is scanned once
+    and never shuffled on a per-query basis. Recall rises with nprobe
+    (nprobe == n_cells degrades gracefully to exact search)."""
+    centroids, assigned = ivf_assign_cells(corpus, n_cells, id_col, vec_col)
+    qcells = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            query_id_col,
+            F.col(vec_col).alias("__qvec"),
+            "cell",
+            dot(F.col(vec_col), F.col("__cvec")).alias("__sim"),
+        )
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__sim").desc(), F.col("cell")
+    )
+    probes = (
+        qcells.withColumn("__pr", F.row_number().over(wq))
+        .where(F.col("__pr") <= nprobe)
+        .select(query_id_col, "__qvec", "cell")
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("__qvec"), True), round_to)
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("cosine_sim"),
+        )
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -1155,3 +1155,92 @@ def _quant_pivot_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _qual_onehot_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     el = handlers.StarElements(_cat(spark, sf_dir))
     return el.qual_view(users=list(range(25)), onehot=True)
+
+
+# --------------------------------------------------------------------------
+# as-of join (events self-enrichment) — SURVEY.md §2.3 extension; the
+# oracle uses DuckDB's native ASOF LEFT JOIN. The right side is first
+# aggregated to one row per (user, ts) so tie-breaking is well-defined in
+# both engines.
+# --------------------------------------------------------------------------
+@register(
+    "asof_join_events",
+    """
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS pvalue
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.user_id, c.ts, ROUND(c.value, 2) AS click_value,
+           ROUND(p.pvalue, 2) AS last_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def _asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = joins.asof_join(
+        clicks, purchases, on="user_id", ts_col="ts", right_cols=["pvalue"]
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        F.round("value", 2).alias("click_value"),
+        F.round("pvalue_asof", 2).alias("last_purchase_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# salted skew join — result must be row-identical to the plain join
+# --------------------------------------------------------------------------
+@register(
+    "salted_join_parts",
+    """
+    SELECT s_nationkey, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def _salted_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _cat(spark, sf_dir)
+    big = cat.table("lineitem").select("l_suppkey", "l_extendedprice")
+    small = cat.table("supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = joins.salted_join(big, small, on="l_suppkey", salt=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@register("similarity_ivf")  # no SQL oracle: approximate op; recall tested
+def _similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _cat(spark, sf_dir).table("embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4)
+
+
+# --------------------------------------------------------------------------
+# sketch aggregates: approximate distinct via HLL — the 100 TB answer to
+# count_distinct_group when exactness isn't required (no merge-exact
+# shuffle; fixed-size sketch per group). No SQL oracle: sketch estimates
+# are engine-specific; accuracy is asserted in tests against exact counts.
+# --------------------------------------------------------------------------
+@register("approx_distinct_users")
+def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )

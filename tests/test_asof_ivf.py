@@ -1,0 +1,113 @@
+"""Unit tests: as-of join semantics, salted-join equivalence, IVF recall,
+sketch-aggregate accuracy (SURVEY.md §2.3/§2.7 extensions)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from etl_io_spark.catalog import TableCatalog
+from etl_io_spark.operators import joins, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ts(m: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(30)), (2, _ts(5))], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100.0), (1, _ts(20), 200.0), (2, _ts(6), 9.0)],
+        "k int, ts timestamp, v double",
+    )
+    out = {
+        (r["k"], r["ts"]): r["v_asof"]
+        for r in joins.asof_join(left, right, on="k", right_cols=["v"]).collect()
+    }
+    assert out[(1, _ts(10))] == 100.0  # equal ts matches
+    assert out[(1, _ts(30))] == 200.0  # latest at-or-before
+    assert out[(2, _ts(5))] is None  # nothing before -> null (left join)
+
+
+def test_asof_join_no_cross_key_leak(spark):
+    left = spark.createDataFrame([(1, _ts(10))], "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(2, _ts(5), 7.0)], "k int, ts timestamp, v double"
+    )
+    rows = joins.asof_join(left, right, on="k", right_cols=["v"]).collect()
+    assert rows[0]["v_asof"] is None
+
+
+def test_salted_join_equals_plain_join(spark):
+    cat = TableCatalog(spark, SF)
+    big = cat.table("lineitem").select("l_suppkey", "l_quantity")
+    small = cat.table("supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    plain = big.join(small, "l_suppkey").groupBy("s_nationkey").count()
+    salted = (
+        joins.salted_join(big, small, on="l_suppkey", salt=8)
+        .groupBy("s_nationkey")
+        .count()
+    )
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_ivf_recall_against_brute_force(spark):
+    emb = TableCatalog(spark, SF).table("embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, n_cells=8, nprobe=4
+        ).collect()
+    }
+    # probing half the cells must recover a majority of true neighbors
+    assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_ivf_full_probe_is_exact(spark):
+    emb = TableCatalog(spark, SF).table("embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, n_cells=8, nprobe=8
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_approx_count_distinct_accuracy(spark):
+    ev = TableCatalog(spark, SF).table("events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["a"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n)
