@@ -38,6 +38,10 @@ HEADLINE = [
     "top_k_orders",
     "translate_crosswalk",
     "awards_pipeline",
+    "asof_join_events",
+    "range_join_attribution",
+    "events_rollup_time",
+    "salted_join_parts",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

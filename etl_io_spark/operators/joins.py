@@ -217,3 +217,47 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return b.join(s, keys + ["__salt"], how).drop("__salt")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | Sequence[str],
+    ts_col: str = "ts",
+    start_col: str = "t0",
+    end_col: str = "t1",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Point-in-interval join (range join; absent from the reference and
+    from Spark's equi-join repertoire — a raw range predicate plans as a
+    broadcast nested-loop join, quadratic at scale).
+
+    Bucketization turns it into an equi-join: points key on their time
+    bucket, intervals explode to every bucket they overlap (≤ 2 when the
+    interval length ≤ bucket width), the join runs on (keys..., bucket) as
+    a plain hash join, and the exact ``start <= ts < end`` predicate
+    filters the candidates. Cost scales with true matches + bucket-hash
+    collisions, never |points| × |intervals|. Pick ``bucket`` close to the
+    typical interval length: too small explodes the interval side, too
+    large inflates candidate pairs.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    w = F.expr(f"INTERVAL {bucket}")
+    wsec = F.unix_timestamp(F.to_timestamp(F.lit("1970-01-01 00:00:00")) + w)
+    p = points.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(ts_col) / wsec).cast("long")
+    )
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(start_col) / wsec).cast("long"),
+                F.floor(F.unix_timestamp(end_col) / wsec).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(i, keys + ["__bucket"])
+        .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("__bucket")
+    )

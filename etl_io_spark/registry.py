@@ -1244,3 +1244,68 @@ def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
     )
+
+
+# --------------------------------------------------------------------------
+# range join (point-in-interval): clicks attributed to the hour after a
+# purchase — bucketized equi-join, never a nested-loop range join
+# --------------------------------------------------------------------------
+@register(
+    "range_join_attribution",
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id,
+             CAST(ts AS TIMESTAMP) AS t0,
+             CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS t1
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT purchase_id, COUNT(*) AS n_clicks
+    FROM p JOIN c ON p.user_id = c.user_id AND c.ts >= p.t0 AND c.ts < p.t1
+    GROUP BY purchase_id
+    """,
+)
+def _range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t1"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = joins.range_join(
+        clicks, purchases, on="user_id", ts_col="ts", start_col="t0", end_col="t1"
+    )
+    return joined.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+# --------------------------------------------------------------------------
+# hierarchical time rollup (hypertable-style continuous aggregate shape):
+# day → (day, hour) → grand total in ONE pass via ROLLUP
+# --------------------------------------------------------------------------
+@register(
+    "events_rollup_time",
+    """
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP),
+                     date_trunc('hour', CAST(ts AS TIMESTAMP)))
+    """,
+)
+def _events_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    return (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+        )
+        .rollup("day", "hour")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )

@@ -14,7 +14,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def _ts(m: int) -> datetime.datetime:
-    return datetime.datetime(2024, 1, 1, 0, m)
+    return datetime.datetime(2024, 1, 1, 0, 0) + datetime.timedelta(minutes=m)
 
 
 def test_asof_join_picks_latest_at_or_before(spark):
@@ -111,3 +111,20 @@ def test_approx_count_distinct_accuracy(spark):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.05 * n)
+
+
+def test_range_join_exact_bounds_and_long_intervals(spark):
+    points = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(10)), (1, _ts(59)), (2, _ts(10))],
+        "k int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(1, _ts(10), _ts(59), "short"), (2, _ts(0), _ts(180), "long")],
+        "k int, t0 timestamp, t1 timestamp, tag string",
+    )
+    out = joins.range_join(
+        points, intervals, on="k", bucket="30 minutes"
+    ).select("k", "ts", "tag")
+    got = {(r["k"], r["ts"], r["tag"]) for r in out.collect()}
+    # start inclusive, end exclusive; long interval spans many buckets
+    assert got == {(1, _ts(10), "short"), (2, _ts(10), "long")}
