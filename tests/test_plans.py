@@ -66,3 +66,56 @@ def test_minhash_single_shuffle_signature(spark):
         .toString()
     )
     assert "posexplode" not in plan.lower()
+
+
+def test_pivot_fused_single_exchange(spark):
+    """Known-category pivot must compile to ONE conditional aggregation
+    (one Exchange), not Spark's two-phase pivot plan."""
+    plan = _plan(spark, "pivot_returnflag")
+    assert plan.count("Exchange") == 1
+    assert "pivotfirst" not in plan.lower()
+
+
+def test_one_hot_fused_single_exchange(spark):
+    plan = _plan(spark, "one_hot_priority")
+    assert plan.count("Exchange") == 1
+
+
+def test_shingle_dedup_has_no_post_explode_distinct(spark):
+    """Shingle uniquification happens map-side (array_distinct before the
+    explode): the Jaccard plan must not contain a distinct aggregate keyed
+    by (doc, shingle) upstream of the inverted-index join."""
+    from etl_io_spark.catalog import TableCatalog
+    from etl_io_spark.operators import dedup
+
+    docs = TableCatalog(spark, SF).table("documents")
+    plan = (
+        dedup.shingle_sets(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # fully map-side until consumers aggregate
+    assert "array_distinct" in plan
+
+
+def test_asof_join_single_shuffle_no_range_join(spark):
+    plan = _plan(spark, "asof_join_events")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one hashpartitioning exchange for the window (plus AQE reuse nodes)
+    assert "Window" in plan
+
+
+def test_range_join_is_hash_join(spark):
+    plan = _plan(spark, "range_join_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_brute_force_similarity_broadcasts_queries(spark):
+    plan = _plan(spark, "similarity_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the corpus side must NOT shuffle before scoring
+    assert "Exchange hashpartitioning(vec_id" not in plan

@@ -1,0 +1,92 @@
+"""Property-based checks (SURVEY.md §5.4) — the invariants that hold for
+ANY input, where a fixed oracle would under-test: aggregation is
+partition-invariant, dedup is idempotent, melt∘pivot round-trips, exact
+and hash dedup agree. Few examples, small frames — each example runs a
+real Spark job."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from etl_io_spark.operators import dedup, reshape
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.sampled_from(["a", "b", "c"]),  # category
+        st.integers(min_value=-100, max_value=100),  # value (int: exact sums)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet="ab c", min_size=0, max_size=20
+    ),  # tiny alphabet → collisions likely → dedup actually fires
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=rows_strategy)
+@_settings
+def test_groupby_sum_invariant_under_repartition(spark, rows):
+    df = spark.createDataFrame(rows, "k int, c string, v long")
+    base = {(r["k"], r["s"]) for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    for parts in (1, 7):
+        re = {
+            (r["k"], r["s"])
+            for r in df.repartition(parts)
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"))
+            .collect()
+        }
+        assert re == base
+
+
+@given(texts=texts_strategy)
+@_settings
+def test_exact_dedup_idempotent_and_hash_agrees(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    once = dedup.exact_dedup(df, "id", "text")
+    keep = once.select(F.col("keep_id").alias("id")).join(df, "id")
+    twice = dedup.exact_dedup(keep, "id", "text")
+    assert once.count() == twice.count()
+    assert (twice.agg(F.sum("n_dups")).first()[0] or 0) == twice.count()
+    by_hash = dedup.exact_dedup(df, "id", "text", by_hash=True)
+    assert sorted(r["keep_id"] for r in once.collect()) == sorted(
+        r["keep_id"] for r in by_hash.collect()
+    )
+
+
+@given(rows=rows_strategy)
+@_settings
+def test_melt_of_fused_pivot_recovers_sums(spark, rows):
+    df = spark.createDataFrame(rows, "k int, c string, v long")
+    wide = reshape.pivot_wide(
+        df,
+        index="k",
+        pivot_col="c",
+        value_col="v",
+        values=["a", "b", "c"],
+        agg_fn=F.sum,
+    )
+    melted = wide.unpivot("k", ["a", "b", "c"], "c", "v").where(
+        F.col("v").isNotNull()
+    )
+    base = {
+        (r["k"], r["c"], r["s"])
+        for r in df.groupBy("k", "c").agg(F.sum("v").alias("s")).collect()
+    }
+    got = {(r["k"], r["c"], r["v"]) for r in melted.collect()}
+    assert got == base
