@@ -118,3 +118,52 @@ def test_bucketed_table_shuffle_free_join(spark, tmp_path):
     assert joined.count() > 0
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_parquet_sink_checkpoint_exactly_once(spark, event_source, tmp_path):
+    """Watermarked tumbling agg -> checkpointed parquet sink: emitted
+    windows match the batch result for closed windows, and a restart with
+    the same checkpoint re-emits NOTHING (source already committed)."""
+    from pyspark.sql import functions as F
+
+    from etl_io_spark.streaming import sinks
+
+    path, cat = event_source
+    out_dir = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+
+    def run():
+        stream = cat.table_stream("events", path)
+        agg = sw.tumbling_agg(stream, watermark="1 minute")
+        sinks.run_to_parquet_sink(agg, out_dir, ckpt)
+
+    run()
+    got = spark.read.parquet(out_dir)
+    n_first = got.count()
+    assert n_first > 0
+    # append mode only emits watermark-closed windows -> subset of batch
+    want = {
+        tuple(r)
+        for r in sw.tumbling_agg(cat.table("events")).collect()
+    }
+    assert {tuple(r) for r in got.collect()} <= want
+    # restart: same checkpoint, no new source files -> zero new rows
+    run()
+    assert spark.read.parquet(out_dir).count() == n_first
+
+
+def test_foreach_batch_receives_batches(spark, event_source, tmp_path):
+    from etl_io_spark.streaming import sinks
+
+    path, cat = event_source
+    target = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+
+    def handle(batch_df, batch_id):
+        # idempotent-by-batch-id contract: write to a batch-keyed dir
+        batch_df.write.mode("overwrite").parquet(f"{target}/batch={batch_id}")
+
+    stream = cat.table_stream("events", path)
+    sinks.run_foreach_batch(stream.select("event_id", "user_id"), handle, ckpt)
+    back = spark.read.parquet(f"{target}/batch=0")
+    assert back.count() == cat.table("events").count()
