@@ -24,6 +24,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: so bench.py never breaks while coverage grows.
 HEADLINE = [
     "pricing_summary",
+    "sql_passthrough",
     "dim_join_label",
     "semi_join_filter",
     "group_count",

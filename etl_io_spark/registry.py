@@ -1309,3 +1309,20 @@ def _events_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("day", "hour")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
+
+
+# --------------------------------------------------------------------------
+# S4: raw-SQL passthrough — the reference string-hacks the table name out
+# of the SQL (etl_io.py:194-198); here Spark's real parser runs the text
+# against the catalog's registered views. Same SQL runs in both engines.
+# --------------------------------------------------------------------------
+_PASSTHROUGH_SQL = """
+    SELECT n_name, COUNT(*) AS n_suppliers, ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+@register("sql_passthrough", _PASSTHROUGH_SQL)
+def _sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cat(spark, sf_dir).sql(_PASSTHROUGH_SQL)
