@@ -72,15 +72,15 @@ def shingle_sets(
     # shingles all live in its own row, so uniquifying there replaces the
     # post-explode distinct — i.e. removes a full shuffle of the largest
     # intermediate in every Jaccard/MinHash plan.
+    # higher-order functions (transform/filter lambdas) are interpreted in
+    # Spark, not whole-stage-codegen'd — so the md5 hash runs AFTER the
+    # explode as a plain column expression (codegen'd), and only the cheap
+    # string n-gram assembly stays inside the lambda.
     toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     sh = toked.select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                F.transform(word_ngrams(F.col("__toks"), n), lambda s: hash60(s))
-            )
-        ).alias("sh"),
-    )
+        F.explode(F.array_distinct(word_ngrams(F.col("__toks"), n))).alias("__s"),
+    ).select(id_col, hash60(F.col("__s")).alias("sh"))
     if max_doc_freq is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
         keep = freq.where(F.col("df") <= max_doc_freq).select("sh")

@@ -1326,3 +1326,54 @@ _PASSTHROUGH_SQL = """
 @register("sql_passthrough", _PASSTHROUGH_SQL)
 def _sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cat(spark, sf_dir).sql(_PASSTHROUGH_SQL)
+
+
+# --------------------------------------------------------------------------
+# explicit GROUPING SETS (beyond rollup/cube): per-flag, per-status, and
+# combined subtotals in one pass — SQL-only surface, same text both engines
+# --------------------------------------------------------------------------
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus))
+"""
+
+
+@register("grouping_sets_flags", _GROUPING_SETS_SQL)
+def _grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cat(spark, sf_dir).sql(_GROUPING_SETS_SQL)
+
+
+# --------------------------------------------------------------------------
+# exact percentiles per group (linear interpolation in both engines)
+# --------------------------------------------------------------------------
+@register(
+    "percentiles_by_flag",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def _percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _cat(spark, sf_dir).table("lineitem")
+    # one percentile aggregate with an array argument: the per-group value
+    # buffer is built and sorted ONCE, not once per requested quantile
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))"
+            ).alias("__p")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("__p")[0], 2).alias("p25"),
+            F.round(F.col("__p")[1], 2).alias("p50"),
+            F.round(F.col("__p")[2], 2).alias("p75"),
+        )
+    )

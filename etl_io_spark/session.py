@@ -28,6 +28,10 @@ _DEFAULTS: dict[str, str] = {
     # let AQE pick real partition counts; start high so huge shuffles
     # never underpartition, and let coalescing shrink small ones.
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
+    # parallelismFirst stays at its default (true): shuffle stages whose
+    # byte size is tiny but whose per-row compute is heavy (md5 shingling,
+    # embedding dots) need task-count = parallelism, not one 64 MiB task.
+    # At 100 TB the advisory size governs anyway (data >> cores × 64 MiB).
     # --- arrow / pandas interop --------------------------------------------
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
