@@ -272,3 +272,36 @@ def simhash(
 def hamming_distance(a: Column, b: Column) -> Column:
     """Hamming distance between two int64 signatures (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: Column | str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy matching: exact-similarity (Levenshtein) comparison
+    only WITHIN blocks sharing a cheap key — the classic record-linkage
+    shape. The self-join is an equi-join on the block key, so pair cost is
+    Σ block² instead of n²; pick a blocking key that bounds block size
+    (phone prefix, sorted-token fingerprint, zip). Returns (a, b, dist)
+    with a < b."""
+    bc = F.col(block_col) if isinstance(block_col, str) else block_col
+    keyed = df.select(
+        F.col(id_col), F.col(text_col).alias("__t"), bc.alias("__blk")
+    )
+    a = keyed.select(
+        F.col(id_col).alias("a"), F.col("__t").alias("ta"), "__blk"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("b"), F.col("__t").alias("tb"), "__blk"
+    )
+    return (
+        a.join(b, "__blk")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", F.levenshtein("ta", "tb").alias("dist")
+        )
+        .where(F.col("dist") <= max_distance)
+    )

@@ -204,3 +204,36 @@ class StarElements:
 #: ``Rosetta.translate`` is exposed directly as joins.translate — the
 #: facade adds nothing beyond the operator (etl_io.py:877-941).
 translate = joins.translate
+
+
+class Rosetta:
+    """``Rosetta``-shaped crosswalk facade (etl_io.py:877-941) with a real
+    DataFrame crosswalk instead of an eagerly-loaded CSV.
+
+    The reference constructor reads rosetta_stone.csv and ``translate``
+    dedups, drops nulls, explodes the stringified list column in a Python
+    row loop, then chains pandas merges. Here construction is lazy and
+    ``translate`` delegates to the broadcast-join operator; ``list_col``
+    names a stringified-list column to parse+explode natively."""
+
+    def __init__(self, crosswalk: DataFrame, list_col: str | None = None) -> None:
+        self.crosswalk = crosswalk
+        self.list_col = list_col
+
+    def translate(
+        self,
+        data: DataFrame,
+        left: str,
+        right: str,
+        data_2: DataFrame | None = None,
+        how: str = "inner",
+    ) -> DataFrame:
+        return joins.translate(
+            data,
+            self.crosswalk,
+            left=left,
+            right=right,
+            data_2=data_2,
+            how=how,
+            list_col=self.list_col,
+        )

@@ -1377,3 +1377,49 @@ def _percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__p")[2], 2).alias("p75"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ntile quartiles per group (window-function family completion)
+# --------------------------------------------------------------------------
+@register(
+    "window_ntile",
+    """
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def _window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        _cat(spark, sf_dir)
+        .table("customer")
+        .select("c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("quartile"))
+    )
+
+
+# --------------------------------------------------------------------------
+# blocked fuzzy matching: Levenshtein pairs within a cheap blocking key
+# (record-linkage shape: pair cost is per-block, never n²)
+# --------------------------------------------------------------------------
+@register(
+    "fuzzy_name_pairs",
+    """
+    SELECT a.c_custkey AS a, b.c_custkey AS b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def _fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.operators import dedup
+
+    cust = _cat(spark, sf_dir).table("customer")
+    return dedup.fuzzy_pairs(
+        cust, "c_custkey", "c_name", block_col="c_nationkey", max_distance=2
+    )

@@ -166,3 +166,26 @@ def test_download_requires_requests_or_network():
     if not has_requests:
         with pytest.raises(NotImplementedError):
             ingest.download_and_extract("http://example.invalid/x.zip", "/tmp/xx")
+
+
+def test_rosetta_facade_translate(spark):
+    """Rosetta facade (etl_io.py:877-941): stringified-list crosswalk,
+    dedup/dropna/explode/chained joins — same output as calling the
+    operator directly."""
+    from etl_io_spark.plans.handlers import Rosetta
+
+    data = spark.createDataFrame(
+        [("s1", 10), ("s2", 20)], "soc string, payload int"
+    )
+    data2 = spark.createDataFrame(
+        [("c1", "x"), ("c2", "y"), ("c3", "z")], "cip string, label string"
+    )
+    xw = spark.createDataFrame(
+        [("s1", "['c1', 'c2']"), ("s2", "['c3']"), ("s2", None)],
+        "soc string, cip string",
+    )
+    out = Rosetta(xw, list_col="cip").translate(
+        data, left="soc", right="cip", data_2=data2
+    )
+    got = {(r["soc"], r["cip"], r["label"]) for r in out.collect()}
+    assert got == {("s1", "c1", "x"), ("s1", "c2", "y"), ("s2", "c3", "z")}
