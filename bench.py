@@ -68,7 +68,8 @@ def main() -> None:
     qs = entrymod.queries()
 
     # JVM warmup (startup is excluded per protocol): loads the noop sink,
-    # codegen + shuffle machinery on a 1k-row synthetic job so the first
+    # codegen + shuffle machinery on a 1k-row synthetic job, and the
+    # parquet reader/writer classes via a throwaway /tmp file, so the first
     # timed query doesn't pay one-time class-loading costs. No test data is
     # touched — nothing a query reads gets cached.
     (
@@ -79,6 +80,14 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        warm_path = os.path.join(td, "warm.parquet")
+        spark.range(100).write.mode("overwrite").parquet(warm_path)
+        spark.read.parquet(warm_path).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
