@@ -297,11 +297,22 @@ def fuzzy_pairs(
     b = keyed.select(
         F.col(id_col).alias("b"), F.col("__t").alias("tb"), "__blk"
     )
-    return (
+    # length prefilter is a free necessary condition (|len diff| bounds the
+    # edit distance); the threshold form of levenshtein runs banded DP with
+    # early exit (-1 when > max_distance) — O(k·n) per pair, not O(n²).
+    pairs = (
         a.join(b, "__blk")
-        .where(F.col("a") < F.col("b"))
-        .select(
-            "a", "b", F.levenshtein("ta", "tb").alias("dist")
+        .where(
+            (F.col("a") < F.col("b"))
+            & (
+                F.abs(F.length("ta") - F.length("tb"))
+                <= F.lit(max_distance)
+            )
         )
-        .where(F.col("dist") <= max_distance)
+    )
+    return (
+        pairs.select(
+            "a", "b", F.levenshtein("ta", "tb", max_distance).alias("dist")
+        )
+        .where(F.col("dist") >= 0)
     )

@@ -826,8 +826,10 @@ def _similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.neardup_pairs_cosine(
-        _cat(spark, sf_dir).table("embeddings"), threshold=0.4, exact=True
+    # blocked-BLAS exact path (~10x the expression-level pairwise fold);
+    # identical output to neardup_pairs_cosine(exact=True), asserted in tests
+    return similarity.neardup_pairs_cosine_blocked(
+        _cat(spark, sf_dir).table("embeddings"), threshold=0.4
     )
 
 

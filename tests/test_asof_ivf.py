@@ -128,3 +128,20 @@ def test_range_join_exact_bounds_and_long_intervals(spark):
     got = {(r["k"], r["ts"], r["tag"]) for r in out.collect()}
     # start inclusive, end exclusive; long interval spans many buckets
     assert got == {(1, _ts(10), "short"), (2, _ts(10), "long")}
+
+
+def test_blocked_neardup_matches_expression_path(spark):
+    emb = TableCatalog(spark, SF).table("embeddings")
+    slow = {
+        (r["a"], r["b"], r["cosine_sim"])
+        for r in similarity.neardup_pairs_cosine(
+            emb, threshold=0.4, exact=True
+        ).collect()
+    }
+    fast = {
+        (r["a"], r["b"], r["cosine_sim"])
+        for r in similarity.neardup_pairs_cosine_blocked(
+            emb, threshold=0.4
+        ).collect()
+    }
+    assert fast == slow and len(fast) > 0
