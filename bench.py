@@ -100,6 +100,9 @@ def main() -> None:
         # a count() would let Catalyst prune the projections being timed.
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop caches a query materialized (untimed): later queries should
+        # neither pay GC pressure for them nor reuse them.
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from etl_io_spark.operators.text import hash60, tokens, word_ngrams
+from etl_io_spark.partitioning import spread
 
 #: MinHash permutation parameters: h_j(x) = (A_j * x + B_j) mod P.
 #: P is the largest prime < 2^31 so A*x stays well inside int64
@@ -76,7 +77,9 @@ def shingle_sets(
     # Spark, not whole-stage-codegen'd — so the md5 hash runs AFTER the
     # explode as a plain column expression (codegen'd), and only the cheap
     # string n-gram assembly stays inside the lambda.
-    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    # spread(): shingling + md5 is the expensive map of every dedup plan;
+    # a single-row-group input would otherwise run it on one core.
+    toked = spread(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
     sh = toked.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(F.col("__toks"), n))).alias("__s"),
@@ -251,7 +254,7 @@ def simhash(
     ONE aggregate pass (no per-bit explode): the shuffle carries ``bits``
     ints per doc. Near-dup docs differ in few bits (small Hamming distance).
     """
-    tok = df.select(
+    tok = spread(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("t")
     ).withColumn("h", hash60(F.col("t")))
     votes = tok.groupBy(id_col).agg(

@@ -28,6 +28,8 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+from etl_io_spark.partitioning import spread
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -126,8 +128,9 @@ def decode_media(df: DataFrame, decoder: Decoder = fake_decode) -> DataFrame:
     """Decode binary payloads to pixel arrays via Arrow-batched mapInPandas.
 
     Batches stream through the Python worker (constant memory per batch);
-    partitioning is inherited, so co-partitioning with a downstream join
-    key survives the decode."""
+    partitioning is inherited when the input is already spread across at
+    least core-count partitions (the 100 TB case), so co-partitioning with
+    a downstream join key survives the decode."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -145,7 +148,7 @@ def decode_media(df: DataFrame, decoder: Decoder = fake_decode) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(run, DECODED_SCHEMA)
+    return spread(df).mapInPandas(run, DECODED_SCHEMA)
 
 
 def resize_media(
@@ -172,7 +175,7 @@ def resize_media(
                 }
             )
 
-    return df.mapInPandas(run, DECODED_SCHEMA)
+    return spread(df).mapInPandas(run, DECODED_SCHEMA)
 
 
 def extract_features(df: DataFrame, decoder: Decoder = fake_decode) -> DataFrame:
@@ -191,7 +194,7 @@ def extract_features(df: DataFrame, decoder: Decoder = fake_decode) -> DataFrame
                 {"media_id": pdf["media_id"], "mean_value": means, "n_values": counts}
             )
 
-    return df.mapInPandas(run, FEATURES_SCHEMA)
+    return spread(df).mapInPandas(run, FEATURES_SCHEMA)
 
 
 def frame_fingerprint(data: bytes, index: int) -> str:
@@ -219,4 +222,4 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                 {"media_id": ids, "frame_index": idxs, "frame_fingerprint": fps}
             )
 
-    return df.mapInPandas(run, FRAMES_SCHEMA)
+    return spread(df).mapInPandas(run, FRAMES_SCHEMA)

@@ -22,6 +22,8 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from etl_io_spark.partitioning import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<float|double> columns — zip_with+aggregate,
@@ -72,7 +74,7 @@ def brute_force_topk(
         cosine(F.col(vec_col), F.col("__qvec"), assume_normalized), round_to
     )
     scored = (
-        corpus.select(id_col, vec_col)
+        spread(corpus.select(id_col, vec_col))
         .crossJoin(q)
         .where(F.col(id_col) != F.col(query_id_col))
         .select(
@@ -143,6 +145,7 @@ def ann_lsh_topk(
     single-table recall r. The joins are hash joins on (table, bucket) —
     never a cross join — so the same plan holds when the corpus is 100 TB:
     only bucket-matched pairs materialize."""
+    corpus = spread(corpus)
     buckets_c = []
     buckets_q = []
     for t in range(tables):
@@ -204,6 +207,7 @@ def neardup_pairs_cosine(
     scales only). Default buckets by hyperplane signs first: near-identical
     vectors almost surely share all sign bits, so the self-join runs per
     bucket — the scale path."""
+    emb = spread(emb)
     a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     if exact:
@@ -250,7 +254,7 @@ def ivf_assign_cells(
         (F.row_number().over(w) - 1).alias("cell"),
         F.col(vec_col).alias("__cvec"),
     )
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+    scored = spread(corpus).crossJoin(F.broadcast(centroids)).select(
         id_col,
         vec_col,
         "cell",
@@ -371,7 +375,7 @@ def neardup_pairs_cosine_blocked(
                 }
             )
 
-    cand = emb.select(id_col, vec_col).mapInPandas(
+    cand = spread(emb.select(id_col, vec_col)).mapInPandas(
         run, "a long, b long, raw_sim double"
     )
     return (

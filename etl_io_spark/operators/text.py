@@ -16,6 +16,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from etl_io_spark.partitioning import spread
+
 #: 60-bit md5-derived hash (SQL text, shared by dedup/similarity oracles)
 HASH60_SPARK = "CAST(CONV(SUBSTRING(md5({s}),1,15),16,10) AS BIGINT)"
 HASH60_DUCK = "CAST(('0x' || substring(md5({s}),1,15)) AS BIGINT)"
@@ -110,7 +112,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.when(stopword_ratio(text_col) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
         + F.when(punct_ratio(text_col) <= 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
     )
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
         n_words.alias("n_words"),
@@ -152,7 +154,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for lang in sorted(LANG_MARKERS, reverse=True):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("und"))
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         F.round(best, 4).alias("lang_score"),
         pred.alias("lang_pred"),
@@ -172,7 +174,7 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: (acc * 31 + x) % F.lit(ROLLING_MOD),
     )
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         F.md5(text_col).alias("md5_hex"),
         F.expr(HASH60_SPARK.format(s=text_col)).alias("hash60"),

@@ -17,6 +17,7 @@ from etl_io_spark.catalog import TableCatalog
 from etl_io_spark.functions import cleaning
 from etl_io_spark.operators import aggregate as agg
 from etl_io_spark.operators import joins, reshape, select as sel, window as win
+from etl_io_spark.partitioning import spread
 from etl_io_spark.plans import pipelines
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -886,7 +887,7 @@ def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _cat(spark, sf_dir).table("documents").select(
+    return spread(_cat(spark, sf_dir).table("documents")).select(
         "doc_id",
         text.token_count_ws("text").alias("ws_tokens"),
         text.token_count_bpe("text").alias("bpe_tokens"),
