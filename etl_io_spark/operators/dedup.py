@@ -101,24 +101,57 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity for all pairs above ``threshold``.
 
     Inverted-index plan: distinct shingles → self-equi-join on shingle →
-    pair intersection counts → |A|+|B| from per-doc sizes → filter.
-    The only shuffles are keyed by shingle hash and by (a, b) pair — no
-    cross join anywhere, so cost tracks shared-shingle pairs, not n².
+    pair intersection counts → filter. The per-doc set size |A| is
+    computed MAP-SIDE (array size before the explode — zero extra
+    shuffles) and rides through the join on each shingle row, so the
+    pair aggregation emits jaccard directly: no separate sizes groupBy
+    and no post-aggregation rejoins. The only shuffles are keyed by
+    shingle hash and by (a, b) pair — no cross join anywhere, so cost
+    tracks shared-shingle pairs, not n².
     """
-    sh = shingle_sets(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("a"), "sh")
-    b = sh.select(F.col(id_col).alias("b"), "sh")
+    toked = spread(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    toked = toked.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(F.col("__toks"), n)).alias("__arr"),
+    )
+    # the generator emits (shingle, sz) structs so the parent ARRAY is fully
+    # consumed inside the Generate — referencing size(__arr) after the
+    # explode instead would retain the whole array on every exploded row
+    # (one copy per shingle; measured 4x slower at sf0.1).
+    sh = (
+        toked.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    "__arr",
+                    lambda x: F.struct(
+                        x.alias("s"), F.size("__arr").alias("sz")
+                    ),
+                )
+            ).alias("__e"),
+        )
+        .select(
+            id_col,
+            F.col("__e.sz").alias("sz"),
+            hash60(F.col("__e.s")).alias("sh"),
+        )
+        .cache()  # one shingle computation feeds both join sides
+    )
+    a = sh.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"), "sh")
+    b = sh.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"), "sh")
     inter = (
         a.join(b, "sh")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            # sz_* are functionally dependent on the group key
+            F.min("sz_a").alias("sz_a"),
+            F.min("sz_b").alias("sz_b"),
+        )
     )
-    out = (
-        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")), "a")
-        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b")), "b")
-        .withColumn(
+    return (
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
@@ -127,7 +160,6 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
-    return out
 
 
 def minhash_signatures_wide(
