@@ -53,6 +53,9 @@ HEADLINE = [
     "token_count",
     "doc_fingerprint",
     "media_frame_sample",
+    "chunk_documents",
+    "pack_sequences",
+    "pii_redact",
 ]
 
 

@@ -1,0 +1,199 @@
+"""Training-data pipeline operators (north-star extension).
+
+The ops a large-scale LLM-data pipeline runs after dedup/quality filtering
+(no analogue in the reference — `/root/reference/etl_io.py` stops at
+tabulation; these extend the engine the way its TODO at etl_io.py:947
+gestures toward data-products):
+
+  * ``split_assign``      — deterministic hash train/val/test assignment.
+  * ``stratified_sample`` — exact per-group quotas, deterministic order.
+  * ``chunk_documents``   — overlapping token-window chunking (1:N explode).
+  * ``pack_sequences``    — greedy-by-order packing of docs into fixed
+                            token-budget bins, sharded for parallelism.
+  * ``pii_redact``        — regex scrub of emails/phones/SSNs + hit counts.
+
+Design rules: pure Catalyst expressions (no Python in the row path), every
+randomness replaced by the md5-derived ``hash60`` so results are
+reproducible run-to-run AND reproducible in the DuckDB oracle; shuffles
+only where semantics demand them (sample: one window per group;
+pack: one window per shard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from etl_io_spark.operators.text import hash60, tokens
+from etl_io_spark.partitioning import spread
+
+#: split thresholds are expressed in basis points of the hash ring so
+#: fractions like 0.8/0.1/0.1 are exact integers.
+SPLIT_RING = 10_000
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Assign each row to train/val/test by hashing its id onto a
+    10 000-point ring — deterministic, reproducible, and stable under
+    corpus growth (a doc's split never depends on other rows; adding data
+    never reshuffles old assignments — the property random splits lack).
+
+    Scale: pure map, no shuffle, no state. The same expression assigns a
+    row on one executor or a thousand."""
+    bucket = F.pmod(hash60(F.col(id_col).cast("string")), F.lit(SPLIT_RING))
+    t = int(round(train * SPLIT_RING))
+    v = int(round(val * SPLIT_RING))
+    split = (
+        F.when(bucket < t, F.lit("train"))
+        .when(bucket < t + v, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    quota: int,
+) -> DataFrame:
+    """Exact ``quota`` rows per group, chosen as the smallest hash values —
+    a deterministic stand-in for uniform sampling with exact group sizes
+    (the thing ``df.sampleBy`` can't promise: its fractions are expected,
+    not exact).
+
+    Plan: one shuffle keyed by the group, rank by (hash, id), keep <=
+    quota. Hot groups are bounded by the quota itself on the way OUT; on
+    the way IN a skewed group concentrates rank work on one partition —
+    at 100 TB pre-aggregate with a per-partition top-quota (TakeOrdered
+    shape) before the window if a single group dominates."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash60(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= quota)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping windows of whitespace tokens
+    (stride = chunk_tokens - overlap) — the standard pre-tokenization
+    chunking for context-window-bounded training. Emits one row per chunk
+    with its index, text, and token count; empty docs produce no rows.
+
+    The generator emits finished (index, text, n) structs so the token
+    array is consumed INSIDE the Generate — nothing row-multiplied carries
+    the parent array (same copy-avoidance as the Jaccard shingle plan).
+    Scale: pure map-side 1:N explode, no shuffle."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toked = spread(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("__toks"), F.lit(1)), F.lit(stride)
+    )
+    # drop starts that only re-cover the tail of the previous chunk: a
+    # start strictly past (size - overlap) adds no new tokens unless it is
+    # the first chunk.
+    chunk = lambda s: F.slice(F.col("__toks"), s, chunk_tokens)  # noqa: E731
+    structs = F.filter(
+        F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.alias("chunk_index"),
+                F.array_join(chunk(s), " ").alias("chunk_text"),
+                F.size(chunk(s)).alias("n_tokens"),
+            ),
+        ),
+        lambda st: (st["chunk_index"] == 0) | (st["n_tokens"] > F.lit(overlap)),
+    )
+    return (
+        toked.where(F.size("__toks") > 0)
+        .select(F.col(id_col), F.explode(structs).alias("__c"))
+        .select(
+            id_col,
+            F.col("__c.chunk_index").alias("chunk_index"),
+            F.col("__c.chunk_text").alias("chunk_text"),
+            F.col("__c.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ctx_tokens: int = 512,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Pack documents into fixed token-budget bins (context windows) by
+    greedy accumulation in deterministic hash order — the
+    sequence-packing step that turns a filtered corpus into training rows.
+
+    Docs are first sharded by id hash; packing runs independently per
+    shard (window sort per shard, not a global sort — the difference
+    between a parallel plan and a single-reducer plan at 100 TB). Within a
+    shard, docs are ordered by (hash, id) and a running token sum assigns
+    bin = floor(prev_cumsum / ctx); a doc longer than the budget gets its
+    own bin (chunk first via ``chunk_documents`` if that matters).
+
+    Output: (id, shard, bin_id, n_tokens, tok_start) — bin_id is globally
+    unique (shard * 2^32 + local bin)."""
+    shard = F.pmod(hash60(F.col(id_col).cast("string")), F.lit(n_shards))
+    toks = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        F.size(tokens(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(hash60(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    local_bin = F.floor((cum - F.col("n_tokens")) / F.lit(ctx_tokens))
+    return toks.select(
+        id_col,
+        "shard",
+        (F.col("shard") * F.lit(1 << 32) + local_bin).alias("bin_id"),
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("tok_start"),
+    )
+
+
+#: PII patterns kept to syntax shared by Java regex (Spark) and RE2
+#: (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_redact(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Scrub common PII shapes, replacing each hit with ``[<KIND>]`` and
+    counting hits per kind. Pure regexp expressions — at scale this is a
+    free rider on whatever scan already touches the text."""
+    out: Column = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(
+            F.regexp_count(out, F.lit(pat)).alias(f"n_{kind}")
+        )
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return spread(df).select(
+        F.col(id_col), *counts, out.alias("redacted_text")
+    )

@@ -1426,3 +1426,152 @@ def _fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fuzzy_pairs(
         cust, "c_custkey", "c_name", block_col="c_nationkey", max_distance=2
     )
+
+
+# ==========================================================================
+# North-star extensions: training-data pipeline ops
+# ==========================================================================
+from etl_io_spark.operators import training  # noqa: E402
+
+_H_ID = _H.format(s="CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "split_assign",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_H_ID} % 10000 < 8000 THEN 'train'
+                WHEN {_H_ID} % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def _split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    return training.split_assign(docs, "doc_id").select("doc_id", "split")
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, source, sample_rank FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY {_H_ID}, doc_id
+             ) AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= 50
+    """,
+)
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    return training.stratified_sample(docs, "source", "doc_id", 50).select(
+        "doc_id", "source", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+@register(
+    "chunk_documents",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, st, (st - 1) // 48 AS ci FROM (
+        SELECT doc_id, toks,
+               UNNEST(generate_series(1, greatest(len(toks), 1), 48)) AS st
+        FROM t WHERE len(toks) > 0)
+    )
+    SELECT doc_id,
+           ci AS chunk_index,
+           array_to_string(toks[st:st+63], ' ') AS chunk_text,
+           len(toks[st:st+63]) AS n_tokens
+    FROM s
+    WHERE ci = 0 OR len(toks[st:st+63]) > 16
+    """,
+)
+def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    out = training.chunk_documents(docs, "doc_id", "text", 64, 16)
+    return out.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "chunk_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             {_H_ID} % 32 AS shard,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY {_H_ID}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS tok_start
+      FROM toks
+    )
+    SELECT doc_id, shard,
+           shard * 4294967296 + tok_start // 512 AS bin_id,
+           n_tokens, tok_start
+    FROM packed
+    """,
+)
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    out = training.pack_sequences(docs, "doc_id", "text", 512, 32)
+    return out.select(
+        "doc_id",
+        "shard",
+        "bin_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+    )
+
+
+@register(
+    "pii_redact",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+               '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phone,
+           len(regexp_extract_all(
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                   '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'),
+               '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssn,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                   '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'),
+               '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g') AS redacted_text
+    FROM documents
+    """,
+)
+def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    out = training.pii_redact(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+        "redacted_text",
+    )

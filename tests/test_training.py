@@ -1,0 +1,137 @@
+"""Unit + plan-shape tests for the training-data pipeline operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_io_spark.operators import training
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_split_fractions_and_stability(spark, docs):
+    out = training.split_assign(docs, "doc_id")
+    counts = dict(
+        out.groupBy("split").count().rdd.map(lambda r: (r["split"], r["count"])).collect()
+    )
+    total = sum(counts.values())
+    assert total == docs.count()
+    assert 0.7 < counts["train"] / total < 0.9
+    # assignment is per-row deterministic: a subset sees identical splits
+    sub = training.split_assign(docs.where(F.col("doc_id") < 100), "doc_id")
+    full = {r["doc_id"]: r["split"] for r in out.where(F.col("doc_id") < 100).collect()}
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_split_is_pure_map(spark, docs):
+    plan = training.split_assign(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_exact_quota(spark, docs):
+    out = training.stratified_sample(docs, "source", "doc_id", 10)
+    sizes = {
+        r["source"]: r["count"] for r in out.groupBy("source").count().collect()
+    }
+    group_sizes = {
+        r["source"]: r["count"] for r in docs.groupBy("source").count().collect()
+    }
+    for g, n in sizes.items():
+        assert n == min(10, group_sizes[g])
+    # deterministic: same rows both runs
+    again = training.stratified_sample(docs, "source", "doc_id", 10)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_chunk_documents_exact(spark):
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "a b"), (3, "")], ["id", "t"])
+    out = training.chunk_documents(df, "id", "t", chunk_tokens=4, overlap=2)
+    rows = {(r["id"], r["chunk_index"]): r for r in out.collect()}
+    # doc 1: starts 1,3,5,7,9 -> last start (9) yields 2 tokens == overlap,
+    # fully covered by the previous chunk -> dropped
+    assert [k for k in sorted(rows) if k[0] == 1] == [(1, i) for i in range(4)]
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[(1, 3)]["chunk_text"] == "w6 w7 w8 w9"
+    # doc 2 shorter than a chunk: single partial chunk
+    assert rows[(2, 0)]["chunk_text"] == "a b"
+    assert rows[(2, 0)]["n_tokens"] == 2
+    # empty doc: no rows
+    assert not [k for k in rows if k[0] == 3]
+
+
+def test_chunk_documents_is_mapside(spark, docs):
+    plan = (
+        training.chunk_documents(docs, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_chunks_cover_all_tokens(spark, docs):
+    """Stride coverage: token count == sum of new tokens per chunk."""
+    out = training.chunk_documents(docs, "doc_id", "text", 64, 16)
+    per_doc = out.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("chunk_index") == 0, F.col("n_tokens")).otherwise(
+                F.col("n_tokens") - 16
+            )
+        ).alias("covered")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n"),
+    ).where(F.col("n") > 0)
+    joined = toks.join(per_doc, "doc_id")
+    bad = joined.where(F.col("covered") != F.col("n")).count()
+    assert bad == 0
+
+
+def test_pack_sequences_greedy_invariants(spark, docs):
+    out = training.pack_sequences(docs, "doc_id", "text", ctx_tokens=512)
+    # tok_start is the running sum: per shard, ordered bins never overlap
+    agg = out.groupBy("shard", "bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.max("n_tokens").alias("max_doc"),
+    )
+    # a bin exceeds ctx only via its final straddling doc
+    bad = agg.where(
+        (F.col("bin_tokens") - F.col("max_doc")) >= 512 + 512
+    ).count()
+    assert bad == 0
+    # every doc appears exactly once
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+
+
+def test_pii_redact_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@site.org today"),
+            (2, "call 555-123-4567 or 555.987.6543"),
+            (3, "ssn 123-45-6789 leaked"),
+            (4, "clean text"),
+        ],
+        ["id", "t"],
+    )
+    rows = {r["id"]: r for r in training.pii_redact(df, "id", "t").collect()}
+    assert rows[1]["n_email"] == 1 and "[EMAIL]" in rows[1]["redacted_text"]
+    assert "jo.doe" not in rows[1]["redacted_text"]
+    assert rows[2]["n_phone"] == 2
+    assert rows[3]["n_ssn"] == 1 and "[SSN]" in rows[3]["redacted_text"]
+    assert rows[4]["redacted_text"] == "clean text"
+    assert rows[4]["n_email"] == rows[4]["n_phone"] == rows[4]["n_ssn"] == 0
+
+
+def test_chunk_rejects_bad_overlap(spark, docs):
+    with pytest.raises(ValueError):
+        training.chunk_documents(docs, "doc_id", "text", 16, 16)
