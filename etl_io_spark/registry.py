@@ -895,13 +895,15 @@ def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_oracle() -> str:
+    # marker hits counted by word-boundary regexp (parity with
+    # text.lang_id: zero-width \b behaves identically in RE2 and Java)
     score = (
         "CASE WHEN len(toks) > 0 THEN "
-        "len([w for w in toks if w IN ({words})]) * 1.0 / len(toks) "
+        "len(regexp_extract_all(text, '\\b({words})\\b')) * 1.0 / len(toks) "
         "ELSE 0.0 END"
     )
     scores = {
-        lang: score.format(words=", ".join(f"'{w}'" for w in words))
+        lang: score.format(words="|".join(words))
         for lang, words in text.LANG_MARKERS.items()
     }
     sel_cols = ",\n             ".join(
@@ -913,7 +915,8 @@ def _lang_oracle() -> str:
     )
     return f"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
     ),
     s AS (SELECT doc_id,
              {sel_cols}
