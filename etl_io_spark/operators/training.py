@@ -172,6 +172,30 @@ def pack_sequences(
     )
 
 
+def weighted_mix(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    id_col: str,
+) -> DataFrame:
+    """Deterministic per-group downsampling to target mixture rates — the
+    "domain mixing" step of training-data assembly (e.g. keep 100% of
+    wiki, 30% of web). A row survives iff its id hash lands below its
+    group's threshold on the 10 000-point ring; groups absent from
+    ``rates`` are dropped (rate 0).
+
+    Same properties as ``split_assign``: pure map, no shuffle, per-row
+    stable under corpus growth; unlike ``df.sampleBy`` the decision is
+    reproducible across runs and engines."""
+    bucket = F.pmod(hash60(F.col(id_col).cast("string")), F.lit(SPLIT_RING))
+    thresh = F.lit(0)
+    for g, r in rates.items():
+        thresh = F.when(
+            F.col(group_col) == g, F.lit(int(round(r * SPLIT_RING)))
+        ).otherwise(thresh)
+    return df.where(bucket < thresh)
+
+
 #: PII patterns kept to syntax shared by Java regex (Spark) and RE2
 #: (DuckDB): no backrefs, no lookaround.
 PII_PATTERNS: dict[str, str] = {

@@ -1578,3 +1578,48 @@ def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ssn").cast("long").alias("n_ssn"),
         "redacted_text",
     )
+
+
+#: training-mixture rates over the 20 synthetic sources: keep all of the
+#: first tier, half of the second, a quarter of the long tail.
+_MIX_RATES = {
+    f"src{i}": (1.0 if i < 5 else 0.5 if i < 10 else 0.25) for i in range(20)
+}
+_MIX_CASE = " ".join(
+    f"WHEN '{g}' THEN {int(r * 10000)}" for g, r in _MIX_RATES.items()
+)
+
+
+@register(
+    "weighted_mix",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source, {_H_ID} % 10000 AS b FROM documents)
+    WHERE b < CASE source {_MIX_CASE} ELSE 0 END
+    """,
+)
+def _weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    return training.weighted_mix(docs, "source", _MIX_RATES, "doc_id").select(
+        "doc_id", "source"
+    )
+
+
+@register("approx_percentile_price")  # no SQL oracle: sketch op; accuracy tested
+def _approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _cat(spark, sf_dir).table("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice,"
+                " array(0.25D, 0.5D, 0.75D), 10000)"
+            ).alias("__p")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("__p")[0], 2).alias("p25"),
+            F.round(F.col("__p")[1], 2).alias("p50"),
+            F.round(F.col("__p")[2], 2).alias("p75"),
+        )
+    )

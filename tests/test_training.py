@@ -135,3 +135,43 @@ def test_pii_redact_patterns(spark):
 def test_chunk_rejects_bad_overlap(spark, docs):
     with pytest.raises(ValueError):
         training.chunk_documents(docs, "doc_id", "text", 16, 16)
+
+
+def test_weighted_mix_rates_and_determinism(spark, docs):
+    rates = {f"src{i}": (1.0 if i < 5 else 0.5 if i < 10 else 0.25) for i in range(20)}
+    out = training.weighted_mix(docs, "source", rates, "doc_id")
+    kept = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    sizes = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    # full-rate groups survive whole; fractional groups land near target
+    for i in range(5):
+        assert kept[f"src{i}"] == sizes[f"src{i}"]
+    frac = sum(kept.get(f"src{i}", 0) for i in range(5, 20)) / sum(
+        sizes[f"src{i}"] for i in range(5, 20)
+    )
+    assert 0.2 < frac < 0.5
+    # unlisted groups are dropped entirely
+    none = training.weighted_mix(docs, "source", {"src0": 1.0}, "doc_id")
+    assert none.select("source").distinct().collect() == [("src0",)]
+    # pure map: no exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_approx_percentile_accuracy(spark):
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    from pyspark.sql import functions as F2
+    exact = (
+        li.groupBy("l_returnflag")
+        .agg(F2.expr("percentile(l_extendedprice, 0.5D)").alias("p50"))
+        .collect()
+    )
+    approx = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F2.expr("approx_percentile(l_extendedprice, 0.5D, 10000)").alias("p50")
+        )
+        .collect()
+    )
+    e = {r["l_returnflag"]: r["p50"] for r in exact}
+    for r in approx:
+        assert abs(r["p50"] - e[r["l_returnflag"]]) / e[r["l_returnflag"]] < 0.01
