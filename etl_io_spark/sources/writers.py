@@ -95,6 +95,43 @@ def copy_warehouse(
     return out
 
 
+def to_sqlite3(
+    tables: Mapping[str, DataFrame],
+    db_path: str,
+    max_rows_per_table: int = 1_000_000,
+) -> dict[str, int]:
+    """Literal ``to_sqlite3`` sink (S13; etl_io.py:203-219): copy every
+    table into one sqlite3 database file via the stdlib driver —
+    driver-side by nature (sqlite is a single-writer embedded engine, so
+    there is nothing to distribute; this is the reference's actual sink
+    and works out of the box here).
+
+    Bounded collect like ``to_excel``: refuses tables above
+    ``max_rows_per_table`` so a 100 TB fact table fails fast instead of
+    OOMing the driver — at scale use ``copy_warehouse``/``write_jdbc``.
+    Returns {table: rows_written}."""
+    import sqlite3
+
+    con = sqlite3.connect(db_path)
+    out: dict[str, int] = {}
+    try:
+        for name, df in tables.items():
+            n = df.limit(max_rows_per_table + 1).count()
+            if n > max_rows_per_table:
+                raise ValueError(
+                    f"table {name!r} exceeds {max_rows_per_table} rows; "
+                    "to_sqlite3 is driver-side — use copy_warehouse for "
+                    "big tables"
+                )
+            pdf = df.toPandas()
+            pdf.to_sql(name, con, if_exists="replace", index=False)
+            out[name] = len(pdf)
+        con.commit()
+    finally:
+        con.close()
+    return out
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -167,3 +167,34 @@ def test_foreach_batch_receives_batches(spark, event_source, tmp_path):
     sinks.run_foreach_batch(stream.select("event_id", "user_id"), handle, ckpt)
     back = spark.read.parquet(f"{target}/batch=0")
     assert back.count() == cat.table("events").count()
+
+
+def test_to_sqlite3_roundtrip(spark, tmp_path):
+    import sqlite3
+
+    cat = TableCatalog(spark, SF)
+    tables = {n: cat.table(n) for n in ("region", "nation")}
+    db = str(tmp_path / "copy.db")
+    out = writers.to_sqlite3(tables, db)
+    assert out == {n: df.count() for n, df in tables.items()}
+    con = sqlite3.connect(db)
+    try:
+        for n, df in tables.items():
+            rows = con.execute(f"SELECT COUNT(*) FROM {n}").fetchone()[0]
+            assert rows == df.count()
+        names = con.execute(
+            "SELECT r_name FROM region ORDER BY r_regionkey"
+        ).fetchall()
+        assert [r[0] for r in names] == [
+            r["r_name"]
+            for r in tables["region"].orderBy("r_regionkey").collect()
+        ]
+    finally:
+        con.close()
+
+
+def test_to_sqlite3_row_cap(spark, tmp_path):
+    df = TableCatalog(spark, SF).table("orders")
+    with pytest.raises(ValueError, match="driver-side"):
+        writers.to_sqlite3({"orders": df}, str(tmp_path / "cap.db"),
+                           max_rows_per_table=5)
