@@ -144,34 +144,50 @@ def ann_lsh_topk(
     cost ~tables·|corpus|/2^p per query; recall ≈ 1-(1-r)^tables for
     single-table recall r. The joins are hash joins on (table, bucket) —
     never a cross join — so the same plan holds when the corpus is 100 TB:
-    only bucket-matched pairs materialize."""
-    corpus = spread(corpus)
-    buckets_c = []
-    buckets_q = []
-    for t in range(tables):
-        signs = _plane_signs(planes, dims, table=t)
-        buckets_c.append(
-            corpus.select(
-                id_col,
-                vec_col,
-                F.lit(t).alias("__t"),
-                lsh_bucket(F.col(vec_col), signs).alias("__bucket"),
+    only bucket-matched pairs materialize.
+
+    All per-table buckets are computed in ONE corpus pass and fanned out
+    with a single explode (one row per (doc, table)) — a per-table union
+    would rescan the corpus ``tables`` times for identical output."""
+
+    def bucket_fanout(vec: Column) -> Column:
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("__t"),
+                        lsh_bucket(
+                            vec, _plane_signs(planes, dims, table=t)
+                        ).alias("__bucket"),
+                    )
+                    for t in range(tables)
+                ]
             )
         )
-        buckets_q.append(
-            queries.select(
-                query_id_col,
-                F.col(vec_col).alias("__qvec"),
-                F.lit(t).alias("__t"),
-                lsh_bucket(F.col(vec_col), signs).alias("__bucket"),
-            )
+
+    c = (
+        spread(corpus)
+        .select(id_col, vec_col, bucket_fanout(F.col(vec_col)).alias("__tb"))
+        .select(
+            id_col,
+            vec_col,
+            F.col("__tb.__t").alias("__t"),
+            F.col("__tb.__bucket").alias("__bucket"),
         )
-    c = buckets_c[0]
-    for extra in buckets_c[1:]:
-        c = c.unionByName(extra)
-    q = buckets_q[0]
-    for extra in buckets_q[1:]:
-        q = q.unionByName(extra)
+    )
+    q = (
+        queries.select(
+            query_id_col,
+            F.col(vec_col).alias("__qvec"),
+            bucket_fanout(F.col(vec_col)).alias("__tb"),
+        )
+        .select(
+            query_id_col,
+            "__qvec",
+            F.col("__tb.__t").alias("__t"),
+            F.col("__tb.__bucket").alias("__bucket"),
+        )
+    )
     sim = F.round(cosine(F.col(vec_col), F.col("__qvec"), True), round_to)
     scored = (
         c.join(F.broadcast(q), ["__t", "__bucket"])
