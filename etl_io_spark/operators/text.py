@@ -89,9 +89,15 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 
 
 def stopword_ratio(col: str, stopwords: Sequence[str] = STOPWORDS) -> Column:
+    """Stopword hits / token count. Hits counted with a word-boundary
+    regexp (codegen'd; zero-width ``\\b`` identical in Java regex and RE2)
+    instead of an interpreted array filter — equal counts on
+    whitespace-tokenized text."""
     toks = tokens(col)
-    sw = F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in stopwords]))
-    return F.when(F.size(toks) > 0, F.size(sw) / F.size(toks)).otherwise(F.lit(0.0))
+    sw = F.regexp_count(
+        F.col(col), F.lit(r"\b(" + "|".join(stopwords) + r")\b")
+    )
+    return F.when(F.size(toks) > 0, sw / F.size(toks)).otherwise(F.lit(0.0))
 
 
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -100,12 +106,12 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     length, punctuation density, stopword density."""
     toks = tokens(text_col)
     n_words = F.size(toks)
+    # Σ token lengths == chars excluding whitespace (tokens are exactly the
+    # maximal non-whitespace runs) — one codegen'd regexp_replace instead
+    # of an interpreted transform+aggregate walk of the token array.
+    sum_tok_len = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
     mean_wlen = F.when(
-        n_words > 0,
-        F.aggregate(
-            F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
-        ).cast("double")
-        / n_words,
+        n_words > 0, sum_tok_len.cast("double") / n_words
     ).otherwise(F.lit(0.0))
     score = (
         F.when((n_words >= 20) & (n_words <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))

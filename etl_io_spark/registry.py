@@ -836,6 +836,8 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- text analysis ---------------------------------------------------------
 _SW = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+#: regexp alternation of the stopword list (parity with text.stopword_ratio)
+_SW_ALT = "|".join(text.STOPWORDS)
 
 
 @register(
@@ -851,12 +853,14 @@ _SW = ", ".join(f"'{w}'" for w in text.STOPWORDS)
     f AS (
       SELECT doc_id, n_chars, len(toks) AS n_words,
              CASE WHEN len(toks) > 0
-                  THEN list_sum([LENGTH(w) for w in toks]) * 1.0 / len(toks)
+                  THEN LENGTH(regexp_replace(text, '\\s', '', 'g')) * 1.0
+                       / len(toks)
                   ELSE 0.0 END AS mean_word_len,
              CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END
                AS punct_ratio,
              CASE WHEN len(toks) > 0
-                  THEN len([w for w in toks if w IN ({_SW})]) * 1.0 / len(toks)
+                  THEN len(regexp_extract_all(text, '\\b({_SW_ALT})\\b')) * 1.0
+                       / len(toks)
                   ELSE 0.0 END AS stopword_ratio
       FROM t
     )
