@@ -90,3 +90,70 @@ def test_melt_of_fused_pivot_recovers_sums(spark, rows):
     }
     got = {(r["k"], r["c"], r["v"]) for r in melted.collect()}
     assert got == base
+
+
+chunk_params = st.tuples(
+    st.integers(min_value=2, max_value=12),   # chunk_tokens
+    st.integers(min_value=0, max_value=11),   # overlap (< chunk_tokens)
+).filter(lambda p: p[1] < p[0])
+
+doc_lengths = st.lists(
+    st.integers(min_value=0, max_value=40), min_size=1, max_size=8
+)
+
+
+@given(params=chunk_params, lengths=doc_lengths)
+@_settings
+def test_chunking_covers_every_token_once(spark, params, lengths):
+    """For any (chunk, overlap) and doc sizes: chunk 0 plus the new tokens
+    of each later chunk reconstruct the document exactly — nothing lost,
+    nothing double-counted, chunk indexes consecutive from 0."""
+    from etl_io_spark.operators import training
+
+    chunk_tokens, overlap = params
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+    out = training.chunk_documents(
+        df, "id", "txt", chunk_tokens=chunk_tokens, overlap=overlap
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    for i, n in enumerate(lengths):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_index"])
+        if n == 0:
+            assert chunks == []
+            continue
+        assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
+        # reconstruct: chunk 0 whole, then the non-overlapped tail of each
+        toks = chunks[0]["chunk_text"].split(" ")
+        for c in chunks[1:]:
+            toks.extend(c["chunk_text"].split(" ")[overlap:])
+        assert toks == [f"t{i}_{j}" for j in range(n)]
+
+
+@given(lengths=doc_lengths)
+@_settings
+def test_packing_partitions_docs_exactly(spark, lengths):
+    """pack_sequences assigns every doc to exactly one bin and tok_start
+    equals the running sum of earlier docs in its shard."""
+    from etl_io_spark.operators import training
+
+    rows = [
+        (i, " ".join("w" for _ in range(n))) for i, n in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+    out = training.pack_sequences(df, "id", "txt", ctx_tokens=7, n_shards=2)
+    got = out.collect()
+    assert len(got) == len(lengths)
+    by_shard: dict[int, list] = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["tok_start"])
+        running = 0
+        for r in shard_rows:
+            assert r["tok_start"] == running
+            running += r["n_tokens"]
