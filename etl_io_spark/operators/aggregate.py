@@ -80,3 +80,48 @@ def cube_sum(
 def agg_exprs(df: DataFrame, keys: Sequence[str], *exprs: Column) -> DataFrame:
     """Escape hatch: arbitrary aliased aggregate expressions."""
     return df.groupBy(*keys).agg(*exprs)
+
+
+def exact_percentiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    quantiles: Sequence[float],
+    round_to: int = 2,
+) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (SQL
+    ``quantile_cont`` semantics: rank ``r = (n-1)*q``, result
+    ``v[floor(r)]*(1-frac) + v[ceil(r)]*frac`` over the sorted values).
+
+    Sort-based: one shuffle partitions by ``keys``, a Tungsten window sort
+    orders each group, and the interpolation endpoints are picked by row
+    number and combined in a final tiny per-group sum. Chosen over the
+    builtin ``percentile`` aggregate deliberately: that aggregate buffers
+    every distinct value per group in an in-memory hash map (OOM on
+    high-cardinality measures at scale, and ~1.5x slower measured at
+    sf0.1), while a window sort spills gracefully. Parallelism is bounded
+    by the number of groups — for percentiles over a handful of giant
+    groups at extreme scale, prefer the ``approx_percentile`` sketch
+    (see ``approx_percentile_price``)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(col)
+    part = Window.partitionBy(*keys)
+    base = (
+        df.select(*keys, col)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(part))
+    )
+    aggs = []
+    for q in quantiles:
+        r = (F.col("__n") - 1) * F.lit(float(q))  # 0-based fractional rank
+        lo = F.floor(r) + 1  # 1-based row numbers of the endpoints
+        hi = F.ceil(r) + 1
+        frac = r - F.floor(r)
+        v = F.when(F.col("__rn") == lo, F.col(col) * (1 - frac)).when(
+            (F.col("__rn") == hi) & (lo != hi), F.col(col) * frac
+        )
+        aggs.append(
+            F.round(F.sum(v), round_to).alias(f"p{int(round(q * 100))}")
+        )
+    return base.groupBy(*keys).agg(*aggs)

@@ -1371,21 +1371,8 @@ def _grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def _percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _cat(spark, sf_dir).table("lineitem")
-    # one percentile aggregate with an array argument: the per-group value
-    # buffer is built and sorted ONCE, not once per requested quantile
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))"
-            ).alias("__p")
-        )
-        .select(
-            "l_returnflag",
-            F.round(F.col("__p")[0], 2).alias("p25"),
-            F.round(F.col("__p")[1], 2).alias("p50"),
-            F.round(F.col("__p")[2], 2).alias("p75"),
-        )
+    return agg.exact_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", (0.25, 0.50, 0.75)
     )
 
 

@@ -128,3 +128,39 @@ def test_top_k_per_group_deterministic(spark):
     )
     out = win.top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], k=2)
     assert [r["id"] for r in out.orderBy("rn").collect()] == [1, 2]
+
+
+# ---------------------------------------------------------------- aggregate
+def test_exact_percentiles_matches_builtin(spark):
+    import random
+
+    from etl_io_spark.operators import aggregate as agg
+
+    rng = random.Random(7)
+    rows = [
+        Row(g=g, v=round(rng.uniform(0, 1000), 3))
+        for g in ("a", "b")
+        for _ in range(rng.choice([37, 101]))
+    ]
+    df = spark.createDataFrame(rows)
+    ours = {
+        r["g"]: (r["p25"], r["p50"], r["p75"])
+        for r in agg.exact_percentiles(
+            df, ["g"], "v", (0.25, 0.5, 0.75), round_to=4
+        ).collect()
+    }
+    ref = {
+        r["g"]: tuple(round(x, 4) for x in r["p"])
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, array(0.25D,0.5D,0.75D))").alias("p"))
+        .collect()
+    }
+    assert ours == ref
+
+
+def test_exact_percentiles_single_row_group(spark):
+    from etl_io_spark.operators import aggregate as agg
+
+    df = spark.createDataFrame([Row(g="x", v=42.0)])
+    row = agg.exact_percentiles(df, ["g"], "v", (0.0, 0.5, 1.0)).collect()[0]
+    assert (row["p0"], row["p50"], row["p100"]) == (42.0, 42.0, 42.0)
