@@ -351,3 +351,76 @@ def fuzzy_pairs(
         )
         .where(F.col("dist") >= 0)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list → ``(id, cluster_id)``
+    where ``cluster_id`` is the minimum node id in the component — the
+    canonical-document assignment that turns near-dup PAIRS into an
+    actionable keep/drop list.
+
+    Distributed min-label propagation (the "hash-to-min" scheme): every
+    node starts labeled with itself; each round every node takes the min
+    of its own and its neighbors' labels; converged when no label moved.
+    Each round is one shuffle-join (edges × labels) plus one groupBy —
+    both keyed joins, no driver-side graph. Rounds needed ≤ the longest
+    min-label path; near-dup components are small and star-like, so this
+    converges in 2-4 rounds in practice. Everything stays distributed —
+    at 100 TB the label table is as big as the dup-graph node set, far
+    too big to collect for a driver-side union-find.
+    """
+    # both orientations in ONE pass over pairs (a union of two selects
+    # would evaluate the upstream pair pipeline twice)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                ),
+                F.struct(
+                    F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst").persist()
+    # seed with min(self, neighbors) — one propagation round folded into
+    # the init aggregation for free (each driver-synchronized round costs
+    # a full job of fixed scheduler overhead; star components converge at
+    # init this way)
+    labels = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.least(F.first("src"), F.min("dst")).alias("label"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["dst"] == labels["id"]).select(
+            F.col("src").alias("id"), "label"
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        # full count, no limit: the join consumes every partition, so
+        # new_labels is completely materialized into the cache BEFORE the
+        # old labels are unpersisted — a short-circuiting probe would leave
+        # uncached partitions that recompute the whole upstream pair
+        # pipeline on every later iteration
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -696,6 +696,57 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# near-dup cluster assignment: jaccard pairs → connected components →
+# every document labeled with its component's min doc_id (canonical).
+# Oracle walks the same graph with a recursive CTE (DuckDB's RECURSIVE
+# keyword prefixes the whole WITH-list, so the shingle CTEs ride along).
+_CLUSTERS_SQL = _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a, b FROM inter
+      JOIN sz sa ON a = sa.doc_id
+      JOIN sz sb ON b = sb.doc_id
+      WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.3
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_SQL)
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    comp = dedup.connected_components(pairs, "a", "b")
+    return docs.select("doc_id").join(
+        comp, docs["doc_id"] == comp["id"], "left"
+    ).select(
+        docs["doc_id"],
+        F.coalesce(comp["cluster_id"], docs["doc_id"]).alias("cluster_id"),
+        (
+            F.coalesce(comp["cluster_id"], docs["doc_id"]) == docs["doc_id"]
+        ).alias("is_canonical"),
+    )
+
+
 def _minhash_oracle(num_perm: int = 16, bands: int = 4) -> str:
     """DuckDB replica of minhash_lsh_candidates (dedup.py)."""
     rpb = num_perm // bands

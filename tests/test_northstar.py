@@ -161,3 +161,26 @@ def test_fingerprint_rolling_hash_matches_python(spark):
     import hashlib
 
     assert r["md5_hex"] == hashlib.md5(s.encode()).hexdigest()
+
+
+def test_connected_components_path_and_island(spark):
+    # path 1-2-3-4 (worst case for min propagation) + island 10-11 + 20 alone
+    pairs = spark.createDataFrame(
+        [Row(a=1, b=2), Row(a=2, b=3), Row(a=3, b=4), Row(a=10, b=11)]
+    )
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_idempotent(spark):
+    pairs = spark.createDataFrame([Row(a=5, b=3), Row(a=3, b=9)])
+    comp = dedup.connected_components(pairs)
+    again = dedup.connected_components(
+        comp.select(F.col("id").alias("a"), F.col("cluster_id").alias("b"))
+    )
+    assert sorted(map(tuple, comp.collect())) == sorted(
+        map(tuple, again.collect())
+    )
