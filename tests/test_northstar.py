@@ -184,3 +184,29 @@ def test_connected_components_idempotent(spark):
     assert sorted(map(tuple, comp.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+def test_fuzzy_pairs_segmented_matches_blocked(spark):
+    rows = [
+        Row(id=1, name="jonathan smith", blk=1),
+        Row(id=2, name="jonathon smith", blk=1),   # ed 1
+        Row(id=3, name="maria garcia", blk=1),
+        Row(id=4, name="maria garcya", blk=1),     # ed 1
+        Row(id=5, name="completely different", blk=1),
+        Row(id=6, name="jonathan smith", blk=2),   # other block: no cross pair
+        Row(id=7, name="ab", blk=1),               # short-string fallback path
+        Row(id=8, name="ac", blk=1),               # ed 1 with id=7
+        Row(id=9, name="xy zz q", blk=1),
+    ]
+    df = spark.createDataFrame(rows)
+    old = sorted(
+        map(tuple, dedup.fuzzy_pairs(df, "id", "name", "blk", 2).collect())
+    )
+    new = sorted(
+        map(
+            tuple,
+            dedup.fuzzy_pairs_segmented(df, "id", "name", "blk", 2).collect(),
+        )
+    )
+    assert old == new
+    assert (1, 2, 1) in old and (7, 8, 1) in old
