@@ -200,3 +200,58 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.expr(HASH60_SPARK.format(s=text_col)).alias("hash60"),
         rolling.alias("rolling_hash"),
     )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF — the classic
+    keyword-extraction / feature-weighting primitive, as three shuffles of
+    pure built-in aggregates (no ml.feature, no UDFs):
+
+      tf(d, t)  = occurrences of t in d            (groupBy doc, term)
+      idf(t)    = ln((N + 1) / (df_t + 1)) + 1     (groupBy term, N = docs)
+      score     = tf * idf, round 6
+
+    Term df comes from a second aggregate over the (doc, term) counts —
+    already one row per (doc, term), so the idf pass shuffles the
+    vocabulary-size table, not the corpus. The doc count N is a scalar
+    broadcast into the idf expression via a cross join of a 1-row
+    aggregate (Catalyst plans a broadcast nested loop of one row — no
+    collect, no driver round-trip). Ties break on term ascending for
+    cross-engine determinism.
+    """
+    from pyspark.sql import Window
+
+    toked = spread(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toked.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(
+        F.countDistinct(id_col).alias("__n")
+    )  # 1-row, broadcast below
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1).alias("idf"),
+        )
+    )
+    scored = tf.join(idf, "term").select(
+        id_col,
+        "term",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )

@@ -1005,6 +1005,40 @@ def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_cat(spark, sf_dir).table("documents"), "doc_id", "text")
 
 
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    idf AS (
+      SELECT term, ln((nd.n + 1) / (COUNT(*) + 1)) + 1 AS idf
+      FROM tf, nd GROUP BY term, nd.n
+    ),
+    scored AS (
+      SELECT doc_id, tf.term, ROUND(tf * idf, 6) AS tfidf
+      FROM tf JOIN idf USING (term)
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tf_idf_top_terms(
+        _cat(spark, sf_dir).table("documents"), "doc_id", "text", k=3
+    )
+
+
 # ==========================================================================
 # Streaming surface (batch-mode parity of the stream ops; streaming runs in
 # tests/test_streaming.py over readStream + memory sink)

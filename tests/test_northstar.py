@@ -210,3 +210,20 @@ def test_fuzzy_pairs_segmented_matches_blocked(spark):
     )
     assert old == new
     assert (1, 2, 1) in old and (7, 8, 1) in old
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="apple banana apple"), Row(doc_id=2, text="banana cherry")]
+    )
+    out = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tfidf"])
+        for r in text.tf_idf_top_terms(df, "doc_id", "text", k=2).collect()
+    }
+    idf_rare = math.log(3 / 2) + 1  # df=1, N=2
+    assert out[(1, 1)] == ("apple", round(2 * idf_rare, 6))
+    assert out[(1, 2)] == ("banana", 1.0)  # idf = ln(1)+1
+    assert out[(2, 1)] == ("cherry", round(idf_rare, 6))
+    assert out[(2, 2)] == ("banana", 1.0)
