@@ -1,6 +1,6 @@
 """Deduplication operators (north-star extension; BASELINE.json).
 
-Four families, each with a distinct scale profile:
+Core families, each with a distinct scale profile:
 
   * exact        — hash-groupBy on content: one shuffle keyed by the text
                    (or its 60-bit hash at 100 TB so the shuffle carries 8
@@ -13,6 +13,10 @@ Four families, each with a distinct scale profile:
                    ~O(n·bands) instead of O(n²); the standard 100 TB path.
   * SimHash      — 60-bit bit-majority signature; near-dups share bands of
                    signature bits.
+  * fuzzy        — blocked Levenshtein (``fuzzy_pairs``) or PassJoin
+                   segment candidates (``fuzzy_pairs_segmented``).
+  * clustering   — ``connected_components`` turns any of the pair outputs
+                   into a canonical-document assignment.
 
 Everything is expression-level (no UDFs) and bottoms out in md5-derived
 hashes, so DuckDB oracles replicate results bit-for-bit.

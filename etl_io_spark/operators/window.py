@@ -64,3 +64,61 @@ def lag_lead(
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     fn = F.lag(col, offset) if offset > 0 else F.lead(col, -offset)
     return df.withColumn(alias or f"{col}_lag{offset}", fn.over(w))
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    within: str | None = None,
+) -> DataFrame:
+    """Ordered-step funnel: for every entity that performed ``steps[0]``,
+    the earliest timestamp of each subsequent step that happened strictly
+    AFTER the previous chosen step (and, if ``within`` is set, no later
+    than ``previous + within``), plus the completion ``depth``. The
+    standard product-analytics conversion query (view → click → purchase).
+
+    One filtered aggregate per step, chained by equi-joins on the entity
+    key — every shuffle is keyed by ``user_col`` and each step's input is
+    pre-filtered to one event type (predicate reaches the scan), so cost
+    is steps × (filtered scan + keyed join), never a cross join or a
+    per-entity sort. Partial completions survive via left joins: depth =
+    number of steps reached. Deterministic: each step takes MIN(ts).
+    """
+    t1 = F.col(ts_col).alias("__ts")
+    chain = (
+        df.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    stages = [chain]
+    for k in range(2, len(steps) + 1):
+        prev = stages[-1]
+        ev = df.where(F.col(type_col) == steps[k - 1]).select(
+            F.col(user_col), t1
+        )
+        cond = F.col("__ts") > F.col(f"t{k-1}")
+        if within is not None:
+            cond = cond & (
+                F.col("__ts")
+                <= F.col(f"t{k-1}") + F.expr(f"INTERVAL {within}")
+            )
+        stages.append(
+            ev.join(prev, user_col)
+            .where(cond)
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"t{k}"))
+        )
+    out = stages[0]
+    for k, s in enumerate(stages[1:], start=2):
+        out = out.join(s, user_col, "left")
+    depth = F.lit(1)
+    for k in range(2, len(steps) + 1):
+        depth = F.when(F.col(f"t{k}").isNotNull(), F.lit(k)).otherwise(depth)
+    return out.select(
+        user_col,
+        *[f"t{k}" for k in range(1, len(steps) + 1)],
+        depth.cast("int").alias("depth"),
+    )

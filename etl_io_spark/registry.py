@@ -1039,6 +1039,95 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pmi_collocations",
+    """
+    WITH toks AS (
+      SELECT [x for x in string_split_regex(trim(text), '\\s+')
+              if x <> ''] AS l
+      FROM documents
+    ),
+    bg AS (
+      SELECT b['w1'] AS w1, b['w2'] AS w2, COUNT(*) AS c12 FROM (
+        SELECT UNNEST([{'w1': l[i], 'w2': l[i+1]}
+                       for i in generate_series(1, len(l) - 1)]) AS b
+        FROM toks)
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(c12) AS total FROM bg),
+    lft AS (SELECT w1 AS w, SUM(c12) AS cl FROM bg GROUP BY 1),
+    rgt AS (SELECT w2 AS w, SUM(c12) AS cr FROM bg GROUP BY 1),
+    uni AS (
+      SELECT COALESCE(lft.w, rgt.w) AS w,
+             COALESCE(cl, 0) + COALESCE(cr, 0) AS cw
+      FROM lft FULL JOIN rgt ON lft.w = rgt.w
+    ),
+    scored AS (
+      SELECT w1, w2, c12,
+             ROUND(ln((c12 * tot.total) / (u1.cw * 1.0 * u2.cw)), 6) AS pmi
+      FROM bg
+      CROSS JOIN tot
+      JOIN uni u1 ON bg.w1 = u1.w
+      JOIN uni u2 ON bg.w2 = u2.w
+      WHERE c12 >= 5
+    )
+    SELECT w1, w2, c12, pmi, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               ORDER BY pmi DESC, w1, w2) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= 50
+    """,
+)
+def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pmi_collocations(
+        _cat(spark, sf_dir).table("documents"), "doc_id", "text",
+        min_count=5, k=50,
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click'
+        AND CAST(e.ts AS TIMESTAMP) > s1.t1
+        AND CAST(e.ts AS TIMESTAMP) <= s1.t1 + INTERVAL 30 MINUTE
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND CAST(e.ts AS TIMESTAMP) > s2.t2
+        AND CAST(e.ts AS TIMESTAMP) <= s2.t2 + INTERVAL 30 MINUTE
+      GROUP BY 1
+    )
+    SELECT s1.user_id, t1, t2, t3,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS depth
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def _funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return win.funnel_steps(
+        _cat(spark, sf_dir).table("events"),
+        "user_id",
+        "ts",
+        "event_type",
+        ("view", "click", "purchase"),
+        within="30 minutes",
+    )
+
+
 # ==========================================================================
 # Streaming surface (batch-mode parity of the stream ops; streaming runs in
 # tests/test_streaming.py over readStream + memory sink)

@@ -227,3 +227,16 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert out[(1, 2)] == ("banana", 1.0)  # idf = ln(1)+1
     assert out[(2, 1)] == ("cherry", round(idf_rare, 6))
     assert out[(2, 2)] == ("banana", 1.0)
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    # 7 tokens -> 6 bigrams: (a,b) x3 and (b,a) x3, so B = 6 and the slot
+    # counts are cw(a) = cw(b) = 6; pmi = ln(3*6/(6*6)) = ln(0.5) for both,
+    # tie broken lexicographically on w1
+    df = spark.createDataFrame([Row(doc_id=1, text="a b a b a b a")])
+    out = text.pmi_collocations(df, "doc_id", "text", min_count=2, k=10).collect()
+    got = {(r["w1"], r["w2"]): (r["c12"], r["pmi"], r["rank"]) for r in out}
+    assert got[("a", "b")] == (3, round(math.log(0.5), 6), 1)
+    assert got[("b", "a")] == (3, round(math.log(0.5), 6), 2)

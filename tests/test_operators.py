@@ -164,3 +164,35 @@ def test_exact_percentiles_single_row_group(spark):
     df = spark.createDataFrame([Row(g="x", v=42.0)])
     row = agg.exact_percentiles(df, ["g"], "v", (0.0, 0.5, 1.0)).collect()[0]
     assert (row["p0"], row["p50"], row["p100"]) == (42.0, 42.0, 42.0)
+
+
+def test_funnel_steps_ordering_and_window(spark):
+    from datetime import datetime as dt
+
+    from etl_io_spark.operators import window as w
+
+    rows = [
+        # u1 completes all three in order within windows
+        Row(u=1, ts=dt(2024, 1, 1, 0, 0), t="view"),
+        Row(u=1, ts=dt(2024, 1, 1, 0, 10), t="click"),
+        Row(u=1, ts=dt(2024, 1, 1, 0, 20), t="purchase"),
+        # u2: click BEFORE view -> doesn't count; no click after
+        Row(u=2, ts=dt(2024, 1, 1, 0, 5), t="click"),
+        Row(u=2, ts=dt(2024, 1, 1, 0, 6), t="view"),
+        # u3: click after view but outside the 30-minute window
+        Row(u=3, ts=dt(2024, 1, 1, 0, 0), t="view"),
+        Row(u=3, ts=dt(2024, 1, 1, 1, 0), t="click"),
+        # u4 never views -> not in funnel
+        Row(u=4, ts=dt(2024, 1, 1, 0, 0), t="purchase"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["u"]: (r["depth"], r["t2"])
+        for r in w.funnel_steps(
+            df, "u", "ts", "t", ("view", "click", "purchase"), "30 minutes"
+        ).collect()
+    }
+    assert out[1][0] == 3
+    assert out[2] == (1, None)
+    assert out[3] == (1, None)
+    assert 4 not in out

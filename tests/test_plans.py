@@ -119,3 +119,23 @@ def test_brute_force_similarity_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # the corpus side must NOT shuffle before scoring
     assert "Exchange hashpartitioning(vec_id" not in plan
+
+
+def test_tfidf_no_cartesian_beyond_scalar_broadcast(spark):
+    plan = _plan(spark, "tfidf_top_terms")
+    # the only nested-loop allowed is the 1-row doc-count broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_topk_avoids_full_sort(spark):
+    plan = _plan(spark, "pmi_collocations")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_percentiles_sort_based(spark):
+    plan = _plan(spark, "percentiles_by_flag")
+    # spillable window sort, not the hash-buffer percentile() aggregate
+    assert "Window" in plan
+    assert "percentile(" not in plan
