@@ -125,3 +125,35 @@ def exact_percentiles(
             F.round(F.sum(v), round_to).alias(f"p{int(round(q * 100))}")
         )
     return base.groupBy(*keys).agg(*aggs)
+
+
+def cohort_retention(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Cohort retention matrix: entities grouped by the date of their first
+    event; for each (cohort_day, days-since-cohort) cell, how many distinct
+    entities were active. The standard activation/retention report.
+
+    Two keyed aggregations and one keyed join — cohort assignment is a
+    groupBy MIN over the entity key; per-day activity dedups map-side to
+    (entity, day) before the join, so the join input is bounded by
+    entities × active-days, not raw events. No window functions, no
+    sort: the whole plan is partial-aggregable and AQE-sizable."""
+    cohort = df.groupBy(entity_col).agg(
+        F.min(F.to_date(ts_col)).alias("cohort_day")
+    )
+    activity = df.select(
+        F.col(entity_col), F.to_date(ts_col).alias("__day")
+    ).distinct()
+    return (
+        activity.join(cohort, entity_col)
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("__day"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.countDistinct(entity_col).alias("active_users"))
+    )

@@ -1128,6 +1128,30 @@ def _funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "retention_cohorts",
+    """
+    WITH cohort AS (
+      SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS cohort_day
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      FROM events
+    )
+    SELECT cohort_day,
+           CAST(d - cohort_day AS INT) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS active_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def _retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.cohort_retention(
+        _cat(spark, sf_dir).table("events"), "user_id", "ts"
+    )
+
+
 # ==========================================================================
 # Streaming surface (batch-mode parity of the stream ops; streaming runs in
 # tests/test_streaming.py over readStream + memory sink)

@@ -55,6 +55,26 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    multiline: bool = False,
+) -> DataFrame:
+    """NDJSON / JSON-lines scan with a REQUIRED explicit schema — at scale,
+    schema inference over JSON is a full extra pass of the data, and
+    multiline mode forces whole-file (unsplittable) reads, so the default
+    is line-delimited (one record per line, splittable)."""
+    return (
+        spark.read.option("multiLine", multiline).schema(schema).json(path)
+    )
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """NDJSON sink (line-delimited; splittable on re-read)."""
+    df.write.mode(mode).json(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -189,3 +189,19 @@ def test_rosetta_facade_translate(spark):
     )
     got = {(r["soc"], r["cip"], r["label"]) for r in out.collect()}
     assert got == {("s1", "c1", "x"), ("s1", "c2", "y"), ("s2", "c3", "z")}
+
+
+def test_json_roundtrip(spark, tmp_path):
+    from etl_io_spark.sources import readers
+
+    df = spark.createDataFrame(
+        [Row(a=1, b="x", c=[1, 2]), Row(a=2, b=None, c=[])]
+    )
+    p = str(tmp_path / "nd.json")
+    readers.write_json(df, p)
+    back = readers.read_json(
+        spark, p, "a bigint, b string, c array<bigint>"
+    )
+    assert sorted(
+        (r["a"], r["b"], tuple(r["c"])) for r in back.collect()
+    ) == [(1, "x", (1, 2)), (2, None, ())]

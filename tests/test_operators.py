@@ -196,3 +196,28 @@ def test_funnel_steps_ordering_and_window(spark):
     assert out[2] == (1, None)
     assert out[3] == (1, None)
     assert 4 not in out
+
+
+def test_cohort_retention_hand_computed(spark):
+    from datetime import datetime as dt
+
+    from etl_io_spark.operators import aggregate as agg
+
+    rows = [
+        Row(u=1, ts=dt(2024, 1, 1, 9)),   # cohort day 1
+        Row(u=1, ts=dt(2024, 1, 1, 10)),  # same day, dedups
+        Row(u=1, ts=dt(2024, 1, 3, 9)),   # offset 2
+        Row(u=2, ts=dt(2024, 1, 1, 9)),   # cohort day 1
+        Row(u=3, ts=dt(2024, 1, 2, 9)),   # cohort day 2
+    ]
+    out = {
+        (str(r["cohort_day"]), r["day_offset"]): r["active_users"]
+        for r in agg.cohort_retention(
+            spark.createDataFrame(rows), "u", "ts"
+        ).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }
