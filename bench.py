@@ -56,6 +56,11 @@ HEADLINE = [
     "chunk_documents",
     "pack_sequences",
     "pii_redact",
+    "percentiles_by_flag",
+    "tfidf_top_terms",
+    "pmi_collocations",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
 ]
 
 
