@@ -368,15 +368,21 @@ def connected_components(
     canonical-document assignment that turns near-dup PAIRS into an
     actionable keep/drop list.
 
-    Distributed min-label propagation (the "hash-to-min" scheme): every
-    node starts labeled with itself; each round every node takes the min
-    of its own and its neighbors' labels; converged when no label moved.
-    Each round is one shuffle-join (edges × labels) plus one groupBy —
-    both keyed joins, no driver-side graph. Rounds needed ≤ the longest
-    min-label path; near-dup components are small and star-like, so this
-    converges in 2-4 rounds in practice. Everything stays distributed —
-    at 100 TB the label table is as big as the dup-graph node set, far
-    too big to collect for a driver-side union-find.
+    Distributed min-label propagation with pointer-jumping: every node
+    starts labeled min(self, neighbors); each round takes the min of the
+    neighbors' labels and then follows the label's own label (path
+    halving), so convergence is O(log n) rounds on ANY topology —
+    including near-dup chains (id k ~ id k+1) that would take
+    diameter-many rounds under plain propagation. Each round is two keyed
+    joins + one groupBy; no driver-side graph. Every round's result is
+    ``localCheckpoint``-ed: iterative DataFrame loops otherwise nest the
+    plan (doubled here by the self-join), and an exponentially growing
+    logical plan OOMs the analyzer near round ~15 regardless of data
+    size. Everything stays distributed — at 100 TB the label table is as
+    big as the dup-graph node set, far too big to collect for a
+    driver-side union-find. (On a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
+    executor-loss resilience; localCheckpoint is the single-node form.)
     """
     # both orientations in ONE pass over pairs (a union of two selects
     # would evaluate the upstream pair pipeline twice)
@@ -399,30 +405,45 @@ def connected_components(
     labels = (
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.least(F.first("src"), F.min("dst")).alias("label"))
-        .persist()
+        .localCheckpoint()  # eager: materializes + truncates lineage
     )
     for _ in range(max_iter):
         prop = edges.join(labels, edges["dst"] == labels["id"]).select(
             F.col("src").alias("id"), "label"
         )
-        new_labels = (
+        stepped = (
             labels.union(prop)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .persist()  # feeds BOTH sides of the pointer-jump self-join
         )
-        # full count, no limit: the join consumes every partition, so
-        # new_labels is completely materialized into the cache BEFORE the
-        # old labels are unpersisted — a short-circuiting probe would leave
-        # uncached partitions that recompute the whole upstream pair
-        # pipeline on every later iteration
+        # pointer-jumping (path halving): follow the label's own label.
+        # Labels are always node ids, so the self-join always hits
+        # (coalesce guards the root, whose label is itself). The eager
+        # localCheckpoint materializes the round AND truncates the plan.
+        new_labels = (
+            stepped.alias("l")
+            .join(
+                stepped.select(
+                    F.col("id").alias("__pid"),
+                    F.col("label").alias("__plabel"),
+                ).alias("p"),
+                F.col("l.label") == F.col("__pid"),
+                "left",
+            )
+            .select(
+                F.col("l.id").alias("id"),
+                F.coalesce("__plabel", "l.label").alias("label"),
+            )
+            .localCheckpoint()
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
+        stepped.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -1152,6 +1152,61 @@ def _retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# entity resolution end-to-end: blocked fuzzy pairs → connected components
+# → golden record per cluster (canonical = min key; its name + member
+# count). The classic MDM pipeline composed from graded operators.
+_ENTITY_RESOLUTION_SQL = """
+    WITH RECURSIVE pairs AS (
+      SELECT a.c_custkey AS a, b.c_custkey AS b
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    assigned AS (
+      SELECT c.c_custkey, COALESCE(comp.cluster_id, c.c_custkey) AS cluster_id
+      FROM customer c LEFT JOIN comp ON c.c_custkey = comp.id
+    )
+    SELECT a.cluster_id,
+           g.c_name AS canonical_name,
+           COUNT(*) AS n_members
+    FROM assigned a JOIN customer g ON a.cluster_id = g.c_custkey
+    GROUP BY 1, 2
+"""
+
+
+@register("entity_resolution", _ENTITY_RESOLUTION_SQL)
+def _entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _cat(spark, sf_dir).table("customer")
+    pairs = dedup.fuzzy_pairs(
+        cust, "c_custkey", "c_name", block_col="c_nationkey", max_distance=1
+    )
+    comp = dedup.connected_components(pairs, "a", "b")
+    assigned = cust.select("c_custkey").join(
+        comp, cust["c_custkey"] == comp["id"], "left"
+    ).select(
+        cust["c_custkey"],
+        F.coalesce(comp["cluster_id"], cust["c_custkey"]).alias("cluster_id"),
+    )
+    golden = cust.select(
+        F.col("c_custkey").alias("cluster_id"),
+        F.col("c_name").alias("canonical_name"),
+    )
+    return assigned.join(golden, "cluster_id").groupBy(
+        "cluster_id", "canonical_name"
+    ).agg(F.count(F.lit(1)).alias("n_members"))
+
+
 # ==========================================================================
 # Streaming surface (batch-mode parity of the stream ops; streaming runs in
 # tests/test_streaming.py over readStream + memory sink)

@@ -240,3 +240,14 @@ def test_pmi_collocations_hand_computed(spark):
     got = {(r["w1"], r["w2"]): (r["c12"], r["pmi"], r["rank"]) for r in out}
     assert got[("a", "b")] == (3, round(math.log(0.5), 6), 1)
     assert got[("b", "a")] == (3, round(math.log(0.5), 6), 2)
+
+
+def test_connected_components_long_chain(spark):
+    # 120-node path: plain min-propagation would need ~120 rounds; the
+    # pointer-jumping variant must converge within the default max_iter
+    pairs = spark.createDataFrame(
+        [Row(a=i, b=i + 1) for i in range(1, 120)]
+    )
+    out = dedup.connected_components(pairs).collect()
+    assert len(out) == 120
+    assert {r["cluster_id"] for r in out} == {1}
