@@ -139,3 +139,18 @@ def test_exact_percentiles_sort_based(spark):
     # spillable window sort, not the hash-buffer percentile() aggregate
     assert "Window" in plan
     assert "percentile(" not in plan
+
+
+def test_funnel_pushes_step_filters_to_scan(spark):
+    plan = _plan(spark, "funnel_view_click_purchase")
+    # each step's event-type equality must reach the parquet reader
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_retention_aggregates_partially(spark):
+    plan = _plan(spark, "retention_cohorts")
+    assert "partial_" in plan  # map-side combine before both shuffles
+    assert "CartesianProduct" not in plan
