@@ -1630,6 +1630,32 @@ def _percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# percent_rank / cume_dist (window-function family completion)
+# --------------------------------------------------------------------------
+@register(
+    "window_percent_rank",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey), 6) AS cume_dist
+    FROM customer
+    """,
+)
+def _window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return _cat(spark, sf_dir).table("customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
+# --------------------------------------------------------------------------
 # ntile quartiles per group (window-function family completion)
 # --------------------------------------------------------------------------
 @register(
