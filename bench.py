@@ -61,6 +61,11 @@ HEADLINE = [
     "pmi_collocations",
     "funnel_view_click_purchase",
     "retention_cohorts",
+    "decontaminate_benchmark",
+    "repetition_ratio",
+    "histogram_price",
+    "anomaly_zscore_events",
+    "resample_ffill_events",
 ]
 
 

@@ -127,6 +127,51 @@ def exact_percentiles(
     return base.groupBy(*keys).agg(*aggs)
 
 
+def histogram(
+    df: DataFrame,
+    col: str,
+    nbins: int,
+    measures: Sequence[str] = (),
+    round_to: int = 2,
+) -> DataFrame:
+    """Fixed-width numeric histogram with **in-plan** bounds: the min/max
+    come from a one-row aggregate broadcast into the bucketing expression
+    (Catalyst plans a single-row broadcast nested loop — no ``collect``,
+    no driver round-trip, no second job), then one partial-aggregating
+    ``groupBy(bucket)``. The shuffle carries ≤ ``nbins`` rows per
+    partition regardless of input size, so the plan is scan-bound at any
+    scale. The top edge folds into the last bucket (``least``), matching
+    SQL ``width_bucket`` convention minus its overflow bin.
+
+    Emits bucket ordinal, inclusive lower edge, row count, and optional
+    summed measures. Bucket arithmetic is plain double math — identical
+    IEEE evaluation in any engine, so oracles reproduce it exactly."""
+    bounds = df.agg(
+        F.min(col).alias("__lo"), F.max(col).alias("__hi")
+    )  # 1 row, broadcast below
+    step = (F.col("__hi") - F.col("__lo")) / F.lit(float(nbins))
+    bucket = F.least(
+        F.floor((F.col(col) - F.col("__lo")) / step), F.lit(nbins - 1)
+    ).cast("bigint")
+    return (
+        df.select(*dict.fromkeys((col, *measures)))
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(
+            bucket.alias("bucket"),
+            F.round(F.col("__lo") + bucket * step, round_to).alias(
+                "bucket_lo"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.round(F.sum(m), round_to).alias(f"sum_{m}")
+                for m in measures
+            ],
+        )
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     entity_col: str,

@@ -260,6 +260,99 @@ def tf_idf_top_terms(
     )
 
 
+def contamination(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: per-document word n-gram overlap against
+    a benchmark/eval set — the standard training-data hygiene check (flag
+    documents whose n-grams leak evaluation data).
+
+    The benchmark's distinct n-gram set is tiny relative to the corpus, so
+    it is **broadcast**: the corpus side explodes its n-grams map-side
+    (``explode_outer`` keeps zero-gram docs), hits are marked by a
+    broadcast left join (no shuffle), and one partial-aggregating
+    ``groupBy(id)`` produces totals — the only corpus-proportional shuffle
+    carries at most one row per (doc, partition). At 100 TB the benchmark
+    set is still MBs, so the plan shape is unchanged; skewless because the
+    key is the doc id. ``contaminated`` uses exact integer arithmetic
+    (matched*10 >= total, i.e. ≥10% overlap) — no float threshold edge.
+    """
+    grams = word_ngrams(text_col, n)
+    bench_grams = (
+        bench_df.select(
+            F.explode(word_ngrams(bench_text_col or text_col, n)).alias("__g")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    exploded = spread(df).select(
+        F.col(id_col), F.explode_outer(grams).alias("__g")
+    )
+    return (
+        exploded.join(F.broadcast(bench_grams), "__g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("__g").alias("n_ngrams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_matched"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_matched",
+            F.round(
+                F.when(
+                    F.col("n_ngrams") > 0,
+                    F.col("n_matched") / F.col("n_ngrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("contamination"),
+            (F.col("n_matched") * 10 >= F.col("n_ngrams")).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style within-document repetition signals: the fraction of
+    duplicate words / bigrams / trigrams (``1 - distinct/total``). High
+    values indicate boilerplate or degenerate generations — a core
+    training-data quality filter.
+
+    Entirely map-side (array ops inside whole-stage codegen: no explode,
+    no shuffle, no UDF) — at 100 TB this is a pure scan whose cost is one
+    pass over the tokens, and it composes with any downstream filter
+    before data ever moves. The n-gram arrays are built per-row and never
+    retained across rows (cf. the explode/array-retention trap — none
+    here, there is no generator at all)."""
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.round(
+            F.when(
+                n > 0,
+                1.0 - F.size(F.array_distinct(arr)) / n.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    toks = tokens(text_col)
+    return spread(df).select(
+        F.col(id_col),
+        F.size(toks).alias("n_words"),
+        dup_frac(toks).alias("dup_word_frac"),
+        dup_frac(word_ngrams(toks, 2)).alias("dup_bigram_frac"),
+        dup_frac(word_ngrams(toks, 3)).alias("dup_trigram_frac"),
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,84 @@
+"""Time-series regularization operators (north-star extension — absent
+from the reference, which has no timestamp types at all, SURVEY.md §1.3;
+required for the ``events`` table and any metrics/monitoring pipeline).
+
+Everything here is built-in DataFrame ops: the resample grid is generated
+*distributed* (``sequence`` + ``explode`` per key — never a driver-side
+loop over keys or a collected date range), and gap filling is one keyed
+window. At 100 TB the cost profile is: one partial-aggregable groupBy for
+last-observation-per-bucket, one groupBy for per-key bounds, one keyed
+join, one keyed window — all sharing the entity key, so AQE coalesces
+them onto the same partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    tiebreak_col: str | None = None,
+    round_to: int = 2,
+) -> DataFrame:
+    """Resample an irregular per-key series onto a fixed ``step`` grid with
+    forward fill (last observation carried forward) — the standard
+    time-series regularization before joins/models that need aligned
+    clocks.
+
+    Per key: the grid spans ``date_trunc(step-unit, min(ts)) ..
+    date_trunc(step-unit, max(ts))`` inclusive and is produced by
+    ``explode(sequence(...))`` — grid generation is distributed and sized
+    per key, not a cross join against a global calendar. Within each
+    bucket the LAST observation wins (``max_by`` over (ts, tiebreak), a
+    partial-aggregable pick — deterministic given a unique tiebreaker);
+    empty buckets take the most recent earlier bucket's value via
+    ``last(ignorenulls)`` over a keyed window. ``filled`` marks
+    carried-forward rows.
+
+    The unit for truncation is parsed from ``step`` ("1 hour" → HOUR);
+    only single-unit steps are supported (that is what keeps bucket
+    assignment a pure ``date_trunc``, i.e. map-side)."""
+    unit = step.split()[-1].rstrip("s").upper()
+    tie = (ts_col, tiebreak_col) if tiebreak_col else (ts_col,)
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    obs = df.groupBy(
+        F.col(key_col), bucket.alias("__bucket")
+    ).agg(
+        F.expr(
+            f"max_by({value_col}, struct({', '.join(tie)}))"
+        ).alias("__v")
+    )
+    grid = (
+        df.groupBy(key_col)
+        .agg(
+            F.date_trunc(unit, F.min(ts_col)).alias("__lo"),
+            F.date_trunc(unit, F.max(ts_col)).alias("__hi"),
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+            ).alias("__bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [key_col, "__bucket"], "left")
+        .select(
+            key_col,
+            F.col("__bucket").alias("bucket_ts"),
+            F.round(
+                F.last("__v", ignorenulls=True).over(w), round_to
+            ).alias(value_col),
+            F.col("__v").isNull().alias("filled"),
+        )
+    )

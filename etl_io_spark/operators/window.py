@@ -66,6 +66,40 @@ def lag_lead(
     return df.withColumn(alias or f"{col}_lag{offset}", fn.over(w))
 
 
+def rolling_zscore(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    col: str,
+    lookback: int = 20,
+    round_to: int = 4,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: each row's value scored against
+    the mean/sample-stddev of its ``lookback`` PRECEDING rows (the row
+    itself excluded, so an outlier can't mask itself). The standard
+    streaming-metrics anomaly primitive, expressed as one keyed window —
+    a single hash shuffle on ``partition_by``, per-partition sort, frame
+    aggregates inside the window operator. ``order_by`` must include a
+    unique tiebreaker for deterministic frames.
+
+    ``zscore`` is NULL until 2 preceding rows exist or when the trailing
+    stddev is 0; ``is_anomaly`` flags |z| > 3 on the rounded score (exact
+    comparison, no float-edge dependence on unrounded bits)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(-lookback, -1)
+    )
+    mean = F.avg(col).over(w)
+    sd = F.stddev_samp(col).over(w)
+    z = F.round(
+        F.when(sd > 0, (F.col(col) - mean) / sd), round_to
+    )
+    return df.withColumn("zscore", z).withColumn(
+        "is_anomaly", F.when(z.isNotNull(), F.abs(z) > 3)
+    )
+
+
 def funnel_steps(
     df: DataFrame,
     user_col: str,

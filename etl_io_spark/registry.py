@@ -1893,3 +1893,187 @@ def _approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__p")[2], 2).alias("p75"),
         )
     )
+
+
+# ==========================================================================
+# Training-data hygiene: benchmark decontamination + repetition filtering
+# (north-star; operators/text.py)
+# ==========================================================================
+
+#: DuckDB word-tokenization identical to text.tokens(): trim, split \s+,
+#: drop empties.  5-gram construction via per-position slice.
+_DUCK_TOKS = (
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+)
+
+
+@register(
+    "decontaminate_benchmark",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    agg AS (
+      SELECT t.doc_id,
+             COUNT(g.g) AS n_ngrams,
+             COALESCE(SUM(CASE WHEN b.g IS NOT NULL THEN 1 END), 0)
+               AS n_matched
+      FROM toks t
+      LEFT JOIN grams g ON t.doc_id = g.doc_id
+      LEFT JOIN bench b ON g.g = b.g
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_ngrams, n_matched,
+           ROUND(CASE WHEN n_ngrams > 0
+                      THEN n_matched / CAST(n_ngrams AS DOUBLE)
+                      ELSE 0.0 END, 6) AS contamination,
+           n_matched * 10 >= n_ngrams AS contaminated
+    FROM agg
+    """,
+)
+def _decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return text.contamination(docs, bench, "doc_id", "text", n=5)
+
+
+@register(
+    "repetition_ratio",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, w,
+        list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                       i -> w[i] || ' ' || w[i+1]) AS bi,
+        list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tri
+      FROM toks
+    )
+    SELECT doc_id, len(w) AS n_words,
+      ROUND(CASE WHEN len(w) > 0
+            THEN 1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE)
+            ELSE 0.0 END, 6) AS dup_word_frac,
+      ROUND(CASE WHEN len(bi) > 0
+            THEN 1.0 - len(list_distinct(bi)) / CAST(len(bi) AS DOUBLE)
+            ELSE 0.0 END, 6) AS dup_bigram_frac,
+      ROUND(CASE WHEN len(tri) > 0
+            THEN 1.0 - len(list_distinct(tri)) / CAST(len(tri) AS DOUBLE)
+            ELSE 0.0 END, 6) AS dup_trigram_frac
+    FROM grams
+    """,
+)
+def _repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_features(
+        _cat(spark, sf_dir).table("documents"), "doc_id", "text"
+    )
+
+
+# ==========================================================================
+# Numeric histogram with in-plan bounds (operators/aggregate.py)
+# ==========================================================================
+@register(
+    "histogram_price",
+    """
+    WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+               FROM lineitem)
+    SELECT bucket,
+           ROUND(lo + bucket * ((hi - lo) / 20.0), 2) AS bucket_lo,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_l_quantity
+    FROM (
+      SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20.0))
+                        AS BIGINT), 19) AS bucket,
+             lo, hi, l_quantity
+      FROM lineitem, b
+    )
+    GROUP BY bucket, lo, hi
+    """,
+)
+def _histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.histogram(
+        _cat(spark, sf_dir).table("lineitem"),
+        "l_extendedprice",
+        nbins=20,
+        measures=["l_quantity"],
+    )
+
+
+# ==========================================================================
+# Rolling z-score anomaly detection over events (operators/window.py)
+# ==========================================================================
+@register(
+    "anomaly_zscore_events",
+    """
+    SELECT event_id, user_id, value, zscore,
+           CASE WHEN zscore IS NOT NULL THEN ABS(zscore) > 3 END AS is_anomaly
+    FROM (
+      SELECT event_id, user_id, value,
+             ROUND(CASE WHEN sd > 0 THEN (value - mean) / sd END, 4) AS zscore
+      FROM (
+        SELECT event_id, user_id, value,
+               AVG(value) OVER w AS mean,
+               STDDEV_SAMP(value) OVER w AS sd
+        FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+      )
+    )
+    """,
+)
+def _anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    return win.rolling_zscore(
+        ev, ["user_id"], ["ts", "event_id"], "value", lookback=20
+    ).select("event_id", "user_id", "value", "zscore", "is_anomaly")
+
+
+# ==========================================================================
+# Time-series resample + forward fill (operators/timeseries.py)
+# ==========================================================================
+from etl_io_spark.operators import timeseries  # noqa: E402
+
+
+@register(
+    "resample_ffill_events",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+               FROM events),
+    obs AS (
+      SELECT user_id, h AS bucket_ts, value FROM (
+        SELECT user_id, date_trunc('hour', ts) AS h, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e) WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM e GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR))
+               AS bucket_ts
+      FROM bounds
+    )
+    SELECT g.user_id, g.bucket_ts,
+           ROUND(LAST_VALUE(o.value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket_ts
+                   ROWS UNBOUNDED PRECEDING), 2) AS value,
+           o.value IS NULL AS filled
+    FROM grid g LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.bucket_ts = o.bucket_ts
+    """,
+)
+def _resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeseries.resample_ffill(
+        _cat(spark, sf_dir).table("events"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        step="1 hour",
+        tiebreak_col="event_id",
+    )
