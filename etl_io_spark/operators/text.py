@@ -260,6 +260,39 @@ def tf_idf_top_terms(
     )
 
 
+def vocab_top_tokens(
+    df: DataFrame,
+    text_col: str,
+    k: int = 100,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary construction: exact token frequencies, top-``k``
+    by count with lexicographic tiebreak, ranked. The first step of any
+    tokenizer/vocab build and the exact heavy-hitters baseline the
+    sketch variants are judged against.
+
+    One explode + one partial-aggregating groupBy: the shuffle carries
+    (token, partial count) pairs — vocabulary-size, not corpus-size —
+    then a distributed TakeOrderedAndProject picks the top-k (per-
+    partition heaps, no global sort). At 100 TB this is the canonical
+    map-side-combine wordcount; no driver collection anywhere."""
+    from pyspark.sql import Window
+
+    counts = (
+        spread(df)
+        .select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        counts.orderBy(F.col("cnt").desc(), "token")
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+    )
+
+
 def contamination(
     df: DataFrame,
     bench_df: DataFrame,

@@ -66,6 +66,39 @@ def lag_lead(
     return df.withColumn(alias or f"{col}_lag{offset}", fn.over(w))
 
 
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Event-level sessionization: assign every event a per-key session
+    ordinal (``session_id`` starting at 1) that increments whenever the
+    gap since the key's previous event exceeds ``gap``. The assignment
+    twin of the session *aggregate* (streaming/windows.session_agg) —
+    downstream per-session analyses (funnels within sessions, session
+    joins) need the label on the event, not the rollup.
+
+    One hash shuffle on ``key_col`` and one per-partition sort serve both
+    window passes (lag + running sum share the frame), so the cost equals
+    a single keyed window at any scale; no driver involvement, skewed
+    keys split by AQE."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    new_session = (
+        prev.isNull()
+        | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}"))
+    ).cast("int")
+    run = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "session_id", F.sum(new_session).over(run).cast("bigint")
+    )
+
+
 def rolling_zscore(
     df: DataFrame,
     partition_by: Sequence[str],

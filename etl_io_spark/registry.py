@@ -2077,3 +2077,56 @@ def _resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         step="1 hour",
         tiebreak_col="event_id",
     )
+
+
+# ==========================================================================
+# Event-level sessionization (assignment twin of events_session_window)
+# ==========================================================================
+@register(
+    "sessionize_events",
+    """
+    WITH ordered AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+               AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(CASE WHEN prev_ts IS NULL
+                          OR ts > prev_ts + INTERVAL '30 minutes'
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM ordered
+    """,
+)
+def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    return win.sessionize(ev, "user_id", "ts", gap="30 minutes").select(
+        "event_id", "user_id", "session_id"
+    )
+
+
+# ==========================================================================
+# Corpus vocabulary construction: exact top-k token frequencies
+# ==========================================================================
+@register(
+    "vocab_top_tokens",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS w FROM documents),
+    counts AS (
+      SELECT t.token, COUNT(*) AS cnt
+      FROM toks, UNNEST(w) AS t(token)
+      GROUP BY t.token
+    )
+    SELECT token, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INT) AS rank
+    FROM counts
+    ORDER BY cnt DESC, token
+    LIMIT 100
+    """,
+)
+def _vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.vocab_top_tokens(
+        _cat(spark, sf_dir).table("documents"), "text", k=100
+    )

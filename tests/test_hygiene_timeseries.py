@@ -148,3 +148,46 @@ def test_resample_ffill_per_key_grid(spark):
     # key 1 spans 6 hourly buckets, key 2 exactly 1 — grids are per-key
     assert sum(1 for r in out if r["k"] == 1) == 6
     assert sum(1 for r in out if r["k"] == 2) == 1
+
+
+# ------------------------------------------------------------- sessionize
+def test_sessionize_gap_boundaries(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        Row(k=1, ts=t0 + i * m) for i in (0, 10, 20)  # one session
+    ] + [
+        Row(k=1, ts=t0 + 60 * m),  # 40-min gap: new session
+        Row(k=2, ts=t0),  # other key: own numbering
+    ]
+    out = win.sessionize(
+        spark.createDataFrame(rows), "k", "ts", gap="30 minutes"
+    ).collect()
+    sess = {(r["k"], r["ts"]): r["session_id"] for r in out}
+    assert sess[(1, t0)] == 1
+    assert sess[(1, t0 + 20 * m)] == 1
+    assert sess[(1, t0 + 60 * m)] == 2
+    assert sess[(2, t0)] == 1
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [Row(k=1, ts=t0), Row(k=1, ts=t0 + dt.timedelta(minutes=30))]
+    out = win.sessionize(
+        spark.createDataFrame(rows), "k", "ts", gap="30 minutes"
+    ).collect()
+    # boundary is strict (> gap), matching session_window semantics
+    assert {r["session_id"] for r in out} == {1}
+
+
+# ------------------------------------------------------------ vocab top-k
+def test_vocab_top_tokens_counts_and_ties(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="b a b c"), Row(doc_id=2, text="a b z")]
+    )
+    out = text.vocab_top_tokens(docs, "text", k=3).collect()
+    assert [(r["token"], r["cnt"], r["rank"]) for r in out] == [
+        ("b", 3, 1),
+        ("a", 2, 2),
+        ("c", 1, 3),  # tie with 'z' broken lexicographically
+    ]

@@ -1,12 +1,22 @@
 """Measure the DuckDB-oracle vs PySpark wall time per graded query and emit
-the BASELINE.md markdown table (protocol: warm run = 2nd of 3, sf0.1,
+the BASELINE.md markdown table (protocol: warm run = median of 3, sf0.1,
 both engines on the same parquet files, Spark forced via noop sink,
-DuckDB forced via fetchall)."""
+DuckDB forced via fetchall).
+
+Robustness: a run slower than ``SLOW_CUTOFF_S`` is not repeated (its first
+time stands — repetition is for JIT/cache warmup noise, which a 20 s+ run
+amortizes on its own), and every oracle runs under a watchdog that calls
+``con.interrupt()`` at ``BASELINE_ORACLE_TIMEOUT`` seconds (default 300) —
+some single-node oracles (recursive-CTE transitive closure at sf0.1) are
+asymptotically slower than the distributed plan and would otherwise run for
+hours; an aborted oracle is recorded as ``> {timeout}`` with the Spark time
+still measured."""
 
 from __future__ import annotations
 
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -17,15 +27,41 @@ from etl_io_spark.catalog import STAR_TABLES
 from etl_io_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SLOW_CUTOFF_S = 20.0
+ORACLE_TIMEOUT_S = float(os.environ.get("BASELINE_ORACLE_TIMEOUT", "300"))
 
 
 def _warm(fn, runs: int = 3) -> float:
+    """Median of up to ``runs`` executions; stop early once a single run
+    exceeds SLOW_CUTOFF_S (long runs self-amortize warmup noise)."""
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
+        if times[-1] > SLOW_CUTOFF_S:
+            break
     return sorted(times)[len(times) // 2]
+
+
+def _warm_oracle(con, sql: str) -> tuple[float, bool]:
+    """(median seconds, timed_out). The watchdog interrupts DuckDB at
+    ORACLE_TIMEOUT_S; the run count follows the same early-stop rule."""
+    times = []
+    for _ in range(3):
+        watchdog = threading.Timer(ORACLE_TIMEOUT_S, con.interrupt)
+        watchdog.start()
+        t0 = time.perf_counter()
+        try:
+            con.sql(sql).fetchall()
+        except duckdb.Error:
+            return time.perf_counter() - t0, True
+        finally:
+            watchdog.cancel()
+        times.append(time.perf_counter() - t0)
+        if times[-1] > SLOW_CUTOFF_S:
+            break
+    return sorted(times)[len(times) // 2], False
 
 
 def main() -> None:
@@ -44,21 +80,31 @@ def main() -> None:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     print("| query key | duckdb oracle (s) | pyspark (s) | ratio | notes |")
-    print("|---|---|---|---|---|")
+    print("|---|---|---|---|---|", flush=True)
     total_d = total_s = 0.0
     for name, fn in qs.items():
         df = fn(spark, SF_DIR)
         ts = _warm(lambda: df.write.format("noop").mode("overwrite").save())
+        timed_out = False
         if name in oracles:
-            td = _warm(lambda: con.sql(oracles[name]).fetchall())
-            note = ""
+            td, timed_out = _warm_oracle(con, oracles[name])
+            note = (
+                f"oracle aborted at {ORACLE_TIMEOUT_S:.0f} s "
+                "(single-node plan asymptotically slower); Spark measured"
+                if timed_out
+                else ""
+            )
         else:
             td, note = float("nan"), "no SQL oracle (approx/python op)"
-        total_s += ts
-        total_d += 0 if td != td else td
-        ratio = "—" if td != td else f"{ts / td:.1f}x"
-        td_s = "—" if td != td else f"{td:.2f}"
-        print(f"| {name} | {td_s} | {ts:.2f} | {ratio} | {note} |")
+        oracled = td == td and not timed_out
+        if oracled:
+            total_s += ts
+            total_d += td
+        ratio = f"{ts / td:.1f}x" if oracled else "—"
+        td_s = (
+            f"> {td:.0f}" if timed_out else "—" if td != td else f"{td:.2f}"
+        )
+        print(f"| {name} | {td_s} | {ts:.2f} | {ratio} | {note} |", flush=True)
     print(f"| **total (oracled)** | **{total_d:.2f}** | **{total_s:.2f}** | | |")
 
 
