@@ -55,6 +55,9 @@ class TableCatalog:
         # and oracle parity assumes UTC timestamp rendering.
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+        self.spark.conf.set(
+            "spark.sql.parquet.inferTimestampNTZ.enabled", "false"
+        )
         # cached subplans bypass AQE coalescing, so an untouched 200-default
         # would pin 200-task stages even on tiny data; respect any value the
         # user set explicitly.

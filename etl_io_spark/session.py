@@ -45,6 +45,10 @@ _DEFAULTS: dict[str, str] = {
     # nanosecond parquet timestamps (events.ts) surface as long; the
     # catalog converts them to microsecond timestamps lazily (catalog.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # microsecond parquet timestamps without isAdjustedToUTC must surface
+    # as session-TZ TIMESTAMP (UTC above), matching the DuckDB oracle's
+    # naive-timestamp rendering — not TIMESTAMP_NTZ.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # ANSI off: engine semantics are permissive like the reference
     # (bad casts -> null, not errors); flip per-query when needed.
     "spark.sql.ansi.enabled": "false",
