@@ -202,3 +202,49 @@ def cohort_retention(
         )
         .agg(F.countDistinct(entity_col).alias("active_users"))
     )
+
+
+def group_first_last(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    payload_col: str,
+) -> DataFrame:
+    """First and last ``payload_col`` per group under ``order_cols``
+    ordering (lexicographic; include a unique id as the final order
+    column for deterministic ties) — e.g. first/last event type per user.
+
+    One partial-aggregable shuffle: ``min_by``/``max_by`` against a
+    struct ordering key combine map-side, so the exchange carries one
+    row per (partition, group) — strictly cheaper at scale than the
+    window-sort + row_number formulation, which must shuffle every row
+    and sort each group."""
+    ordkey = F.struct(*[F.col(c) for c in order_cols])
+    return df.groupBy(*keys).agg(
+        F.min_by(payload_col, ordkey).alias(f"first_{payload_col}"),
+        F.max_by(payload_col, ordkey).alias(f"last_{payload_col}"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def corr_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    x: str,
+    y: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group bivariate statistics: Pearson correlation, sample
+    covariance, and per-variable sample stddev (absent from the
+    reference, which aggregates only sum/count/product — SURVEY.md §2.4).
+
+    All four moments are partial-aggregable (Spark computes them with
+    single-pass co-moment merge formulas), so this is one map-side-combine
+    shuffle regardless of data size."""
+    return df.groupBy(*keys).agg(
+        F.round(F.corr(x, y), round_to).alias("corr_xy"),
+        F.round(F.covar_samp(x, y), round_to).alias("covar_xy"),
+        F.round(F.stddev_samp(x), round_to).alias("stddev_x"),
+        F.round(F.stddev_samp(y), round_to).alias("stddev_y"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

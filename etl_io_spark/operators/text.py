@@ -315,16 +315,25 @@ def contamination(
     key is the doc id. ``contaminated`` uses exact integer arithmetic
     (matched*10 >= total, i.e. ≥10% overlap) — no float threshold edge.
     """
-    grams = word_ngrams(text_col, n)
+    # tokenize into a real column BEFORE shingling: word_ngrams references
+    # its token array once per element inside the transform lambda, so an
+    # inline split expression would re-tokenize the text per shingle
+    # (quadratic in doc length; measured 14x slower at sf0.1)
     bench_grams = (
         bench_df.select(
-            F.explode(word_ngrams(bench_text_col or text_col, n)).alias("__g")
+            tokens(bench_text_col or text_col).alias("__btoks")
         )
+        .select(F.explode(word_ngrams(F.col("__btoks"), n)).alias("__g"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    exploded = spread(df).select(
-        F.col(id_col), F.explode_outer(grams).alias("__g")
+    exploded = (
+        spread(df)
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode_outer(word_ngrams(F.col("__toks"), n)).alias("__g"),
+        )
     )
     return (
         exploded.join(F.broadcast(bench_grams), "__g", "left")
@@ -376,13 +385,22 @@ def repetition_features(
             6,
         )
 
-    toks = tokens(text_col)
-    return spread(df).select(
+    # tokenize (and build each n-gram array) as real columns in separate
+    # projections: referencing an inline split expression from inside the
+    # n-gram transform lambda re-splits the text per element (quadratic in
+    # doc length — measured 14x slower at sf0.1). Catalyst keeps the
+    # stages separate because the aliases are non-cheap and multiply
+    # referenced.
+    toked = spread(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    grams = toked.withColumn(
+        "__bi", word_ngrams(F.col("__toks"), 2)
+    ).withColumn("__tri", word_ngrams(F.col("__toks"), 3))
+    return grams.select(
         F.col(id_col),
-        F.size(toks).alias("n_words"),
-        dup_frac(toks).alias("dup_word_frac"),
-        dup_frac(word_ngrams(toks, 2)).alias("dup_bigram_frac"),
-        dup_frac(word_ngrams(toks, 3)).alias("dup_trigram_frac"),
+        F.size("__toks").alias("n_words"),
+        dup_frac(F.col("__toks")).alias("dup_word_frac"),
+        dup_frac(F.col("__bi")).alias("dup_bigram_frac"),
+        dup_frac(F.col("__tri")).alias("dup_trigram_frac"),
     )
 
 
@@ -409,7 +427,7 @@ def pmi_collocations(
     """
     from pyspark.sql import Window
 
-    toks = tokens(text_col)
+    toks = F.col("__toks")
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -417,6 +435,9 @@ def pmi_collocations(
     )
     bg = (
         spread(df)
+        # tokenize once into a column: the bigram expression references the
+        # token array four times (two slices + two sizes)
+        .select(tokens(text_col).alias("__toks"))
         .select(F.explode(bigrams).alias("__b"))
         .select("__b.w1", "__b.w2")
         .groupBy("w1", "w2")
@@ -461,4 +482,74 @@ def pmi_collocations(
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select("w1", "w2", "c12", "pmi", "rank")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    round_to: int = 4,
+) -> DataFrame:
+    """Full-corpus BM25 ranking for a literal query-term list: the
+    classic lexical retrieval scorer (Robertson/Spärck Jones; the
+    ``+1``-inside-the-log idf variant, so scores are always >= 0).
+
+    Plan shape: one map pass computes per-doc length + per-term tf
+    (codegen'd array ops, no explode — the query is a small literal so
+    each term is its own column); one partial-aggregable global aggregate
+    produces N / avgdl / per-term document frequencies (a single 1-row
+    result, broadcast back via cross join); scoring is then pure map and
+    the top-k plans as TakeOrderedAndProject. Two scans of nothing but
+    (id, tokens): at 100 TB this is the cheapest exact formulation —
+    no inverted index needed for a bounded query set.
+    """
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__dl", F.size("__toks")
+    )
+    def _eq(term: str):
+        # a 1-arg lambda per term: a default-arg lambda would have arity 2
+        # and F.filter would bind the element *index* to it
+        return lambda x: x == F.lit(term)
+
+    for i, t in enumerate(query_terms):
+        base = base.withColumn(
+            f"__tf{i}", F.size(F.filter(F.col("__toks"), _eq(t)))
+        )
+    base = base.drop("__toks")
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.join(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"__tf{i}").cast("double")
+        idf = F.log(
+            (F.col("__N") - F.col(f"__df{i}") + 0.5)
+            / (F.col(f"__df{i}") + 0.5)
+            + 1.0
+        )
+        term = (idf * (tf * (k1 + 1))) / (
+            tf + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+        )
+        score = term if score is None else score + term
+    hit = None
+    for i in range(len(query_terms)):
+        h = F.col(f"__tf{i}") > 0
+        hit = h if hit is None else hit | h
+    return (
+        scored.where(hit)
+        .select(F.col(id_col), F.round(score, round_to).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
     )

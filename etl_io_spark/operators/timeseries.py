@@ -82,3 +82,30 @@ def resample_ffill(
             F.col("__v").isNull().alias("filled"),
         )
     )
+
+
+def rolling_avg_time(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 3600,
+    round_to: int = 4,
+) -> DataFrame:
+    """Time-based trailing average: for every row, the mean of
+    ``value_col`` over the last ``window_seconds`` (inclusive) within the
+    same key — a RANGE window over real timestamps, not a row-count
+    frame, so irregular event spacing is handled exactly.
+
+    One keyed shuffle + one window sort. The frame is expressed in
+    microseconds over ``unix_micros(ts)`` so sub-second event spacing
+    still resolves; equal timestamps are frame-peers (RANGE semantics)
+    in both Spark and the SQL oracle."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-(window_seconds * 1_000_000), 0)
+    )
+    return df.withColumn(
+        f"rolling_avg_{value_col}", F.round(F.avg(value_col).over(w), round_to)
+    )

@@ -221,3 +221,49 @@ def pii_redact(
     return spread(df).select(
         F.col(id_col), *counts, out.alias("redacted_text")
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    min_quality: float = 0.7,
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """End-to-end corpus curation: quality gate -> exact dedup (keep the
+    lowest id per identical text) -> deterministic split assignment ->
+    per-split corpus accounting. The canonical pre-training data path,
+    composed from this engine's graded primitives (``quality_features``
+    semantics, ``hash60`` content keys, ``split_assign`` ring).
+
+    Shuffle budget: one window over the 60-bit content key (dedup), one
+    final tiny aggregate. The quality gate and split assignment are pure
+    map stages fused around them; at 100 TB the content-key exchange is
+    the only data-sized transfer.
+    """
+    from etl_io_spark.operators.text import punct_ratio, stopword_ratio
+
+    n_words = F.size(tokens(text_col))
+    score = (
+        F.when((n_words >= 20) & (n_words <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(stopword_ratio(text_col) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio(text_col) <= 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    gated = (
+        spread(df)
+        .select(F.col(id_col), F.col(text_col), n_words.alias("__nw"))
+        .withColumn("__q", F.round(score, 2))
+        .where((F.col("__nw") >= min_words) & (F.col("__q") >= min_quality))
+    )
+    w = Window.partitionBy(hash60(F.col(text_col)))
+    deduped = gated.withColumn("__keep", F.min(id_col).over(w)).where(
+        F.col(id_col) == F.col("__keep")
+    )
+    split = split_assign(deduped, id_col, train=train, val=val)
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nw").alias("total_words"),
+        F.round(F.avg("__q"), 4).alias("avg_quality"),
+    )

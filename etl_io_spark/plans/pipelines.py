@@ -71,3 +71,156 @@ WHERE l_shipdate <= TIMESTAMP '2000-12-01'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+def shipping_priority(
+    cat: TableCatalog, segment: str = "BUILDING", cutoff: str = "1998-06-01"
+) -> DataFrame:
+    """Multi-join top-k (TPC-H Q3 shape): revenue of unshipped orders.
+
+    Analogue of chaining the reference's dim-filter -> fact-join passes
+    (etl_io.py:347-386) across two fact tables. Catalyst broadcasts the
+    filtered ``customer`` dim into ``orders``, then shuffle-joins the
+    order keys into ``lineitem``; the final top-k plans as
+    TakeOrderedAndProject (no global sort). Both date filters reach the
+    parquet scans as pushed predicates.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    cust = cat.table("customer").where(F.col("c_mktsegment") == segment)
+    orders = cat.table("orders").where(F.col("o_orderdate") < cut)
+    li = cat.table("lineitem").where(F.col("l_shipdate") > cut)
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def regional_revenue(cat: TableCatalog, region: str = "ASIA") -> DataFrame:
+    """Six-table star join (TPC-H Q5 shape): revenue by nation within one
+    region, counting only lineitems whose supplier and customer share the
+    nation.
+
+    The dim chain region->nation->customer is tiny and broadcasts end to
+    end; ``supplier`` broadcasts too, so the only shuffle-sized joins are
+    fact-to-fact (orders |x| lineitem). The supplier/customer co-nation
+    constraint rides on the supplier join condition rather than a
+    post-filter, so it prunes rows before the aggregate.
+    """
+    nat = (
+        cat.table("region")
+        .where(F.col("r_name") == region)
+        .join(cat.table("nation"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    cust = cat.table("customer").join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    sup = cat.table("supplier").select("s_suppkey", "s_nationkey")
+    return (
+        cat.table("lineitem")
+        .join(
+            cat.table("orders").join(
+                F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+REGIONAL_REVENUE_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def returned_customers(
+    cat: TableCatalog, start: str = "1998-01-01", end: str = "1998-07-01"
+) -> DataFrame:
+    """Returned-item ranking (TPC-H Q10 shape): top 20 customers by lost
+    revenue from returned lineitems in a half-year window.
+
+    Group keys carry the customer attributes (so no re-join after the
+    agg); the date predicate pushes to the orders scan and the returnflag
+    predicate to the lineitem scan.
+    """
+    orders = cat.table("orders").where(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    )
+    li = cat.table("lineitem").where(F.col("l_returnflag") == "R")
+    cust = cat.table("customer").join(
+        F.broadcast(cat.table("nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+RETURNED_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""

@@ -2130,3 +2130,196 @@ def _vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_top_tokens(
         _cat(spark, sf_dir).table("documents"), "text", k=100
     )
+
+
+# ==========================================================================
+# Multi-join analytics (TPC-H Q3/Q5/Q10 shapes; plans/pipelines.py) —
+# chained dim-filter -> fact-join passes (etl_io.py:347-386) at star scale
+# ==========================================================================
+@register("shipping_priority", pipelines.SHIPPING_PRIORITY_SQL)
+def _shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.shipping_priority(_cat(spark, sf_dir))
+
+
+@register("regional_revenue", pipelines.REGIONAL_REVENUE_SQL)
+def _regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.regional_revenue(_cat(spark, sf_dir))
+
+
+@register("returned_customers", pipelines.RETURNED_CUSTOMERS_SQL)
+def _returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.returned_customers(_cat(spark, sf_dir))
+
+
+# ==========================================================================
+# First/last per group via min_by/max_by (one partial-agg shuffle)
+# ==========================================================================
+@register(
+    "first_last_event",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_d,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_rows
+      FROM events
+    )
+    SELECT user_id,
+           MAX(CASE WHEN rn_a = 1 THEN event_type END) AS first_event_type,
+           MAX(CASE WHEN rn_d = 1 THEN event_type END) AS last_event_type,
+           MAX(n_rows) AS n_rows
+    FROM ranked GROUP BY user_id
+    """,
+)
+def _first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    return agg.group_first_last(
+        ev, ["user_id"], ["ts", "event_id"], "event_type"
+    )
+
+
+# ==========================================================================
+# Bivariate statistics: corr / covar / stddev per group (single-pass
+# co-moment merge; absent from the reference's sum/count/product set)
+# ==========================================================================
+@register(
+    "corr_stats_flags",
+    """
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_xy,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 6) AS covar_xy,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS stddev_x,
+           ROUND(STDDEV_SAMP(l_extendedprice), 6) AS stddev_y,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def _corr_stats_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _cat(spark, sf_dir).table("lineitem")
+    return agg.corr_stats(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+
+
+# ==========================================================================
+# Time-based trailing average (RANGE window over real timestamps)
+# ==========================================================================
+@register(
+    "rolling_avg_events",
+    """
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+           ROUND(value, 2) AS value, props,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ), 4) AS rolling_avg_value
+    FROM events
+    """,
+)
+def _rolling_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    out = timeseries.rolling_avg_time(
+        ev, "user_id", "ts", "value", window_seconds=3600
+    )
+    return out.withColumn("value", F.round("value", 2))
+
+
+# ==========================================================================
+# BM25 lexical retrieval over the documents corpus (operators/text.py).
+# Constants are written as the same arithmetic in both engines (1.2 + 1,
+# 1 - 0.75 + ...) so IEEE evaluation is bit-identical before rounding.
+# ==========================================================================
+_BM25_TERMS = ("spark", "window", "merge")
+_BM25_TF_SQL = ",\n         ".join(
+    f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+    for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_DF_SQL = ", ".join(
+    f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+    for i in range(len(_BM25_TERMS))
+)
+_BM25_SCORE_SQL = "\n         + ".join(
+    f"ln((N - df{i} + 0.5) / (df{i} + 0.5) + 1.0) * (tf{i} * (1.2 + 1))"
+    f" / (tf{i} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+    for i in range(len(_BM25_TERMS))
+)
+_BM25_HIT_SQL = " OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, len(toks) AS dl,
+         {_BM25_TF_SQL}
+      FROM t
+    ),
+    stats AS (
+      SELECT COUNT(*) AS N, AVG(dl) AS avgdl, {_BM25_DF_SQL} FROM base
+    )
+    SELECT doc_id,
+           ROUND({_BM25_SCORE_SQL}, 4) AS bm25
+    FROM base, stats
+    WHERE {_BM25_HIT_SQL}
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    return text.bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=20)
+
+
+# ==========================================================================
+# End-to-end corpus curation (operators/training.py): quality gate ->
+# exact dedup keep-lowest-id -> hash split -> per-split accounting
+# ==========================================================================
+@register(
+    "corpus_curation",
+    f"""
+    WITH f AS (
+      SELECT doc_id, text, len({_DUCK_TOKS}) AS nw,
+             CASE WHEN LENGTH(text) > 0
+                  THEN (LENGTH(text)
+                        - LENGTH(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                       * 1.0 / LENGTH(text)
+                  ELSE 0.0 END AS pr,
+             CASE WHEN len({_DUCK_TOKS}) > 0
+                  THEN len(regexp_extract_all(text, '\\b(the|a|and|of|to|in|is|it)\\b')) * 1.0
+                       / len({_DUCK_TOKS})
+                  ELSE 0.0 END AS sw
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, text, nw,
+             ROUND((CASE WHEN nw BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+                 + (CASE WHEN sw >= 0.05 THEN 0.3 ELSE 0.0 END)
+                 + (CASE WHEN pr <= 0.1 THEN 0.3 ELSE 0.0 END), 2) AS q
+      FROM f
+    ),
+    gated AS (
+      SELECT * FROM q WHERE nw >= 5 AND q >= 0.7
+    ),
+    deduped AS (
+      SELECT * FROM gated
+      QUALIFY doc_id = MIN(doc_id) OVER (
+        PARTITION BY CAST(('0x' || substring(md5(text),1,15)) AS BIGINT))
+    ),
+    split AS (
+      SELECT nw, q,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 10000 < 8000 THEN 'train'
+                  WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 10000 < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM deduped
+    )
+    SELECT split, COUNT(*) AS n_docs, SUM(nw) AS total_words,
+           ROUND(AVG(q), 4) AS avg_quality
+    FROM split GROUP BY split
+    """,
+)
+def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    return training.curate_corpus(docs, "doc_id", "text")

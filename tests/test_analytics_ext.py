@@ -1,0 +1,157 @@
+"""Tests for the multi-join analytics pipelines (TPC-H Q3/Q5/Q10 shapes)
+and the corr/first-last/rolling-avg/BM25/curation operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_io_spark.operators import aggregate as agg, text, timeseries, training
+from etl_io_spark.plans import pipelines
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shape pipelines: result sanity + plan shape
+# --------------------------------------------------------------------------
+def test_shipping_priority_topk_and_broadcast(cat):
+    df = pipelines.shipping_priority(cat)
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+
+def test_regional_revenue_broadcasts_all_dims(cat):
+    df = pipelines.regional_revenue(cat)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert all(r["revenue"] > 0 for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # customer-chain and supplier joins must both be broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_returned_customers_filter_pushdown(cat):
+    df = pipelines.returned_customers(cat)
+    assert df.count() <= 20
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+# --------------------------------------------------------------------------
+# group_first_last: hand-computed, tie broken by second order column
+# --------------------------------------------------------------------------
+def test_group_first_last_handcomputed(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", t0, 1, "view"),
+        ("u1", t0 + dt.timedelta(hours=1), 2, "click"),
+        ("u1", t0 + dt.timedelta(hours=2), 3, "buy"),
+        # u2: two events at the SAME ts -> id breaks the tie
+        ("u2", t0, 5, "b"),
+        ("u2", t0, 4, "a"),
+    ]
+    df = spark.createDataFrame(rows, ["user", "ts", "id", "etype"])
+    out = {
+        r["user"]: r
+        for r in agg.group_first_last(df, ["user"], ["ts", "id"], "etype").collect()
+    }
+    assert out["u1"]["first_etype"] == "view"
+    assert out["u1"]["last_etype"] == "buy"
+    assert out["u1"]["n_rows"] == 3
+    assert out["u2"]["first_etype"] == "a"  # id=4 before id=5 at equal ts
+    assert out["u2"]["last_etype"] == "b"
+
+
+def test_group_first_last_single_shuffle(spark, cat):
+    df = agg.group_first_last(
+        cat.table("events"), ["user_id"], ["ts", "event_id"], "event_type"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # partial-agg combine, no window sort
+
+
+# --------------------------------------------------------------------------
+# corr_stats: exact small-sample check
+# --------------------------------------------------------------------------
+def test_corr_stats_handcomputed(spark):
+    # y = 2x exactly -> corr 1, covar_samp = 2*var_samp(x)
+    df = spark.createDataFrame(
+        [("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0)], ["k", "x", "y"]
+    )
+    r = agg.corr_stats(df, ["k"], "x", "y").collect()[0]
+    assert r["corr_xy"] == pytest.approx(1.0)
+    assert r["covar_xy"] == pytest.approx(2.0)  # var_samp(x)=1
+    assert r["stddev_x"] == pytest.approx(1.0)
+    assert r["n_rows"] == 3
+
+
+# --------------------------------------------------------------------------
+# rolling_avg_time: exact trailing-window semantics
+# --------------------------------------------------------------------------
+def test_rolling_avg_time_window_edges(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", t0, 10.0),
+        ("k", t0 + dt.timedelta(seconds=3600), 20.0),  # exactly 1h: included
+        ("k", t0 + dt.timedelta(seconds=7201), 40.0),  # >1h after 2nd: alone...
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = timeseries.rolling_avg_time(df, "k", "ts", "v", window_seconds=3600)
+    vals = {r["ts"]: r["rolling_avg_v"] for r in out.collect()}
+    assert vals[t0] == 10.0
+    assert vals[t0 + dt.timedelta(seconds=3600)] == 15.0  # inclusive boundary
+    assert vals[t0 + dt.timedelta(seconds=7201)] == 40.0  # prior row aged out
+
+
+# --------------------------------------------------------------------------
+# BM25: hand-computed score on a 3-doc corpus
+# --------------------------------------------------------------------------
+def test_bm25_handcomputed(spark):
+    docs = [
+        (1, "spark spark join"),
+        (2, "join filter"),
+        (3, "filter scan sort"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r["bm25"] for r in
+           text.bm25_topk(df, "doc_id", "text", ["spark"], k=10).collect()}
+    # only doc 1 contains 'spark'
+    assert set(out) == {1}
+    N, df_t, dl, avgdl, tf = 3, 1, 3, (3 + 2 + 3) / 3, 2
+    idf = math.log((N - df_t + 0.5) / (df_t + 0.5) + 1.0)
+    expected = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert out[1] == pytest.approx(expected, abs=1e-4)
+
+
+def test_bm25_ranks_by_term_density(cat):
+    out = text.bm25_topk(
+        cat.table("documents"), "doc_id", "text", ["spark", "window"], k=20
+    ).collect()
+    assert len(out) == 20
+    scores = [r["bm25"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 0 for s in scores)
+
+
+# --------------------------------------------------------------------------
+# curate_corpus: splits partition the gated corpus, dedup removes clones
+# --------------------------------------------------------------------------
+def test_curate_corpus_dedups_and_splits(spark):
+    good = "the fast join and sort of the scan to the merge in the table " * 3
+    rows = [(i, good + f"tail{i}") for i in range(40)]
+    rows += [(100, good + "tail0")]  # exact clone of doc 0 -> dropped
+    rows += [(200, "short doc")]  # fails min_words -> dropped
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = training.curate_corpus(df, "doc_id", "text")
+    agg_rows = out.collect()
+    assert sum(r["n_docs"] for r in agg_rows) == 40  # clone + short removed
+    assert set(r["split"] for r in agg_rows) <= {"train", "val", "test"}
+    assert all(r["avg_quality"] >= 0.7 for r in agg_rows)
