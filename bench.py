@@ -66,6 +66,16 @@ HEADLINE = [
     "histogram_price",
     "anomaly_zscore_events",
     "resample_ffill_events",
+    "shipping_priority",
+    "regional_revenue",
+    "returned_customers",
+    "first_last_event",
+    "corr_stats_flags",
+    "rolling_avg_events",
+    "bm25_search",
+    "corpus_curation",
+    "market_basket_pairs",
+    "trending_event_types",
 ]
 
 

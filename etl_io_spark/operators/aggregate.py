@@ -248,3 +248,57 @@ def corr_stats(
         F.round(F.stddev_samp(y), round_to).alias("stddev_y"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Market-basket co-occurrence mining: the top-``k`` unordered item
+    pairs appearing together in the most baskets (e.g. part pairs within
+    an order).
+
+    Implemented as distinct-items-per-basket (one partial-agg shuffle via
+    ``collect_set``) followed by a map-side pair expansion of each
+    basket's sorted item array and one pair-count shuffle. Versus the
+    naive self-join formulation this shuffles the fact table ONCE instead
+    of twice, and the expansion is bounded by basket size squared locally
+    — at 100 TB the self-join's second full shuffle (plus its skew on hot
+    items) is the bottleneck this avoids. Pairs are canonical (a < b), so
+    counts are unordered-pair frequencies; top-k plans as
+    TakeOrderedAndProject."""
+    baskets = (
+        df.groupBy(basket_col)
+        .agg(F.array_sort(F.collect_set(item_col)).alias("__items"))
+        # singleton baskets produce no pairs; drop them BEFORE expansion
+        # (also guards sequence(), which would descend for n < 2)
+        .where(F.size("__items") >= 2)
+    )
+    n = F.size("__items")
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, n),
+                        lambda j: F.struct(
+                            F.element_at("__items", i).alias("item_a"),
+                            F.element_at("__items", j).alias("item_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p")
+    )
+    return (
+        pairs.select("__p.item_a", "__p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .where(F.col("n_baskets") >= min_count)
+        .orderBy(F.col("n_baskets").desc(), "item_a", "item_b")
+        .limit(k)
+    )

@@ -2323,3 +2323,62 @@ def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _cat(spark, sf_dir).table("documents")
     return training.curate_corpus(docs, "doc_id", "text")
+
+
+# ==========================================================================
+# Market-basket co-occurrence mining (operators/aggregate.py): top part
+# pairs within orders — one fact shuffle + map-side pair expansion; the
+# oracle proves equivalence to the naive self-join formulation
+# ==========================================================================
+@register(
+    "market_basket_pairs",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS item_a, c.l_partkey AS item_b,
+           COUNT(*) AS n_baskets
+    FROM b a JOIN b c
+      ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY n_baskets DESC, item_a, item_b
+    LIMIT 50
+    """,
+)
+def _market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _cat(spark, sf_dir).table("lineitem")
+    return agg.cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2, k=50)
+
+
+# ==========================================================================
+# Trending event types: top-3 per tumbling window (window agg + ranked
+# window function sharing one keyed sort)
+# ==========================================================================
+@register(
+    "trending_event_types",
+    """
+    WITH counted AS (
+      SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY window_start ORDER BY n DESC, event_type) AS rn
+      FROM counted
+    ) WHERE rn <= 3
+    """,
+)
+def _trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    counted = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return win.top_k_per_group(
+        counted,
+        ["window_start"],
+        [F.col("n").desc(), F.col("event_type")],
+        k=3,
+    )

@@ -155,3 +155,37 @@ def test_curate_corpus_dedups_and_splits(spark):
     assert sum(r["n_docs"] for r in agg_rows) == 40  # clone + short removed
     assert set(r["split"] for r in agg_rows) <= {"train", "val", "test"}
     assert all(r["avg_quality"] >= 0.7 for r in agg_rows)
+
+
+# --------------------------------------------------------------------------
+# cooccurrence_pairs: hand-computed baskets; singleton baskets ignored
+# --------------------------------------------------------------------------
+def test_cooccurrence_pairs_handcomputed(spark):
+    rows = [
+        ("o1", "a"), ("o1", "b"), ("o1", "c"),
+        ("o2", "a"), ("o2", "b"),
+        ("o3", "a"), ("o3", "b"),
+        ("o4", "z"),                      # singleton: no pairs
+        ("o5", "a"), ("o5", "a"),         # dup item: collapses, singleton
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {(r["item_a"], r["item_b"]): r["n_baskets"]
+           for r in agg.cooccurrence_pairs(df, "basket", "item", min_count=2).collect()}
+    assert out == {("a", "b"): 3}  # a-c / b-c appear once -> below min_count
+
+
+def test_trending_event_types_rank_bounds(spark, cat):
+    from etl_io_spark import registry
+
+    df = registry.queries()["trending_event_types"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows
+    assert all(1 <= r["rn"] <= 3 for r in rows)
+    # within a window, rank follows count desc
+    by_w = {}
+    for r in rows:
+        by_w.setdefault(r["window_start"], []).append(r)
+    for grp in by_w.values():
+        grp.sort(key=lambda r: r["rn"])
+        ns = [r["n"] for r in grp]
+        assert ns == sorted(ns, reverse=True)
