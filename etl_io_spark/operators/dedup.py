@@ -361,7 +361,8 @@ def connected_components(
     pairs: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
-    max_iter: int = 25,
+    max_iter: int = 60,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list → ``(id, cluster_id)``
     where ``cluster_id`` is the minimum node id in the component — the
@@ -374,16 +375,37 @@ def connected_components(
     halving), so convergence is O(log n) rounds on ANY topology —
     including near-dup chains (id k ~ id k+1) that would take
     diameter-many rounds under plain propagation. Each round is two keyed
-    joins + one groupBy; no driver-side graph. Every round's result is
-    ``localCheckpoint``-ed: iterative DataFrame loops otherwise nest the
-    plan (doubled here by the self-join), and an exponentially growing
-    logical plan OOMs the analyzer near round ~15 regardless of data
-    size. Everything stays distributed — at 100 TB the label table is as
-    big as the dup-graph node set, far too big to collect for a
-    driver-side union-find. (On a real cluster prefer
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
-    executor-loss resilience; localCheckpoint is the single-node form.)
+    joins + one groupBy; no driver-side graph. Everything stays
+    distributed — at 100 TB the label table is as big as the dup-graph
+    node set, far too big to collect for a driver-side union-find.
+
+    Each round's labels are CHECKPOINTED TO PARQUET (``checkpoint_dir``,
+    default a fresh temp dir; pass a cluster-visible path on a real
+    cluster). Iterative DataFrame loops otherwise nest the plan (doubled
+    here by the self-join) and OOM the analyzer near round ~15; and
+    ``localCheckpoint`` — the in-memory alternative — was measured to
+    degrade EXPONENTIALLY per round on long convergence tails (1.2 s →
+    288 s by round 23 on a 10 k-edge graph) even though plans, partition
+    counts and data sizes stay constant, so a file-based severance is the
+    only formulation that holds up. Prior-round checkpoint dirs are
+    deleted as the loop advances; the final round's files back the
+    returned DataFrame and are left for the caller/session cleanup.
     """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = pairs.sparkSession
+    base = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"etl_io_cc_{uuid.uuid4().hex}"
+    )
+    local_fs = checkpoint_dir is None
+
+    def _ckpt(df: DataFrame, tag: str) -> DataFrame:
+        path = os.path.join(base, tag)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
     # both orientations in ONE pass over pairs (a union of two selects
     # would evaluate the upstream pair pipeline twice)
     edges = pairs.select(
@@ -402,12 +424,14 @@ def connected_components(
     # the init aggregation for free (each driver-synchronized round costs
     # a full job of fixed scheduler overhead; star components converge at
     # init this way)
-    labels = (
-        edges.groupBy(F.col("src").alias("id"))
-        .agg(F.least(F.first("src"), F.min("dst")).alias("label"))
-        .localCheckpoint()  # eager: materializes + truncates lineage
+    labels = _ckpt(
+        edges.groupBy(F.col("src").alias("id")).agg(
+            F.least(F.first("src"), F.min("dst")).alias("label")
+        ),
+        "r_init",
     )
-    for _ in range(max_iter):
+    prev_tag = "r_init"
+    for r in range(max_iter):
         prop = edges.join(labels, edges["dst"] == labels["id"]).select(
             F.col("src").alias("id"), "label"
         )
@@ -419,9 +443,11 @@ def connected_components(
         )
         # pointer-jumping (path halving): follow the label's own label.
         # Labels are always node ids, so the self-join always hits
-        # (coalesce guards the root, whose label is itself). The eager
-        # localCheckpoint materializes the round AND truncates the plan.
-        new_labels = (
+        # (coalesce guards the root, whose label is itself). One hop per
+        # round: doubled halving was measured SLOWER (54 s vs 46 s on the
+        # sf0.1 name graph) — the convergence tail is edge-propagation-
+        # limited, so extra label compression buys nothing.
+        new_labels = _ckpt(
             stepped.alias("l")
             .join(
                 stepped.select(
@@ -434,8 +460,8 @@ def connected_components(
             .select(
                 F.col("l.id").alias("id"),
                 F.coalesce("__plabel", "l.label").alias("label"),
-            )
-            .localCheckpoint()
+            ),
+            f"r{r}",
         )
         changed = (
             new_labels.alias("n")
@@ -445,6 +471,9 @@ def connected_components(
         )
         stepped.unpersist()
         labels = new_labels
+        if local_fs:  # prior round fully consumed by the changed-count job
+            shutil.rmtree(os.path.join(base, prev_tag), ignore_errors=True)
+        prev_tag = f"r{r}"
         if changed == 0:
             break
     edges.unpersist()
