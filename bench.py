@@ -76,6 +76,9 @@ HEADLINE = [
     "corpus_curation",
     "market_basket_pairs",
     "trending_event_types",
+    "winsorize_prices",
+    "incremental_dedup",
+    "sketch_rollup_users",
 ]
 
 

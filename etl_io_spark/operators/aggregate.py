@@ -302,3 +302,72 @@ def cooccurrence_pairs(
         .orderBy(F.col("n_baskets").desc(), "item_a", "item_b")
         .limit(k)
     )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    round_to: int = 2,
+) -> DataFrame:
+    """Per-group winsorization: clip ``col`` to its group's
+    [``lower``, ``upper``] exact quantiles (linear interpolation) — the
+    standard outlier-robust normalization before aggregation/modeling.
+
+    Two passes: ``exact_percentiles`` computes the per-group bounds (one
+    keyed window sort), which join back broadcast (group count is small
+    by construction) for a pure-map clip. The clipped column is added as
+    ``{col}_wins``; original rows/columns pass through."""
+    bounds = exact_percentiles(
+        df, keys, col, [lower, upper], round_to=9
+    )
+    lo_c = f"p{int(round(lower * 100))}"
+    hi_c = f"p{int(round(upper * 100))}"
+    return (
+        df.join(F.broadcast(bounds), list(keys))
+        .withColumn(
+            f"{col}_wins",
+            F.round(
+                F.least(
+                    F.greatest(F.col(col), F.col(lo_c)), F.col(hi_c)
+                ),
+                round_to,
+            ),
+        )
+        .drop(lo_c, hi_c)
+    )
+
+
+def sketch_rollup_distinct(
+    df: DataFrame,
+    fine_key: Column | str,
+    coarse_key: Column | str,
+    count_col: str,
+    fine_alias: str = "fine",
+    coarse_alias: str = "coarse",
+) -> DataFrame:
+    """Two-level distinct counting via mergeable HLL sketches: per-fine-
+    bucket sketches (``hll_sketch_agg``) are UNIONED (``hll_union_agg``)
+    into coarse buckets without rescanning the fact table — the only
+    distinct-count formulation that scales to 100 TB rollups, because
+    exact countDistinct cannot reuse finer aggregates (distinct sets
+    don't add) while sketches merge losslessly.
+
+    Returns one row per coarse bucket: the merged estimate plus the
+    number of fine buckets it covers. Approximate (~2% typical HLL
+    error) — pair with an exactness test at small scale."""
+    fine = fine_key if isinstance(fine_key, Column) else F.col(fine_key)
+    coarse = (
+        coarse_key if isinstance(coarse_key, Column) else F.col(coarse_key)
+    )
+    per_fine = df.groupBy(
+        fine.alias(fine_alias), coarse.alias(coarse_alias)
+    ).agg(F.hll_sketch_agg(count_col).alias("__sk"))
+    return per_fine.groupBy(coarse_alias).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias(
+            f"approx_distinct_{count_col}"
+        ),
+        F.count(F.lit(1)).alias("n_fine_buckets"),
+    )

@@ -631,3 +631,53 @@ def fuzzy_pairs_segmented(
         .select("a", "b", F.levenshtein("ta", "tb", k).alias("dist"))
         .where(F.col("dist") >= 0)
     )
+
+
+def incremental_exact_dedup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental corpus dedup: flag each incoming document whose exact
+    content (60-bit content hash) already exists in the reference corpus,
+    and dedup the incoming batch against itself (keep the lowest id per
+    content). The standard ingestion gate for a growing training corpus —
+    new data is checked against what's already landed without ever
+    re-deduping the full corpus.
+
+    Plan: both sides reduce to (content_key) / (id, content_key) — the
+    corpus side aggregates to DISTINCT keys first, so the join input is
+    bounded by unique contents, not corpus rows. One shuffle each side on
+    the content key; the within-batch keep is a min-by on the same key
+    (no extra exchange — AQE reuses the partitioning). At 100 TB the
+    corpus key set is far smaller than the corpus and can be maintained
+    as its own table.
+
+    Returns incoming ids with ``in_corpus`` (exact text already landed)
+    and ``keep`` (first occurrence within the batch AND not in corpus).
+    """
+    from etl_io_spark.operators.text import hash60
+
+    inc = incoming.select(
+        F.col(id_col), hash60(F.col(text_col)).alias("__k")
+    )
+    seen = corpus.select(hash60(F.col(text_col)).alias("__k")).distinct()
+    flagged = inc.join(
+        seen.withColumn("__hit", F.lit(True)), "__k", "left"
+    ).select(
+        id_col, "__k", F.coalesce("__hit", F.lit(False)).alias("in_corpus")
+    )
+    w_min = F.min_by(F.col(id_col), F.col(id_col))
+    first_ids = flagged.groupBy("__k").agg(w_min.alias("__first"))
+    return (
+        flagged.join(first_ids, "__k")
+        .select(
+            id_col,
+            "in_corpus",
+            (
+                (F.col(id_col) == F.col("__first"))
+                & ~F.col("in_corpus")
+            ).alias("keep"),
+        )
+    )

@@ -2382,3 +2382,81 @@ def _trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("n").desc(), F.col("event_type")],
         k=3,
     )
+
+
+# ==========================================================================
+# Winsorization: per-group exact-quantile clipping (operators/aggregate.py)
+# ==========================================================================
+@register(
+    "winsorize_prices",
+    """
+    WITH bounds AS (
+      SELECT l_returnflag AS k,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_orderkey, l_linenumber,
+           ROUND(LEAST(GREATEST(l_extendedprice, ROUND(lo, 9)), ROUND(hi, 9)), 2)
+             AS l_extendedprice_wins
+    FROM lineitem JOIN bounds ON l_returnflag = k
+    """,
+)
+def _winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _cat(spark, sf_dir).table("lineitem")
+    return agg.winsorize(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+        ["l_returnflag"],
+        "l_extendedprice",
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice_wins")
+
+
+# ==========================================================================
+# Mergeable-sketch rollup: daily HLL sketches unioned to monthly distinct
+# users WITHOUT rescanning the fact table (no SQL oracle: sketch estimate;
+# accuracy asserted against exact counts in tests)
+# ==========================================================================
+@register("sketch_rollup_users")
+def _sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    return agg.sketch_rollup_distinct(
+        ev,
+        F.date_trunc("hour", "ts"),
+        F.to_date("ts"),
+        "user_id",
+        fine_alias="hour",
+        coarse_alias="day",
+    )
+
+
+# ==========================================================================
+# Incremental corpus dedup: flag incoming docs already in the landed
+# corpus (operators/dedup.py) — the ingestion gate for growing corpora
+# ==========================================================================
+@register(
+    "incremental_dedup",
+    """
+    WITH inc AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(text),1,15)) AS BIGINT) AS k
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    corpus AS (
+      SELECT DISTINCT CAST(('0x' || substring(md5(text),1,15)) AS BIGINT) AS k
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    flagged AS (
+      SELECT i.doc_id, i.k, (c.k IS NOT NULL) AS in_corpus
+      FROM inc i LEFT JOIN corpus c ON i.k = c.k
+    )
+    SELECT doc_id, in_corpus,
+           (doc_id = MIN(doc_id) OVER (PARTITION BY k) AND NOT in_corpus)
+             AS keep
+    FROM flagged
+    """,
+)
+def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_exact_dedup(incoming, corpus, "doc_id", "text")

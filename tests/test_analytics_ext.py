@@ -189,3 +189,69 @@ def test_trending_event_types_rank_bounds(spark, cat):
         grp.sort(key=lambda r: r["rn"])
         ns = [r["n"] for r in grp]
         assert ns == sorted(ns, reverse=True)
+
+
+# --------------------------------------------------------------------------
+# winsorize: clip bounds are the group's exact quantiles
+# --------------------------------------------------------------------------
+def test_winsorize_clips_to_group_quantiles(spark):
+    vals = [float(v) for v in range(1, 101)]  # p5=5.95, p95=95.05
+    df = spark.createDataFrame([("g", v) for v in vals], ["k", "x"])
+    out = agg.winsorize(df, ["k"], "x", 0.05, 0.95)
+    xs = [r["x_wins"] for r in out.collect()]
+    assert min(xs) == pytest.approx(5.95)
+    assert max(xs) == pytest.approx(95.05)
+    assert len(xs) == 100
+    # interior values untouched
+    assert 50.0 in xs
+
+
+# --------------------------------------------------------------------------
+# sketch rollup: merged estimates within HLL error of exact counts
+# --------------------------------------------------------------------------
+def test_sketch_rollup_accuracy(spark, cat):
+    import pyspark.sql.functions as SF
+
+    ev = cat.table("events")
+    approx = {
+        r["day"]: r["approx_distinct_user_id"]
+        for r in agg.sketch_rollup_distinct(
+            ev, SF.date_trunc("hour", "ts"), SF.to_date("ts"), "user_id",
+            fine_alias="hour", coarse_alias="day",
+        ).collect()
+    }
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(SF.to_date("ts").alias("day"))
+        .agg(SF.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.05 * n)  # ~2% typical HLL err
+
+
+# --------------------------------------------------------------------------
+# incremental dedup: corpus hits flagged, within-batch first kept
+# --------------------------------------------------------------------------
+def test_incremental_exact_dedup(spark):
+    from etl_io_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], ["doc_id", "text"]
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "alpha text"),   # exact corpus dup -> in_corpus, not kept
+            (11, "gamma text"),   # new -> kept
+            (12, "gamma text"),   # batch dup of 11 -> not kept
+            (13, "delta text"),   # new -> kept
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.incremental_exact_dedup(incoming, corpus, "doc_id", "text").collect()}
+    assert out[10]["in_corpus"] and not out[10]["keep"]
+    assert not out[11]["in_corpus"] and out[11]["keep"]
+    assert not out[12]["in_corpus"] and not out[12]["keep"]
+    assert out[13]["keep"]
