@@ -79,6 +79,8 @@ HEADLINE = [
     "winsorize_prices",
     "incremental_dedup",
     "sketch_rollup_users",
+    "profile_lineitem",
+    "dq_violations",
 ]
 
 

@@ -1,0 +1,126 @@
+"""Data profiling + data-quality operators (engine extension; the
+reference's only "validation" is try/except + print — SURVEY.md §5).
+
+``profile_columns`` is the one-pass column profiler every ETL engine
+ships: per-column row/null/distinct counts plus numeric moments, computed
+as a SINGLE aggregate over one scan (not one job per column, which at
+100 TB would re-read the table per metric) and unpivoted map-side into
+the canonical long (column, metric, value) shape.
+
+``dq_checks`` composes the standard integrity checks — duplicate keys,
+null keys, referential orphans, domain violations — each a count-shaped
+aggregate; the union is a plan of independent small aggregates that AQE
+schedules together; none is more than one shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def profile_columns(
+    df: DataFrame,
+    numeric_cols: Sequence[str],
+    other_cols: Sequence[str] = (),
+    round_to: int = 6,
+) -> DataFrame:
+    """One-pass long-form profile: for numeric columns emit
+    n / n_null / n_distinct / min / max / mean / stddev; for other
+    columns the three counts. Exact everywhere (countDistinct, not the
+    HLL approximation) so a SQL oracle reproduces it bit-for-bit; switch
+    to ``approx_count_distinct`` at extreme cardinalities.
+
+    Plan: one aggregate produces every metric as a column (distinct
+    counts expand to Spark's standard expand-node plan), then a
+    ``stack`` unpivot emits the long rows — map-side, no second pass.
+    """
+    aggs: list[Column] = []
+    stack_parts: list[str] = []
+    for c in numeric_cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.countDistinct(c).cast("long").alias(f"__nd_{c}"),
+            F.round(F.min(c).cast("double"), round_to).alias(f"__min_{c}"),
+            F.round(F.max(c).cast("double"), round_to).alias(f"__max_{c}"),
+            F.round(F.avg(c), round_to).alias(f"__avg_{c}"),
+            F.round(F.stddev_samp(c), round_to).alias(f"__std_{c}"),
+        ]
+        for m, pre in [
+            ("n", "__n_"),
+            ("n_null", "__nn_"),
+            ("n_distinct", "__nd_"),
+            ("min", "__min_"),
+            ("max", "__max_"),
+            ("mean", "__avg_"),
+            ("stddev", "__std_"),
+        ]:
+            stack_parts.append(f"'{c}', '{m}', CAST(`{pre}{c}` AS DOUBLE)")
+    for c in other_cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.countDistinct(c).cast("long").alias(f"__nd_{c}"),
+        ]
+        for m, pre in [("n", "__n_"), ("n_null", "__nn_"), ("n_distinct", "__nd_")]:
+            stack_parts.append(f"'{c}', '{m}', CAST(`{pre}{c}` AS DOUBLE)")
+    wide = df.agg(*aggs)
+    n = len(stack_parts)
+    return wide.select(
+        F.expr(
+            f"stack({n}, " + ", ".join(stack_parts) + ") AS (column, metric, value)"
+        )
+    )
+
+
+def dq_checks(
+    fact: DataFrame,
+    fact_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    unique_df: DataFrame,
+    unique_key: str,
+    domain_checks: Sequence[tuple[str, Column]] = (),
+) -> DataFrame:
+    """Standard integrity suite → one row per check: ``(check, n_bad)``.
+
+      * ``orphan_fact``    — fact rows whose key has no parent (left_anti;
+                             plans as a broadcast/shuffled anti join, the
+                             exact dual of referential integrity).
+      * ``dup_key``        — parent-side keys appearing more than once
+                             (one partial-agg shuffle on the key).
+      * ``null_key``       — null fact foreign keys (pure map + count).
+      * ``domain_checks``  — (name, boolean Column) predicates counted
+                             where VIOLATED (pure map + count each).
+
+    Every check is a 1-row aggregate; the union is driver-cheap and each
+    leg is independently AQE-planned. At 100 TB the anti join is the only
+    data-sized leg and it shuffles at most the fact keys."""
+    legs = [
+        # orphan = NON-NULL key with no parent; null keys are their own
+        # check below (an unfiltered anti join would double-count them)
+        fact.where(F.col(fact_key).isNotNull())
+        .join(
+            parent.select(parent_key), fact[fact_key] == parent[parent_key], "left_anti"
+        )
+        .agg(F.lit("orphan_fact").alias("check"), F.count(F.lit(1)).alias("n_bad")),
+        unique_df.groupBy(unique_key)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .agg(F.lit("dup_key").alias("check"), F.count(F.lit(1)).alias("n_bad")),
+        fact.where(F.col(fact_key).isNull()).agg(
+            F.lit("null_key").alias("check"), F.count(F.lit(1)).alias("n_bad")
+        ),
+    ]
+    for name, ok in domain_checks:
+        legs.append(
+            fact.where(~ok).agg(
+                F.lit(name).alias("check"), F.count(F.lit(1)).alias("n_bad")
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -2460,3 +2460,86 @@ def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = docs.where(F.col("doc_id") % 5 == 0)
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     return dedup.incremental_exact_dedup(incoming, corpus, "doc_id", "text")
+
+
+# ==========================================================================
+# Data profiling + quality checks (operators/profile.py)
+# ==========================================================================
+from etl_io_spark.operators import profile as prof  # noqa: E402
+
+
+@register(
+    "profile_lineitem",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n_q, SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nn_q,
+             COUNT(DISTINCT l_quantity) AS nd_q,
+             ROUND(CAST(MIN(l_quantity) AS DOUBLE), 6) AS min_q,
+             ROUND(CAST(MAX(l_quantity) AS DOUBLE), 6) AS max_q,
+             ROUND(AVG(l_quantity), 6) AS avg_q, ROUND(STDDEV_SAMP(l_quantity), 6) AS std_q,
+             COUNT(*) AS n_p, SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS nn_p,
+             COUNT(DISTINCT l_extendedprice) AS nd_p,
+             ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 6) AS min_p,
+             ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 6) AS max_p,
+             ROUND(AVG(l_extendedprice), 6) AS avg_p, ROUND(STDDEV_SAMP(l_extendedprice), 6) AS std_p,
+             COUNT(*) AS n_f, SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nn_f,
+             COUNT(DISTINCT l_returnflag) AS nd_f
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS "column", m.metric,
+           CASE m.metric WHEN 'n' THEN CAST(n_q AS DOUBLE) WHEN 'n_null' THEN CAST(nn_q AS DOUBLE)
+                WHEN 'n_distinct' THEN CAST(nd_q AS DOUBLE) WHEN 'min' THEN min_q
+                WHEN 'max' THEN max_q WHEN 'mean' THEN avg_q ELSE std_q END AS value
+    FROM s, (VALUES ('n'),('n_null'),('n_distinct'),('min'),('max'),('mean'),('stddev')) m(metric)
+    UNION ALL
+    SELECT 'l_extendedprice', m.metric,
+           CASE m.metric WHEN 'n' THEN CAST(n_p AS DOUBLE) WHEN 'n_null' THEN CAST(nn_p AS DOUBLE)
+                WHEN 'n_distinct' THEN CAST(nd_p AS DOUBLE) WHEN 'min' THEN min_p
+                WHEN 'max' THEN max_p WHEN 'mean' THEN avg_p ELSE std_p END
+    FROM s, (VALUES ('n'),('n_null'),('n_distinct'),('min'),('max'),('mean'),('stddev')) m(metric)
+    UNION ALL
+    SELECT 'l_returnflag', m.metric,
+           CASE m.metric WHEN 'n' THEN CAST(n_f AS DOUBLE) WHEN 'n_null' THEN CAST(nn_f AS DOUBLE)
+                ELSE CAST(nd_f AS DOUBLE) END
+    FROM s, (VALUES ('n'),('n_null'),('n_distinct')) m(metric)
+    """,
+)
+def _profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _cat(spark, sf_dir).table("lineitem")
+    return prof.profile_columns(
+        li, ["l_quantity", "l_extendedprice"], ["l_returnflag"]
+    )
+
+
+@register(
+    "dq_violations",
+    """
+    SELECT 'orphan_fact' AS check, COUNT(*) AS n_bad
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+    UNION ALL
+    SELECT 'dup_key', COUNT(*) FROM (
+      SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+    )
+    UNION ALL
+    SELECT 'null_key', COUNT(*) FROM lineitem WHERE l_orderkey IS NULL
+    UNION ALL
+    SELECT 'negative_price', COUNT(*) FROM lineitem WHERE NOT (l_extendedprice >= 0)
+    UNION ALL
+    SELECT 'discount_range', COUNT(*) FROM lineitem WHERE NOT (l_discount BETWEEN 0 AND 1)
+    """,
+)
+def _dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _cat(spark, sf_dir)
+    li, orders = cat.table("lineitem"), cat.table("orders")
+    return prof.dq_checks(
+        li,
+        "l_orderkey",
+        orders,
+        "o_orderkey",
+        orders,
+        "o_orderkey",
+        domain_checks=[
+            ("negative_price", F.col("l_extendedprice") >= 0),
+            ("discount_range", F.col("l_discount").between(0, 1)),
+        ],
+    )

@@ -142,3 +142,28 @@ def copy_database(
     for name in names:
         write_parquet(cat.table(name), f"{target_dir}/{name}.parquet")
     return names
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """ORC scan (columnar, vectorized, predicate-pushdown like parquet —
+    Spark's second native columnar format; the at-scale choice when the
+    lake is Hive/ORC). Schema optional: ORC carries its own like parquet."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """ORC sink with optional partition columns (directory pruning on read)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -255,3 +255,42 @@ def test_incremental_exact_dedup(spark):
     assert not out[11]["in_corpus"] and out[11]["keep"]
     assert not out[12]["in_corpus"] and not out[12]["keep"]
     assert out[13]["keep"]
+
+
+# --------------------------------------------------------------------------
+# profile_columns: one job, exact metrics, long shape
+# --------------------------------------------------------------------------
+def test_profile_columns_handcomputed(spark):
+    from etl_io_spark.operators import profile as prof
+
+    df = spark.createDataFrame(
+        [(1.0, "x"), (2.0, "x"), (3.0, None), (None, "y")], ["v", "s"]
+    )
+    out = {(r["column"], r["metric"]): r["value"]
+           for r in prof.profile_columns(df, ["v"], ["s"]).collect()}
+    assert out[("v", "n")] == 4.0
+    assert out[("v", "n_null")] == 1.0
+    assert out[("v", "n_distinct")] == 3.0
+    assert out[("v", "min")] == 1.0 and out[("v", "max")] == 3.0
+    assert out[("v", "mean")] == 2.0
+    assert out[("v", "stddev")] == 1.0
+    assert out[("s", "n_distinct")] == 2.0  # nulls not counted distinct
+    assert out[("s", "n_null")] == 1.0
+
+
+def test_dq_checks_flags_violations(spark):
+    from etl_io_spark.operators import profile as prof
+    import pyspark.sql.functions as SF
+
+    orders = spark.createDataFrame([(1,), (2,), (2,)], ["ok"])
+    fact = spark.createDataFrame(
+        [(1, 5.0), (9, -1.0), (None, 2.0)], ["fk", "price"]
+    )
+    out = {r["check"]: r["n_bad"] for r in prof.dq_checks(
+        fact, "fk", orders, "ok", orders, "ok",
+        domain_checks=[("neg_price", SF.col("price") >= 0)],
+    ).collect()}
+    assert out["orphan_fact"] == 1   # fk=9 only; null fk is its own check
+    assert out["dup_key"] == 1       # key 2 twice
+    assert out["null_key"] == 1
+    assert out["neg_price"] == 1

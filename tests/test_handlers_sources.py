@@ -205,3 +205,24 @@ def test_json_roundtrip(spark, tmp_path):
     assert sorted(
         (r["a"], r["b"], tuple(r["c"])) for r in back.collect()
     ) == [(1, "x", (1, 2)), (2, None, ())]
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from etl_io_spark.sources.readers import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)], ["id", "k", "v"]
+    )
+    path = str(tmp_path / "t.orc")
+    write_orc(df, path, partition_by=["k"])
+    back = read_orc(spark, path)
+    assert back.count() == 3
+    assert set(back.columns) == {"id", "k", "v"}
+    # partition pruning reaches the scan
+    plan = (
+        back.where(back["k"] == "a")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(k" in plan
