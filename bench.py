@@ -81,6 +81,7 @@ HEADLINE = [
     "sketch_rollup_users",
     "profile_lineitem",
     "dq_violations",
+    "scd2_customer_merge",
 ]
 
 

@@ -2543,3 +2543,61 @@ def _dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("discount_range", F.col("l_discount").between(0, 1)),
         ],
     )
+
+
+# ==========================================================================
+# SCD2 dimension-history merge (operators/scd.py): fold a changed customer
+# snapshot into an open history — one full-outer join decides all cases
+# ==========================================================================
+from etl_io_spark.operators import scd  # noqa: E402
+
+
+@register(
+    "scd2_customer_merge",
+    """
+    WITH hist AS (
+      SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+             DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      FROM customer
+    ),
+    snap AS (
+      SELECT c_custkey,
+             ROUND(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END, 2) AS acctbal
+      FROM customer WHERE c_custkey % 11 <> 3
+    ),
+    j AS (
+      SELECT h.c_custkey AS hk, h.acctbal AS ha, h.valid_from, s.c_custkey AS sk, s.acctbal AS sa
+      FROM hist h FULL OUTER JOIN snap s ON h.c_custkey = s.c_custkey
+    )
+    SELECT hk AS c_custkey, ha AS acctbal, valid_from, CAST(NULL AS DATE) AS valid_to
+    FROM j WHERE hk IS NOT NULL AND sk IS NOT NULL AND ha = sa
+    UNION ALL
+    SELECT hk, ha, valid_from, DATE '2024-06-01'
+    FROM j WHERE (hk IS NOT NULL AND sk IS NOT NULL AND ha <> sa)
+             OR (hk IS NOT NULL AND sk IS NULL)
+    UNION ALL
+    SELECT sk, sa, DATE '2024-06-01', CAST(NULL AS DATE)
+    FROM j WHERE sk IS NOT NULL AND (hk IS NULL OR ha <> sa)
+    """,
+)
+def _scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _cat(spark, sf_dir).table("customer")
+    hist = cust.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    snap = cust.where(F.col("c_custkey") % 11 != 3).select(
+        "c_custkey",
+        F.round(
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100
+            ).otherwise(F.col("c_acctbal")),
+            2,
+        ).alias("acctbal"),
+    )
+    return scd.scd2_merge(
+        hist, snap, "c_custkey", ["acctbal"], "2024-06-01",
+        close_missing=True,
+    )

@@ -294,3 +294,38 @@ def test_dq_checks_flags_violations(spark):
     assert out["dup_key"] == 1       # key 2 twice
     assert out["null_key"] == 1
     assert out["neg_price"] == 1
+
+
+# --------------------------------------------------------------------------
+# scd2_merge: all four transition cases in one merge
+# --------------------------------------------------------------------------
+def test_scd2_merge_cases(spark):
+    import datetime as dt2
+    from etl_io_spark.operators import scd
+
+    d0, d1 = dt2.date(2024, 1, 1), dt2.date(2024, 6, 1)
+    hist = spark.createDataFrame(
+        [
+            (1, "a", d0, None),      # unchanged
+            (2, "b", d0, None),      # will change -> close + new version
+            (3, "c", d0, None),      # missing from snapshot -> closed
+            (4, "old", d0, d0),      # already closed -> untouched
+        ],
+        "k int, attr string, valid_from date, valid_to date",
+    )
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (5, "new")], "k int, attr string"
+    )
+    out = scd.scd2_merge(
+        hist, snap, "k", ["attr"], "2024-06-01", close_missing=True
+    ).collect()
+    rows = {(r["k"], r["attr"], r["valid_from"], r["valid_to"]) for r in out}
+    assert rows == {
+        (1, "a", d0, None),     # pass-through open
+        (2, "b", d0, d1),       # closed old version
+        (2, "B", d1, None),     # new version
+        (3, "c", d0, d1),       # deleted -> closed
+        (4, "old", d0, d0),     # historical row untouched
+        (5, "new", d1, None),   # brand-new key
+    }
+    assert len(out) == 6
