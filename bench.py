@@ -82,6 +82,7 @@ HEADLINE = [
     "profile_lineitem",
     "dq_violations",
     "scd2_customer_merge",
+    "embedding_centroids",
 ]
 
 

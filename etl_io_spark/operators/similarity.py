@@ -400,3 +400,30 @@ def neardup_pairs_cosine_blocked(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label embedding centroids in long form: (label, dim, mean, n) —
+    the building block of k-means assignment, class prototypes, and
+    cluster drift monitoring.
+
+    Element-wise mean across rows cannot ride a single array aggregate
+    (rows, not elements, are the aggregation axis), so the vector is
+    ``posexplode``-d to (label, dim, value) and averaged with one
+    partial-aggregable groupBy — the shuffle carries (labels × dims)
+    partials per map partition, independent of row count. Long form is
+    kept deliberately: re-assembling arrays needs a second sort/collect
+    shuffle and downstream consumers (nearest-centroid joins) want the
+    exploded shape anyway."""
+    exploded = spread(df).select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "__v")
+    )
+    return exploded.groupBy(label_col, "dim").agg(
+        F.round(F.avg("__v"), round_to).alias("mean"),
+        F.count(F.lit(1)).alias("n"),
+    )

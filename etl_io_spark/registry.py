@@ -2601,3 +2601,24 @@ def _scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist, snap, "c_custkey", ["acctbal"], "2024-06-01",
         close_missing=True,
     )
+
+
+# ==========================================================================
+# Per-label embedding centroids (operators/similarity.py): element-wise
+# vector mean via posexplode + one partial-agg shuffle, long form
+# ==========================================================================
+@register(
+    "embedding_centroids",
+    """
+    SELECT label, CAST(gs.i - 1 AS INT) AS dim,
+           ROUND(AVG(CAST(embedding[gs.i] AS DOUBLE)), 6) AS mean,
+           COUNT(*) AS n
+    FROM embeddings, generate_series(1, 64) gs(i)  -- fixed 64-dim embeddings
+    GROUP BY label, dim
+    """,
+)
+def _embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.operators import similarity as sim
+
+    emb = _cat(spark, sf_dir).table("embeddings")
+    return sim.label_centroids(emb, "label", "embedding")

@@ -329,3 +329,17 @@ def test_scd2_merge_cases(spark):
         (5, "new", d1, None),   # brand-new key
     }
     assert len(out) == 6
+
+
+def test_label_centroids_handcomputed(spark):
+    from etl_io_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [10.0, 0.0])],
+        "label int, v array<double>",
+    )
+    out = {(r["label"], r["dim"]): (r["mean"], r["n"])
+           for r in sim.label_centroids(df, "label", "v").collect()}
+    assert out[(1, 0)] == (2.0, 2)
+    assert out[(1, 1)] == (3.0, 2)
+    assert out[(2, 0)] == (10.0, 1)
