@@ -83,6 +83,8 @@ HEADLINE = [
     "dq_violations",
     "scd2_customer_merge",
     "embedding_centroids",
+    "ab_test_events",
+    "twap_events",
 ]
 
 

@@ -371,3 +371,48 @@ def sketch_rollup_distinct(
         ),
         F.count(F.lit(1)).alias("n_fine_buckets"),
     )
+
+
+def ab_test_stats(
+    df: DataFrame,
+    group_col: Column | str,
+    metric_col: str,
+    keys: Sequence[str] = (),
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample A/B comparison per experiment cell: per-variant mean /
+    stddev / n plus the Welch z-score of the A-vs-B mean difference —
+    the stats layer of an experimentation pipeline.
+
+    One partial-aggregable groupBy computes every variant's moments
+    (conditional aggregates, so A and B come out of the SAME pass — no
+    per-variant scans), then the z combines them map-side. ``group_col``
+    must yield exactly the labels 'A' and 'B'."""
+    g = group_col if isinstance(group_col, Column) else F.col(group_col)
+    is_a = (g == "A").cast("int")
+    is_b = (g == "B").cast("int")
+    m = F.col(metric_col)
+
+    def _cond(flag: Column, expr: Column) -> Column:
+        return F.when(flag == 1, expr)
+
+    agged = df.groupBy(*keys).agg(
+        F.count(_cond(is_a, m)).alias("n_a"),
+        F.avg(_cond(is_a, m)).alias("__ma"),
+        F.var_samp(_cond(is_a, m)).alias("__va"),
+        F.count(_cond(is_b, m)).alias("n_b"),
+        F.avg(_cond(is_b, m)).alias("__mb"),
+        F.var_samp(_cond(is_b, m)).alias("__vb"),
+    )
+    se = F.sqrt(
+        F.col("__va") / F.col("n_a") + F.col("__vb") / F.col("n_b")
+    )
+    return agged.select(
+        *keys,
+        "n_a",
+        F.round("__ma", round_to).alias("mean_a"),
+        "n_b",
+        F.round("__mb", round_to).alias("mean_b"),
+        F.round(F.col("__mb") - F.col("__ma"), round_to).alias("lift"),
+        F.round((F.col("__mb") - F.col("__ma")) / se, round_to).alias("z"),
+    )

@@ -109,3 +109,39 @@ def rolling_avg_time(
     return df.withColumn(
         f"rolling_avg_{value_col}", F.round(F.avg(value_col).over(w), round_to)
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP): each observation is weighted
+    by how long it remained current (the gap to the NEXT observation),
+    with the final observation carrying zero weight — the standard
+    time-series summary when sampling is irregular (a price held for an
+    hour should outweigh ten ticks in a second).
+
+    One keyed window (lead) produces the holding duration map-side and
+    one partial-aggregable groupBy folds Σ(v·Δt)/Σ(Δt); keys with a
+    single observation fall back to the plain value."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(value_col))
+    dt = (
+        F.unix_micros(F.lead(ts_col).over(w))
+        - F.unix_micros(F.col(ts_col))
+    ).cast("double")
+    base = df.select(
+        F.col(key_col), F.col(value_col), dt.alias("__dt")
+    )
+    return base.groupBy(key_col).agg(
+        F.round(
+            F.coalesce(
+                F.sum(F.col(value_col) * F.col("__dt")) / F.sum("__dt"),
+                F.avg(value_col),
+            ),
+            round_to,
+        ).alias(f"twap_{value_col}"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )

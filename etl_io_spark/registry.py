@@ -2622,3 +2622,57 @@ def _embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _cat(spark, sf_dir).table("embeddings")
     return sim.label_centroids(emb, "label", "embedding")
+
+
+# ==========================================================================
+# A/B experiment stats: per-variant moments + Welch z from ONE pass
+# (operators/aggregate.py) — variant = user_id parity, cell = event_type
+# ==========================================================================
+@register(
+    "ab_test_events",
+    """
+    WITH a AS (
+      SELECT event_type,
+             COUNT(CASE WHEN user_id % 2 = 0 THEN value END) AS n_a,
+             AVG(CASE WHEN user_id % 2 = 0 THEN value END) AS ma,
+             VAR_SAMP(CASE WHEN user_id % 2 = 0 THEN value END) AS va,
+             COUNT(CASE WHEN user_id % 2 <> 0 THEN value END) AS n_b,
+             AVG(CASE WHEN user_id % 2 <> 0 THEN value END) AS mb,
+             VAR_SAMP(CASE WHEN user_id % 2 <> 0 THEN value END) AS vb
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_a, ROUND(ma, 6) AS mean_a, n_b, ROUND(mb, 6) AS mean_b,
+           ROUND(mb - ma, 6) AS lift,
+           ROUND((mb - ma) / SQRT(va / n_a + vb / n_b), 6) AS z
+    FROM a
+    """,
+)
+def _ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    variant = F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B"))
+    return agg.ab_test_stats(ev, variant, "value", keys=["event_type"])
+
+
+# ==========================================================================
+# Time-weighted average (TWAP) per user over irregular event spacing
+# (operators/timeseries.py)
+# ==========================================================================
+@register(
+    "twap_events",
+    """
+    WITH t AS (
+      SELECT user_id, value,
+             CAST(epoch_us(LEAD(CAST(ts AS TIMESTAMP)) OVER (
+                    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), value))
+                  - epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS dt
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(COALESCE(SUM(value * dt) / SUM(dt), AVG(value)), 6) AS twap_value,
+           COUNT(*) AS n_obs
+    FROM t GROUP BY user_id
+    """,
+)
+def _twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    return timeseries.time_weighted_avg(ev, "user_id", "ts", "value")

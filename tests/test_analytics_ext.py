@@ -343,3 +343,42 @@ def test_label_centroids_handcomputed(spark):
     assert out[(1, 0)] == (2.0, 2)
     assert out[(1, 1)] == (3.0, 2)
     assert out[(2, 0)] == (10.0, 1)
+
+
+def test_profile_is_single_scan(spark, cat):
+    from etl_io_spark.operators import profile as prof
+
+    df = prof.profile_columns(
+        cat.table("lineitem"), ["l_quantity", "l_extendedprice"], ["l_returnflag"]
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1  # one pass, never per-column jobs
+
+
+def test_ab_test_stats_handcomputed(spark):
+    import math as m
+    # A: 1,2,3 (mean 2, var 1); B: 4,6 (mean 5, var 2)
+    rows = [("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 4.0), ("B", 6.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = agg.ab_test_stats(df, "g", "v").collect()[0]
+    assert r["n_a"] == 3 and r["n_b"] == 2
+    assert r["mean_a"] == 2.0 and r["mean_b"] == 5.0
+    assert r["lift"] == 3.0
+    assert r["z"] == pytest.approx(3.0 / m.sqrt(1 / 3 + 2 / 2), abs=1e-6)
+
+
+def test_time_weighted_avg_weights_by_holding_time(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # value 10 held 3600s, value 20 held 1800s, final value 99 weight 0
+        ("k", t0, 10.0),
+        ("k", t0 + dt.timedelta(seconds=3600), 20.0),
+        ("k", t0 + dt.timedelta(seconds=5400), 99.0),
+        ("solo", t0, 7.0),  # single obs -> plain value
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {r["k"]: r for r in timeseries.time_weighted_avg(df, "k", "ts", "v").collect()}
+    expected = (10.0 * 3600 + 20.0 * 1800) / 5400
+    assert out["k"]["twap_v"] == pytest.approx(expected, abs=1e-6)
+    assert out["k"]["n_obs"] == 3
+    assert out["solo"]["twap_v"] == 7.0
