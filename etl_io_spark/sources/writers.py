@@ -165,3 +165,29 @@ def to_excel(df: DataFrame, path: str, max_rows: int = 100_000) -> str:
     except ImportError as e:  # pragma: no cover - env-dependent
         raise NotImplementedError("to_excel requires the 'openpyxl' package") from e
     return path
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Range-clustered parquet layout: ``repartitionByRange`` on the sort
+    key gives each output file a DISJOINT key range, and
+    ``sortWithinPartitions`` orders rows inside, so every parquet
+    row-group's min/max stats are tight — point/range filters on the sort
+    key then skip whole files and row groups at read time (the poor
+    man's clustered index, and at 100 TB the difference between reading
+    one file and reading all of them).
+
+    Range partitioning samples the key distribution, so file sizes stay
+    balanced under skew (unlike hash-modulo splits of an ordered key)."""
+    out = df
+    if num_files is not None:
+        out = out.repartitionByRange(num_files, *sort_cols)
+    else:
+        out = out.repartitionByRange(*sort_cols)
+    out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+    return path

@@ -198,3 +198,27 @@ def test_to_sqlite3_row_cap(spark, tmp_path):
     with pytest.raises(ValueError, match="driver-side"):
         writers.to_sqlite3({"orders": df}, str(tmp_path / "cap.db"),
                            max_rows_per_table=5)
+
+
+def test_write_sorted_produces_disjoint_file_ranges(spark, tmp_path):
+    import pyspark.sql.functions as SF
+
+    from etl_io_spark.sources.writers import write_sorted
+
+    df = spark.range(0, 10_000).select(
+        (SF.col("id") * 37 % 9973).alias("k"), SF.col("id").alias("v")
+    )
+    path = str(tmp_path / "sorted")
+    write_sorted(df, path, ["k"], num_files=4)
+    back = spark.read.parquet(path)
+    ranges = (
+        back.groupBy(SF.input_file_name().alias("f"))
+        .agg(SF.min("k").alias("lo"), SF.max("k").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) == 4
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    for (prev_lo, prev_hi), (lo, hi) in zip(spans, spans[1:]):
+        assert prev_hi <= lo  # disjoint, clustered ranges
+    # a point filter must prune to a single file's row groups
+    assert back.where(SF.col("k") == spans[0][0]).count() >= 1
