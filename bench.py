@@ -85,6 +85,8 @@ HEADLINE = [
     "embedding_centroids",
     "ab_test_events",
     "twap_events",
+    "user_trend_slopes",
+    "table_checksum_orders",
 ]
 
 

@@ -100,3 +100,41 @@ def copy_column(df: DataFrame, src: str, dst: str) -> DataFrame:
 def fill_na(df: DataFrame, value: object, subset: Sequence[str] | None = None) -> DataFrame:
     """fillna (F8; etl_io.py:871)."""
     return df.na.fill(value, subset=list(subset) if subset else None)
+
+
+def normalize_text(col: str | F.Column) -> F.Column:
+    """Canonical text normalization for matching/dedup keys: lowercase,
+    strip punctuation to spaces, collapse whitespace runs, trim. Pure
+    codegen'd regexp chain — the shape every fuzzy/exact text key should
+    pass through before hashing so 'Fast  Join!' and 'fast join' agree."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9\\s]", " ")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)
+
+
+def table_checksum(
+    df: DataFrame, cols: Sequence[str] | None = None
+) -> DataFrame:
+    """Order-insensitive whole-table fingerprint: per-row 60-bit md5 hash
+    of the '|'-joined column values (nulls rendered as '∅'), summed — a
+    one-row reconciliation checksum two systems can compare after a copy
+    (the check `to_sqlite3`-style copies need; the reference copies with
+    no verification at etl_io.py:203-219).
+
+    md5-derived so ANY engine reproduces it; summation makes it
+    row-order-independent; one partial-aggregable pass, the shuffle
+    carries a single partial per partition."""
+    from etl_io_spark.operators.text import hash60
+
+    use = list(cols) if cols is not None else df.columns
+    row = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in use]
+    )
+    # sum in DECIMAL(38,0): a bigint sum of 2^60-scale hashes wraps after
+    # ~2^3 rows; decimal holds ~1e18 rows' worth exactly in every engine
+    return df.agg(
+        F.sum(hash60(row).cast("decimal(38,0)")).alias("checksum"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -145,3 +145,25 @@ def time_weighted_avg(
         ).alias(f"twap_{value_col}"),
         F.count(F.lit(1)).alias("n_obs"),
     )
+
+
+def trend_slopes(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key least-squares trend of ``value_col`` over time: slope (per
+    hour), intercept, fit quality (r²) and n — drift/trend detection per
+    entity in ONE partial-aggregable pass (Spark's ``regr_*`` aggregates
+    carry the co-moments; no window, no sort, no per-key fitting loop).
+    """
+    x = (F.unix_micros(F.col(ts_col)) / F.lit(3_600_000_000.0))  # hours
+    y = F.col(value_col)
+    return df.groupBy(key_col).agg(
+        F.round(F.regr_slope(y, x), round_to).alias("slope_per_hour"),
+        F.round(F.regr_intercept(y, x), round_to).alias("intercept"),
+        F.round(F.regr_r2(y, x), round_to).alias("r2"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )

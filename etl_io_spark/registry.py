@@ -2676,3 +2676,69 @@ def _ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _cat(spark, sf_dir).table("events")
     return timeseries.time_weighted_avg(ev, "user_id", "ts", "value")
+
+
+# ==========================================================================
+# Text normalization for match keys (functions/cleaning.py)
+# ==========================================================================
+@register(
+    "normalize_text_docs",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                               '\\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def _normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    return docs.select(
+        "doc_id", cleaning.normalize_text("text").alias("norm_text")
+    )
+
+
+# ==========================================================================
+# Whole-table reconciliation checksum (functions/cleaning.py) — the
+# verification step the reference's copy sink lacks (etl_io.py:203-219)
+# ==========================================================================
+@register(
+    "table_checksum_orders",
+    """
+    SELECT CAST(SUM(CAST(('0x' || substring(md5(
+             concat_ws('|', COALESCE(CAST(o_orderkey AS VARCHAR), '∅'),
+                            COALESCE(CAST(o_custkey AS VARCHAR), '∅'),
+                            COALESCE(o_orderstatus, '∅'),
+                            COALESCE(o_orderpriority, '∅'))
+           ), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS checksum,
+           COUNT(*) AS n_rows
+    FROM orders
+    """,
+)
+def _table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _cat(spark, sf_dir).table("orders")
+    return cleaning.table_checksum(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+# ==========================================================================
+# Per-entity least-squares trend (operators/timeseries.py): regr_* co-
+# moment aggregates — one partial-agg pass, no window, no fitting loop
+# ==========================================================================
+@register(
+    "user_trend_slopes",
+    """
+    SELECT user_id,
+           ROUND(regr_slope(value, epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0), 6)
+             AS slope_per_hour,
+           ROUND(regr_intercept(value, epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0), 6)
+             AS intercept,
+           ROUND(regr_r2(value, epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0), 6)
+             AS r2,
+           COUNT(*) AS n_obs
+    FROM events GROUP BY user_id
+    """,
+)
+def _user_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    return timeseries.trend_slopes(ev, "user_id", "ts", "value")

@@ -382,3 +382,35 @@ def test_time_weighted_avg_weights_by_holding_time(spark):
     assert out["k"]["twap_v"] == pytest.approx(expected, abs=1e-6)
     assert out["k"]["n_obs"] == 3
     assert out["solo"]["twap_v"] == 7.0
+
+
+def test_normalize_text_canonicalizes(spark):
+    from etl_io_spark.functions import cleaning
+
+    df = spark.createDataFrame([("  Fast,  JOIN!! x  ",)], ["t"])
+    out = df.select(cleaning.normalize_text("t").alias("n")).collect()[0]["n"]
+    assert out == "fast join x"
+
+
+def test_table_checksum_order_insensitive_and_sensitive_to_change(spark):
+    from etl_io_spark.functions import cleaning
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "s"])
+    b = spark.createDataFrame([(2, "y"), (1, "x")], ["id", "s"])  # reordered
+    c = spark.createDataFrame([(1, "x"), (2, "z")], ["id", "s"])  # changed
+    ca = cleaning.table_checksum(a).collect()[0]
+    cb = cleaning.table_checksum(b).collect()[0]
+    cc = cleaning.table_checksum(c).collect()[0]
+    assert ca["checksum"] == cb["checksum"] and ca["n_rows"] == 2
+    assert ca["checksum"] != cc["checksum"]
+
+
+def test_trend_slopes_exact_line(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    # value = 5 + 2*(hours since t0) exactly
+    rows = [("k", t0 + dt.timedelta(hours=h), 5.0 + 2.0 * h) for h in range(5)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    r = timeseries.trend_slopes(df, "k", "ts", "v").collect()[0]
+    assert r["slope_per_hour"] == pytest.approx(2.0, abs=1e-6)
+    assert r["r2"] == pytest.approx(1.0, abs=1e-6)
+    assert r["n_obs"] == 5
