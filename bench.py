@@ -87,6 +87,7 @@ HEADLINE = [
     "twap_events",
     "user_trend_slopes",
     "table_checksum_orders",
+    "event_paths",
 ]
 
 

@@ -189,3 +189,59 @@ def funnel_steps(
         *[f"t{k}" for k in range(1, len(steps) + 1)],
         depth.cast("int").alias("depth"),
     )
+
+
+def event_path_ngrams(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    tiebreak_col: str,
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Sequential path mining: the top-``k`` most common ``n``-step event
+    sequences across entities (the "view > click > purchase" report).
+
+    One groupBy per entity collects the (ts, tiebreak, event) structs and
+    sorts them IN the aggregate row (``array_sort`` on struct ordering —
+    map-side after one keyed shuffle, never a global sort); per-entity
+    n-grams are then assembled positionally and exploded, and one final
+    partial-agg count + TakeOrdered produces the ranking. Entity
+    sequences live in one array each, so memory is bounded by the
+    longest entity history, not the table."""
+    ordered = (
+        df.groupBy(key_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(tiebreak_col).alias("tb"),
+                        F.col(event_col).alias("e"),
+                    )
+                )
+            ).alias("__seq")
+        )
+        .select(
+            F.col(key_col),
+            F.transform("__seq", lambda s: s["e"]).alias("__ev"),
+        )
+    )
+    sz = F.size("__ev")
+    grams = ordered.where(sz >= n).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), sz - (n - 1)),
+                lambda i: F.concat_ws(
+                    " > ", *[F.element_at("__ev", i + j) for j in range(n)]
+                ),
+            )
+        ).alias("path")
+    )
+    return (
+        grams.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(k)
+    )

@@ -2742,3 +2742,33 @@ def _table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _user_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _cat(spark, sf_dir).table("events")
     return timeseries.trend_slopes(ev, "user_id", "ts", "value")
+
+
+# ==========================================================================
+# Sequential path mining: top event n-grams across user histories
+# (operators/window.py) — collect+sort per entity, positional n-grams,
+# one count shuffle + TakeOrdered
+# ==========================================================================
+@register(
+    "event_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS ev
+      FROM events GROUP BY user_id
+    ),
+    grams AS (
+      SELECT UNNEST(list_transform(range(1, len(ev) - 1),
+                    i -> ev[i] || ' > ' || ev[i+1] || ' > ' || ev[i+2])) AS path
+      FROM seq WHERE len(ev) >= 3
+    )
+    SELECT path, COUNT(*) AS n_occurrences
+    FROM grams GROUP BY path
+    ORDER BY n_occurrences DESC, path
+    LIMIT 20
+    """,
+)
+def _event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    return win.event_path_ngrams(
+        ev, "user_id", "ts", "event_type", "event_id", n=3, k=20
+    )

@@ -414,3 +414,20 @@ def test_trend_slopes_exact_line(spark):
     assert r["slope_per_hour"] == pytest.approx(2.0, abs=1e-6)
     assert r["r2"] == pytest.approx(1.0, abs=1e-6)
     assert r["n_obs"] == 5
+
+
+def test_event_path_ngrams_handcomputed(spark):
+    from etl_io_spark.operators import window as win2
+
+    t0 = dt.datetime(2024, 1, 1)
+    def ev(u, s, typ, i):
+        return (u, t0 + dt.timedelta(seconds=s), typ, i)
+    rows = [
+        ev("u1", 0, "a", 1), ev("u1", 1, "b", 2), ev("u1", 2, "c", 3),
+        ev("u2", 0, "a", 4), ev("u2", 1, "b", 5), ev("u2", 2, "c", 6),
+        ev("u3", 0, "x", 7), ev("u3", 1, "y", 8),  # too short for n=3
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "etype", "eid"])
+    out = {r["path"]: r["n_occurrences"] for r in win2.event_path_ngrams(
+        df, "u", "ts", "etype", "eid", n=3, k=10).collect()}
+    assert out == {"a > b > c": 2}
