@@ -78,3 +78,31 @@ def test_batch_dedup_twin(spark):
     df = TableCatalog(spark, SF).table("events")
     out = sw.dedup_events(df, subset=["user_id", "event_type"])
     assert out.count() == df.select("user_id", "event_type").distinct().count()
+
+
+def test_stream_static_enrichment_matches_batch(spark, event_source):
+    """Stream-static join: a streaming fact enriched by a broadcast batch
+    dim — the standard streaming enrichment shape (no state, the dim is
+    re-broadcast per micro-batch, so dimension updates are picked up)."""
+    path, cat = event_source
+    dim = (
+        cat.table("customer")
+        .select(
+            (F.col("c_custkey") % 100).alias("user_mod"), "c_mktsegment"
+        )
+        .dropDuplicates(["user_mod"])
+    )
+
+    def enrich(df):
+        return (
+            df.withColumn("user_mod", F.col("user_id") % 100)
+            .join(F.broadcast(dim), "user_mod")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    stream = cat.table_stream("events", path)
+    got = _run_stream(spark, enrich(stream), mode="complete")
+    want = enrich(cat.table("events")).collect()
+    assert _as_sets(got) == _as_sets(want)
+    assert len(got) > 0
