@@ -124,12 +124,35 @@ class TableCatalog:
 
     @staticmethod
     def _nanos_cols(path: str) -> list[str]:
-        """Columns stored as timestamp[ns] (footer-only check, no data read)."""
+        """Columns stored as timestamp[ns] (footer-only check, no data read).
+
+        Accepts both single-file tables (driver testdata) and Spark-written
+        parquet DIRECTORIES (one part file's footer represents the table —
+        Spark writes a uniform schema)."""
+        if os.path.isdir(path):
+            parts = sorted(
+                f
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            if not parts:
+                return []
+            path = os.path.join(path, parts[0])
+        # physical INT96 (legacy Spark writes) also surfaces as
+        # timestamp[ns] in arrow, but Spark reads INT96 as TIMESTAMP
+        # natively — only true INT64-nanos columns need the long->us
+        # conversion.
+        meta = _pq.read_metadata(path)
+        int96 = {
+            meta.schema.column(i).name
+            for i in range(meta.num_columns)
+            if meta.schema.column(i).physical_type == "INT96"
+        }
         schema = _pq.read_schema(path)
         return [
             f.name
             for f in schema
-            if str(f.type).startswith("timestamp[ns")
+            if str(f.type).startswith("timestamp[ns") and f.name not in int96
         ]
 
     def sql(self, query: str) -> DataFrame:

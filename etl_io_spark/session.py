@@ -49,6 +49,9 @@ _DEFAULTS: dict[str, str] = {
     # as session-TZ TIMESTAMP (UTC above), matching the DuckDB oracle's
     # naive-timestamp rendering — not TIMESTAMP_NTZ.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # write modern µs timestamps, not deprecated INT96 (which pyarrow
+    # reports as timestamp[ns] and other engines read slowly or wrongly).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # ANSI off: engine semantics are permissive like the reference
     # (bad casts -> null, not errors); flip per-query when needed.
     "spark.sql.ansi.enabled": "false",

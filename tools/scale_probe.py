@@ -1,0 +1,144 @@
+"""Scaling probe: replicate the sf0.1 tables 10x (with key offsets and
+text perturbation so dedup/join cardinalities scale naturally instead of
+degenerating into exact-copy explosions), then time a representative
+query set at 1x and 10x and report the scaling factor per query.
+
+A ~10x time ratio at 10x data is linear scaling; sub-10x means fixed
+overhead still dominates; a ratio far above 10x exposes a super-linear
+plan (the thing this probe exists to catch before a real 1000x scale-up).
+
+Usage: python tools/scale_probe.py [--out /tmp/sf1x10] [--skip-gen]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_io_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+PROBE = [
+    "pricing_summary",
+    "group_count",
+    "window_topk_per_group",
+    "pivot_returnflag",
+    "dim_join_label",
+    "shipping_priority",
+    "market_basket_pairs",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "similarity_topk",
+    "text_quality",
+    "tfidf_top_terms",
+    "token_count",
+    "repetition_ratio",
+    "events_tumbling_window",
+    "sessionize_events",
+    "resample_ffill_events",
+    "trending_event_types",
+    "event_paths",
+    "twap_events",
+    "corpus_curation",
+    "bm25_search",
+]
+
+#: per-table (key columns to offset, timestamp column to shift, text column)
+OFFSETS = {
+    "lineitem": (["l_orderkey"], None, None),
+    "orders": (["o_orderkey"], None, None),
+    "customer": (["c_custkey"], None, None),
+    "supplier": (["s_suppkey"], None, None),
+    "part": (["p_partkey"], None, None),
+    "nation": ([], None, None),
+    "region": ([], None, None),
+    "events": (["event_id", "user_id"], "ts", None),
+    "documents": (["doc_id"], None, "text"),
+    "embeddings": (["vec_id"], None, None),
+}
+KEY_OFFSET = 10_000_000
+
+
+def generate(spark, out: str, copies: int = 10) -> None:
+    for t, (keys, ts_col, text_col) in OFFSETS.items():
+        src = spark.read.parquet(f"{SRC}/{t}.parquet")
+        parts = []
+        for i in range(copies if keys else 1):
+            df = src
+            for kcol in keys:
+                df = df.withColumn(kcol, F.col(kcol) + F.lit(i * KEY_OFFSET))
+            if ts_col and i:
+                df = df.withColumn(
+                    ts_col, F.col(ts_col) + F.expr(f"INTERVAL {31 * i} DAYS")
+                )
+            if text_col and i:
+                # perturb text so replicas are near-dups, not exact dups —
+                # content-hash groups stay ~copy-count sized, realistic
+                df = df.withColumn(
+                    text_col, F.concat(F.col(text_col), F.lit(f" c{i}"))
+                )
+            parts.append(df)
+        out_df = parts[0]
+        for p in parts[1:]:
+            out_df = out_df.unionByName(p)
+        out_df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        print(f"generated {t}", file=sys.stderr)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/sf1x10")
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+
+    from etl_io_spark import registry
+
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not args.skip_gen:
+        generate(spark, args.out)
+
+    qs = registry.queries()
+    rows = []
+    for name in PROBE:
+        fn = qs[name]
+        times = {}
+        for tag, sf_dir in [("1x", SRC), ("10x", args.out)]:
+            best = None
+            for _ in range(2):  # min of 2: second run amortizes codegen
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                if dt > 30:
+                    break
+            times[tag] = best
+        ratio = times["10x"] / times["1x"]
+        rows.append((name, times["1x"], times["10x"], ratio))
+        print(
+            f"| {name} | {times['1x']:.2f} | {times['10x']:.2f} |"
+            f" {ratio:.1f}x |",
+            flush=True,
+        )
+    print(
+        json.dumps(
+            {
+                "probe": {n: {"t1x": round(a, 3), "t10x": round(b, 3),
+                              "ratio": round(r, 2)} for n, a, b, r in rows}
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
