@@ -88,6 +88,7 @@ HEADLINE = [
     "user_trend_slopes",
     "table_checksum_orders",
     "event_paths",
+    "revenue_share_by_nation",
 ]
 
 

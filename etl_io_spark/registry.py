@@ -2772,3 +2772,94 @@ def _event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.event_path_ngrams(
         ev, "user_id", "ts", "event_type", "event_id", n=3, k=20
     )
+
+
+# ==========================================================================
+# Deterministic mode (most frequent value) per group: count + ranked
+# window, ties broken by value — never the engine-dependent mode() agg
+# ==========================================================================
+@register(
+    "mode_priority_by_segment",
+    """
+    WITH counted AS (
+      SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY n DESC, o_orderpriority) AS rn
+      FROM counted
+    ) WHERE rn = 1
+    """,
+)
+def _mode_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _cat(spark, sf_dir)
+    counted = (
+        cat.table("orders")
+        .join(
+            F.broadcast(cat.table("customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        win.top_k_per_group(
+            counted,
+            ["c_mktsegment"],
+            [F.col("n").desc(), F.col("o_orderpriority")],
+            k=1,
+        )
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )
+
+
+# ==========================================================================
+# Share-of-total: per-nation revenue with its fraction of the grand total
+# (window over the tiny aggregate — the fact table is scanned once)
+# ==========================================================================
+@register(
+    "revenue_share_by_nation",
+    """
+    WITH rev AS (
+      SELECT n_name, SUM(o_totalprice) AS r
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, ROUND(r, 2) AS revenue,
+           ROUND(r / SUM(r) OVER (), 6) AS share
+    FROM rev
+    """,
+)
+def _revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = _cat(spark, sf_dir)
+    rev = (
+        cat.table("orders")
+        .join(
+            F.broadcast(cat.table("customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(cat.table("nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    return rev.select(
+        "n_name",
+        F.round("r", 2).alias("revenue"),
+        F.round(
+            F.col("r") / F.sum("r").over(Window.partitionBy()), 6
+        ).alias("share"),
+    )
