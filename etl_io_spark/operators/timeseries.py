@@ -167,3 +167,26 @@ def trend_slopes(
         F.round(F.regr_r2(y, x), round_to).alias("r2"),
         F.count(F.lit(1)).alias("n_obs"),
     )
+
+
+def impute_group_mean(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Null imputation with the per-key mean of the NON-null values — the
+    baseline feature-cleaning op before models that can't take nulls.
+
+    One unsorted window per key computes the non-null mean (avg skips
+    nulls natively) without collapsing rows — a single keyed shuffle, no
+    join-back. Keys whose values are ALL null stay null (flagged by
+    ``was_imputed`` so downstream can drop or escalate)."""
+    w = Window.partitionBy(key_col)
+    mean = F.avg(value_col).over(w)
+    imputed = F.when(
+        F.col(value_col).isNull(), F.round(mean, round_to)
+    ).otherwise(F.round(F.col(value_col), round_to))
+    return df.withColumn("was_imputed", F.col(value_col).isNull() & mean.isNotNull()).withColumn(
+        value_col, imputed
+    )

@@ -2863,3 +2863,36 @@ def _revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r") / F.sum("r").over(Window.partitionBy()), 6
         ).alias("share"),
     )
+
+
+# ==========================================================================
+# Group-mean null imputation (operators/timeseries.py) — nulls induced
+# deterministically (value of 'view' events) so the op is exercised
+# ==========================================================================
+@register(
+    "impute_event_values",
+    """
+    WITH holey AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS value
+      FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND(COALESCE(value, AVG(value) OVER (PARTITION BY user_id)), 6)
+             AS value,
+           (value IS NULL AND
+            AVG(value) OVER (PARTITION BY user_id) IS NOT NULL) AS was_imputed
+    FROM holey
+    """,
+)
+def _impute_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "view", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return timeseries.impute_group_mean(ev, "user_id", "value").select(
+        "event_id", "user_id", "value", "was_imputed"
+    )

@@ -431,3 +431,16 @@ def test_event_path_ngrams_handcomputed(spark):
     out = {r["path"]: r["n_occurrences"] for r in win2.event_path_ngrams(
         df, "u", "ts", "etype", "eid", n=3, k=10).collect()}
     assert out == {"a > b > c": 2}
+
+
+def test_impute_group_mean(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", None)],
+        "k string, v double",
+    )
+    rows = timeseries.impute_group_mean(df, "k", "v").collect()
+    a_vals = sorted(r["v"] for r in rows if r["k"] == "a")
+    assert a_vals == [1.0, 2.0, 3.0]  # null -> mean of 1,3
+    assert [r["was_imputed"] for r in rows if r["k"] == "a"].count(True) == 1
+    b = [r for r in rows if r["k"] == "b"][0]
+    assert b["v"] is None and not b["was_imputed"]  # all-null key stays null
