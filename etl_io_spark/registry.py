@@ -2896,3 +2896,23 @@ def _impute_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.impute_group_mean(ev, "user_id", "value").select(
         "event_id", "user_id", "value", "was_imputed"
     )
+
+
+# ==========================================================================
+# Correlated subquery (Catalyst decorrelates to a join — the reference's
+# two-round-trip pattern at etl_io.py:354-357 expressed as one query
+# through the real parser, S4)
+# ==========================================================================
+_ABOVE_AVG_SQL = """
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+      SELECT AVG(c_acctbal) FROM customer i
+      WHERE i.c_nationkey = c.c_nationkey
+    )
+"""
+
+
+@register("above_avg_customers", _ABOVE_AVG_SQL)
+def _above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cat(spark, sf_dir).sql(_ABOVE_AVG_SQL)

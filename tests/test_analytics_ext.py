@@ -444,3 +444,18 @@ def test_impute_group_mean(spark):
     assert [r["was_imputed"] for r in rows if r["k"] == "a"].count(True) == 1
     b = [r for r in rows if r["k"] == "b"][0]
     assert b["v"] is None and not b["was_imputed"]  # all-null key stays null
+
+
+def test_correlated_subquery_decorrelates_to_join(spark, cat):
+    from etl_io_spark.registry import _ABOVE_AVG_SQL
+
+    plan = (
+        cat.sql(_ABOVE_AVG_SQL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # Catalyst must rewrite the per-row subquery into an aggregate + join;
+    # a surviving correlated subquery would rescan customer per row
+    assert "Join" in plan
+    assert plan.count("FileScan parquet") == 2
