@@ -89,6 +89,7 @@ HEADLINE = [
     "table_checksum_orders",
     "event_paths",
     "revenue_share_by_nation",
+    "changelog_compaction",
 ]
 
 

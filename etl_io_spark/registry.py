@@ -2916,3 +2916,34 @@ _ABOVE_AVG_SQL = """
 @register("above_avg_customers", _ABOVE_AVG_SQL)
 def _above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cat(spark, sf_dir).sql(_ABOVE_AVG_SQL)
+
+
+# ==========================================================================
+# CDC changelog compaction: latest record per key (row_number over the
+# key, ordered by ts desc with a unique tie-break) — the upsert-table
+# materialization every change-capture pipeline runs
+# ==========================================================================
+@register(
+    "changelog_compaction",
+    """
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+           ROUND(value, 2) AS value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def _changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    latest = win.top_k_per_group(
+        ev,
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+        k=1,
+    )
+    return latest.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.round("value", 2).alias("value"),
+    )

@@ -167,3 +167,15 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def union_evolved(frames: Sequence[DataFrame]) -> DataFrame:
+    """Union frames whose schemas drifted (the reference's per-year table
+    problem, etl_io.py:21-26): columns are matched BY NAME and columns
+    missing from any input surface as nulls — the append path when a new
+    source generation adds fields. Order-insensitive to column position;
+    fails loudly on true type conflicts rather than coercing silently."""
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out

@@ -226,3 +226,14 @@ def test_orc_round_trip(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(k" in plan
+
+
+def test_union_evolved_fills_missing_columns(spark):
+    from etl_io_spark.sources.readers import union_evolved
+
+    v1 = spark.createDataFrame([(1, "a")], ["id", "x"])
+    v2 = spark.createDataFrame([(2, "b", 9.5)], ["id", "x", "score"])
+    out = union_evolved([v1, v2]).orderBy("id").collect()
+    assert out[0]["score"] is None   # old generation: new column nulled
+    assert out[1]["score"] == 9.5
+    assert set(union_evolved([v2, v1]).columns) == {"id", "x", "score"}
