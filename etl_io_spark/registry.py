@@ -571,7 +571,8 @@ def _normalize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_extract_events",
     """
-    SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
 )
@@ -1274,7 +1275,7 @@ from etl_io_spark.operators import multimodal as mm  # noqa: E402
 @register(
     "media_metadata",
     """
-    SELECT kind, width, COUNT(*) AS n, SUM(n_frames) AS total_frames
+    SELECT kind, width, COUNT(*) AS n, CAST(SUM(n_frames) AS BIGINT) AS total_frames
     FROM (
       SELECT 'image' AS kind,
              CAST(doc_id % 16 + 4 AS INT) AS width,
@@ -1786,14 +1787,14 @@ def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     packed AS (
       SELECT doc_id, shard, n_tokens,
-             SUM(n_tokens) OVER (
+             CAST(SUM(n_tokens) OVER (
                PARTITION BY shard ORDER BY {_H_ID}, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) - n_tokens AS tok_start
+             ) - n_tokens AS BIGINT) AS tok_start
       FROM toks
     )
     SELECT doc_id, shard,
-           shard * 4294967296 + tok_start // 512 AS bin_id,
+           CAST(shard * 4294967296 + tok_start // 512 AS BIGINT) AS bin_id,
            n_tokens, tok_start
     FROM packed
     """,
@@ -1919,8 +1920,8 @@ _DUCK_TOKS = (
     agg AS (
       SELECT t.doc_id,
              COUNT(g.g) AS n_ngrams,
-             COALESCE(SUM(CASE WHEN b.g IS NOT NULL THEN 1 END), 0)
-               AS n_matched
+             CAST(COALESCE(SUM(CASE WHEN b.g IS NOT NULL THEN 1 END), 0)
+                  AS BIGINT) AS n_matched
       FROM toks t
       LEFT JOIN grams g ON t.doc_id = g.doc_id
       LEFT JOIN bench b ON g.g = b.g
@@ -2315,7 +2316,7 @@ def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 'test' END AS split
       FROM deduped
     )
-    SELECT split, COUNT(*) AS n_docs, SUM(nw) AS total_words,
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS total_words,
            ROUND(AVG(q), 4) AS avg_quality
     FROM split GROUP BY split
     """,
