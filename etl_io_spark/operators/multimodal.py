@@ -207,19 +207,24 @@ def frame_fingerprint(data: bytes, index: int) -> str:
 def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     """Video frame sampling: emit every ``every_n``-th frame index with its
     deterministic fingerprint. One input row fans out to
-    ceil(n_frames / every_n) rows — mapInPandas handles the 1:N expansion
-    naturally."""
+    ceil(n_frames / every_n) rows.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, idxs, fps = [], [], []
-            for mid, d, n in zip(pdf["media_id"], pdf["data"], pdf["n_frames"]):
-                for i in range(0, int(n), every_n):
-                    ids.append(mid)
-                    idxs.append(i)
-                    fps.append(frame_fingerprint(d, i))
-            yield pd.DataFrame(
-                {"media_id": ids, "frame_index": idxs, "frame_fingerprint": fps}
+    Pure Catalyst — the fingerprint (md5 over payload hex + index, parity
+    with ``frame_fingerprint``) needs no codec, so the 1:N expansion is an
+    ``explode(sequence(...))`` inside whole-stage codegen rather than a
+    Python worker stage; a real decoder would slot in as a mapInPandas
+    stage *after* this fan-out, touching only sampled frames."""
+    idx = F.explode(
+        F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+    ).alias("frame_index")
+    return spread(df).select(F.col("media_id"), idx, "data").select(
+        "media_id",
+        F.col("frame_index").cast("int").alias("frame_index"),
+        F.md5(
+            F.concat(
+                F.lower(F.hex("data")),
+                F.lit(":"),
+                F.col("frame_index").cast("string"),
             )
-
-    return spread(df).mapInPandas(run, FRAMES_SCHEMA)
+        ).alias("frame_fingerprint"),
+    )

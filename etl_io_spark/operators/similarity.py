@@ -402,6 +402,106 @@ def neardup_pairs_cosine_blocked(
     )
 
 
+def neardup_pairs_cosine_blockpair(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+    round_to: int = 6,
+    chunk_rows: int = 2048,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup, fully distributed — no driver
+    collect, no corpus broadcast.
+
+    Block-pair decomposition: every vector hashes into one of ``n_blocks``
+    blocks; each unordered block pair (i ≤ j) becomes one cogroup task that
+    multiplies block i against block j with numpy (Arrow-batched
+    ``applyInPandas``). An unordered id pair lands in exactly one task, so
+    no dedup pass is needed.
+
+    Scale shape: shuffle volume is (n_blocks+1)·|corpus| rows (each vector
+    joins one A-side pair list of size ~n_blocks/2 and one B-side list),
+    task memory is 2·|corpus|/n_blocks vectors plus a ``chunk_rows``-bounded
+    sims tile — pick n_blocks ≈ |corpus|·dims·8B / (executor-mem/4) so a
+    task holds two blocks comfortably; parallelism is n_blocks·(n_blocks+1)/2
+    tasks. Replaces ``neardup_pairs_cosine_blocked``'s driver-side
+    ``toPandas`` + broadcast (documented ceiling: tens of millions of
+    vectors) with a plan that holds at any corpus size.
+
+    Rounding parity with SQL oracles: raw dots keep an epsilon margin; the
+    compared value is ROUNDed (HALF_UP) by Catalyst, as in the blocked path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    margin = 10.0 ** (-round_to) / 2
+    blk = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks))
+    v = spread(emb.select(id_col, vec_col)).withColumn("__blk", blk)
+
+    pair_rows = [
+        (i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j
+    ]
+    # A side: vector's block is bi of some pair; B side: block is bj.
+    # Distinct column names per side — the two join trees share the same
+    # source, and renaming up-front sidesteps ambiguous-self-join analysis.
+    pairs_a = spark.createDataFrame(pair_rows, "__abi int, __abj int")
+    pairs_b = spark.createDataFrame(pair_rows, "__bbi int, __bbj int")
+    left = (
+        v.select(
+            F.col(id_col).alias("__ida"),
+            F.col(vec_col).alias("__veca"),
+            F.col("__blk").alias("__blka"),
+        )
+        .join(F.broadcast(pairs_a), F.col("__blka") == F.col("__abi"))
+        .select("__abi", "__abj", "__ida", "__veca")
+    )
+    right = (
+        v.select(
+            F.col(id_col).alias("__idb"),
+            F.col(vec_col).alias("__vecb"),
+            F.col("__blk").alias("__blkb"),
+        )
+        .join(F.broadcast(pairs_b), F.col("__blkb") == F.col("__bbj"))
+        .select("__bbi", "__bbj", "__idb", "__vecb")
+    )
+
+    def mult(key, la: pd.DataFrame, rb: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        if len(la) == 0 or len(rb) == 0:
+            return pd.DataFrame({"a": [], "b": [], "raw_sim": []}).astype(
+                {"a": "int64", "b": "int64", "raw_sim": "float64"}
+            )
+        ids_a = la["__ida"].to_numpy()
+        ids_b = rb["__idb"].to_numpy()
+        mat_b = np.asarray(rb["__vecb"].tolist(), dtype=np.float64)
+        out = []
+        for lo in range(0, len(la), chunk_rows):
+            sub = la.iloc[lo : lo + chunk_rows]
+            mat_a = np.asarray(sub["__veca"].tolist(), dtype=np.float64)
+            sims = mat_a @ mat_b.T
+            ia, ib = np.nonzero(sims >= threshold - margin)
+            da, db = ids_a[lo + ia], ids_b[ib]
+            if bi == bj:  # both orders present in-tile: keep one
+                keep = da < db
+                da, db, s = da[keep], db[keep], sims[ia[keep], ib[keep]]
+            else:  # cross-block pair appears once; normalize order
+                s = sims[ia, ib]
+                da, db = np.minimum(da, db), np.maximum(da, db)
+            out.append(pd.DataFrame({"a": da, "b": db, "raw_sim": s}))
+        return pd.concat(out, ignore_index=True)
+
+    cand = (
+        left.groupBy("__abi", "__abj")
+        .cogroup(right.groupBy("__bbi", "__bbj"))
+        .applyInPandas(mult, "a long, b long, raw_sim double")
+    )
+    return cand.select(
+        "a", "b", F.round(F.col("raw_sim"), round_to).alias("cosine_sim")
+    ).where(F.col("cosine_sim") >= threshold)
+
+
 def label_centroids(
     df: DataFrame,
     label_col: str,

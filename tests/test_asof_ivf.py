@@ -145,3 +145,20 @@ def test_blocked_neardup_matches_expression_path(spark):
         ).collect()
     }
     assert fast == slow and len(fast) > 0
+
+
+def test_blockpair_neardup_matches_expression_path(spark):
+    emb = TableCatalog(spark, SF).table("embeddings")
+    slow = {
+        (r["a"], r["b"], r["cosine_sim"])
+        for r in similarity.neardup_pairs_cosine(
+            emb, threshold=0.4, exact=True
+        ).collect()
+    }
+    dist = {
+        (r["a"], r["b"], r["cosine_sim"])
+        for r in similarity.neardup_pairs_cosine_blockpair(
+            emb, threshold=0.4, n_blocks=4, chunk_rows=64
+        ).collect()
+    }
+    assert dist == slow and len(dist) > 0
