@@ -126,18 +126,29 @@ class TableCatalog:
     def _nanos_cols(path: str) -> list[str]:
         """Columns stored as timestamp[ns] (footer-only check, no data read).
 
-        Accepts both single-file tables (driver testdata) and Spark-written
-        parquet DIRECTORIES (one part file's footer represents the table —
-        Spark writes a uniform schema)."""
+        Accepts single-file tables (driver testdata) and Spark-written
+        parquet DIRECTORIES, including partitionBy layouts (part files
+        nested under key=value subdirectories) — the first part file found
+        by a recursive walk represents the table, since Spark writes a
+        uniform schema. Raises if a directory holds no part file at all,
+        rather than silently skipping the ns->us conversion."""
         if os.path.isdir(path):
-            parts = sorted(
-                f
-                for f in os.listdir(path)
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
-            if not parts:
-                return []
-            path = os.path.join(path, parts[0])
+            part = None
+            for dirpath, _dirnames, filenames in sorted(os.walk(path)):
+                cands = sorted(
+                    f
+                    for f in filenames
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                )
+                if cands:
+                    part = os.path.join(dirpath, cands[0])
+                    break
+            if part is None:
+                raise FileNotFoundError(
+                    f"no .parquet part file under {path!r}; cannot determine "
+                    "timestamp physical types"
+                )
+            path = part
         # physical INT96 (legacy Spark writes) also surfaces as
         # timestamp[ns] in arrow, but Spark reads INT96 as TIMESTAMP
         # natively — only true INT64-nanos columns need the long->us

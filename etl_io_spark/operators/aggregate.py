@@ -404,8 +404,12 @@ def ab_test_stats(
         F.avg(_cond(is_b, m)).alias("__mb"),
         F.var_samp(_cond(is_b, m)).alias("__vb"),
     )
-    se = F.sqrt(
-        F.col("__va") / F.col("n_a") + F.col("__vb") / F.col("n_b")
+    # explicit >0 guard: when both variances are 0 the z is undefined —
+    # emit NULL on every engine rather than relying on Spark's non-ANSI
+    # divide (NULL) vs IEEE 0/0 (NaN) agreeing by accident
+    var_sum = F.col("__va") / F.col("n_a") + F.col("__vb") / F.col("n_b")
+    z = F.when(
+        var_sum > 0, (F.col("__mb") - F.col("__ma")) / F.sqrt(var_sum)
     )
     return agged.select(
         *keys,
@@ -414,5 +418,5 @@ def ab_test_stats(
         "n_b",
         F.round("__mb", round_to).alias("mean_b"),
         F.round(F.col("__mb") - F.col("__ma"), round_to).alias("lift"),
-        F.round((F.col("__mb") - F.col("__ma")) / se, round_to).alias("z"),
+        F.round(z, round_to).alias("z"),
     )

@@ -392,7 +392,6 @@ def connected_components(
     returned DataFrame and are left for the caller/session cleanup.
     """
     import os
-    import shutil
     import tempfile
     import uuid
 
@@ -400,12 +399,19 @@ def connected_components(
     base = checkpoint_dir or os.path.join(
         tempfile.gettempdir(), f"etl_io_cc_{uuid.uuid4().hex}"
     )
-    local_fs = checkpoint_dir is None
 
     def _ckpt(df: DataFrame, tag: str) -> DataFrame:
-        path = os.path.join(base, tag)
+        path = base.rstrip("/") + "/" + tag
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
+
+    def _rm(tag: str) -> None:
+        # Hadoop FileSystem delete: works for local paths AND cluster URIs
+        # (hdfs://, s3a://, ...), unlike shutil
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(base.rstrip("/") + "/" + tag)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
     # both orientations in ONE pass over pairs (a union of two selects
     # would evaluate the upstream pair pipeline twice)
     edges = pairs.select(
@@ -471,8 +477,7 @@ def connected_components(
         )
         stepped.unpersist()
         labels = new_labels
-        if local_fs:  # prior round fully consumed by the changed-count job
-            shutil.rmtree(os.path.join(base, prev_tag), ignore_errors=True)
+        _rm(prev_tag)  # prior round fully consumed by the changed-count job
         prev_tag = f"r{r}"
         if changed == 0:
             break

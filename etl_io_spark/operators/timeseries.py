@@ -126,7 +126,11 @@ def time_weighted_avg(
 
     One keyed window (lead) produces the holding duration map-side and
     one partial-aggregable groupBy folds Σ(v·Δt)/Σ(Δt); keys with a
-    single observation fall back to the plain value."""
+    single observation — or whose observations all share one timestamp,
+    where Σ(Δt)=0 — fall back to the plain average. The Σ(Δt)>0 guard is
+    explicit (not a coalesce over the NULL of Spark's non-ANSI divide) so
+    the degenerate case agrees with IEEE engines, where 0/0 is NaN, by
+    construction."""
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(value_col))
     dt = (
         F.unix_micros(F.lead(ts_col).over(w))
@@ -137,10 +141,10 @@ def time_weighted_avg(
     )
     return base.groupBy(key_col).agg(
         F.round(
-            F.coalesce(
+            F.when(
+                F.sum("__dt") > 0,
                 F.sum(F.col(value_col) * F.col("__dt")) / F.sum("__dt"),
-                F.avg(value_col),
-            ),
+            ).otherwise(F.avg(value_col)),
             round_to,
         ).alias(f"twap_{value_col}"),
         F.count(F.lit(1)).alias("n_obs"),

@@ -2734,7 +2734,8 @@ def _embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n_a, ROUND(ma, 6) AS mean_a, n_b, ROUND(mb, 6) AS mean_b,
            ROUND(mb - ma, 6) AS lift,
-           ROUND((mb - ma) / SQRT(va / n_a + vb / n_b), 6) AS z
+           ROUND(CASE WHEN va / n_a + vb / n_b > 0
+                      THEN (mb - ma) / SQRT(va / n_a + vb / n_b) END, 6) AS z
     FROM a
     """,
 )
@@ -2759,7 +2760,8 @@ def _ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           ROUND(COALESCE(SUM(value * dt) / SUM(dt), AVG(value)), 6) AS twap_value,
+           ROUND(CASE WHEN SUM(dt) > 0 THEN SUM(value * dt) / SUM(dt)
+                      ELSE AVG(value) END, 6) AS twap_value,
            COUNT(*) AS n_obs
     FROM t GROUP BY user_id
     """,

@@ -173,8 +173,12 @@ def union_evolved(frames: Sequence[DataFrame]) -> DataFrame:
     """Union frames whose schemas drifted (the reference's per-year table
     problem, etl_io.py:21-26): columns are matched BY NAME and columns
     missing from any input surface as nulls — the append path when a new
-    source generation adds fields. Order-insensitive to column position;
-    fails loudly on true type conflicts rather than coercing silently."""
+    source generation adds fields. Order-insensitive to column position.
+    Incompatible types (e.g. string vs map) fail the union analysis; note
+    that compatible numeric types still widen implicitly (int->long,
+    int->double) per Spark's union coercion rules."""
+    if not frames:
+        raise ValueError("union_evolved needs at least one input frame")
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
