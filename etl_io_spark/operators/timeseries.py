@@ -31,14 +31,21 @@ def resample_ffill(
     clocks.
 
     Per key: the grid spans ``date_trunc(step-unit, min(ts)) ..
-    date_trunc(step-unit, max(ts))`` inclusive and is produced by
-    ``explode(sequence(...))`` — grid generation is distributed and sized
-    per key, not a cross join against a global calendar. Within each
-    bucket the LAST observation wins (``max_by`` over (ts, tiebreak), a
+    date_trunc(step-unit, max(ts))`` inclusive. Within each bucket the
+    LAST observation wins (``max_by`` over (ts, tiebreak), a
     partial-aggregable pick — deterministic given a unique tiebreaker);
-    empty buckets take the most recent earlier bucket's value via
-    ``last(ignorenulls)`` over a keyed window. ``filled`` marks
-    carried-forward rows.
+    empty buckets carry the most recent earlier bucket's value, with
+    ``filled`` marking carried rows.
+
+    Plan shape — the grid NEVER shuffles: one partial-agg groupBy
+    collapses rows to observed buckets, one keyed window computes each
+    observed bucket's successor (``lead``), and the carry-forward run
+    ``[bucket, next_bucket)`` is emitted map-side by
+    ``posexplode(sequence(...))`` (pos > 0 == carried). Grid rows exist
+    only downstream of the last exchange, so cost scales with
+    observations shuffled + grid rows written, not grid rows shuffled —
+    the earlier join-grid-then-window formulation shuffled the (often
+    10-100x larger) grid twice.
 
     The unit for truncation is parsed from ``step`` ("1 hour" → HOUR);
     only single-unit steps are supported (that is what keeps bucket
@@ -53,33 +60,25 @@ def resample_ffill(
             f"max_by({value_col}, struct({', '.join(tie)}))"
         ).alias("__v")
     )
-    grid = (
-        df.groupBy(key_col)
-        .agg(
-            F.date_trunc(unit, F.min(ts_col)).alias("__lo"),
-            F.date_trunc(unit, F.max(ts_col)).alias("__hi"),
-        )
-        .select(
-            key_col,
-            F.explode(
-                F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
-            ).alias("__bucket"),
-        )
-    )
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy("__bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.partitionBy(key_col).orderBy("__bucket")
+    step_iv = F.expr(f"INTERVAL {step}")
+    run_end = F.coalesce(
+        F.lead("__bucket").over(w) - step_iv, F.col("__bucket")
     )
     return (
-        grid.join(obs, [key_col, "__bucket"], "left")
+        obs.withColumn("__end", run_end)
         .select(
             key_col,
-            F.col("__bucket").alias("bucket_ts"),
-            F.round(
-                F.last("__v", ignorenulls=True).over(w), round_to
-            ).alias(value_col),
-            F.col("__v").isNull().alias("filled"),
+            "__v",
+            F.posexplode(
+                F.sequence("__bucket", "__end", step_iv)
+            ).alias("__pos", "bucket_ts"),
+        )
+        .select(
+            key_col,
+            "bucket_ts",
+            F.round("__v", round_to).alias(value_col),
+            (F.col("__pos") > 0).alias("filled"),
         )
     )
 
