@@ -156,6 +156,44 @@ def test_extract_zip(tmp_path):
     assert open(os.path.join(out, "inner.txt")).read() == "hello"
 
 
+_RELEASE_HTML = """
+<html><body>
+  <h1>Releases</h1>
+  <h2>O*NET 29.1 Database</h2>
+  <p>released August 2024</p>
+  <a href="/dl_files/database/db_29_1_excel.zip">Excel</a>
+  <a href="/dl_files/database/db_29_1_text.zip">Text</a>
+  <h2>O*NET 29.0 Database</h2>
+  <a href="/dl_files/database/db_29_0_text.zip">Text</a>
+</body></html>
+"""
+
+
+def test_scrape_release_page_version_and_href():
+    version, href = ingest.scrape_release_page(_RELEASE_HTML)
+    assert version == 29.1
+    # first anchor containing text.zip, not the excel one
+    assert href == "/dl_files/database/db_29_1_text.zip"
+
+
+def test_scrape_release_page_no_match():
+    assert ingest.scrape_release_page("<html><h2>nothing</h2></html>") == (
+        None,
+        None,
+    )
+
+
+def test_check_for_update_gate():
+    url = ingest.check_for_update(
+        _RELEASE_HTML, current_version=29.0, base_url="https://example.org"
+    )
+    assert url == "https://example.org/dl_files/database/db_29_1_text.zip"
+    # up to date -> None (reference prints 'database up to date')
+    assert ingest.check_for_update(_RELEASE_HTML, current_version=29.1) is None
+    # unparseable page -> None, never a crash
+    assert ingest.check_for_update("<p>oops</p>", current_version=1.0) is None
+
+
 def test_download_requires_requests_or_network():
     try:
         import requests  # noqa: F401
