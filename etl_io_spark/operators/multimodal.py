@@ -217,12 +217,18 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     idx = F.explode(
         F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
     ).alias("frame_index")
-    return spread(df).select(F.col("media_id"), idx, "data").select(
+    # hex(data) is hoisted before the generate so it's evaluated once per
+    # media item, not once per emitted frame (the payload dominates the md5
+    # input; only the ':index' suffix varies per frame).
+    hexed = spread(df).select(
+        "media_id", F.lower(F.hex("data")).alias("__hex"), "n_frames"
+    )
+    return hexed.select(F.col("media_id"), idx, "__hex").select(
         "media_id",
         F.col("frame_index").cast("int").alias("frame_index"),
         F.md5(
             F.concat(
-                F.lower(F.hex("data")),
+                F.col("__hex"),
                 F.lit(":"),
                 F.col("frame_index").cast("string"),
             )

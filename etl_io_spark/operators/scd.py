@@ -19,6 +19,49 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 
 
+def merge_upsert(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """MERGE-style CDC apply (SCD type 1): fold a change batch into a
+    target table.
+
+    ``changes`` carries one row per key (pre-compact a changelog with
+    ``changelog_compaction`` first) with an ``op`` column: ``delete_op``
+    rows remove the key; any other op upserts the row's attributes.
+
+    Plan shape: ONE full-outer join on the key decides keep / replace /
+    insert / delete per entity — no per-case rescans of the target. The
+    change batch is normally tiny next to the target, so Catalyst/AQE
+    broadcast it and the target is never shuffled; at 100 TB the target-side
+    scan stays partition-pruned when the key is the partition/bucket column.
+    """
+    attrs = [c for c in target.columns if c != key]
+    ch = changes.select(
+        F.col(key).alias("__k"),
+        F.col(op_col).alias("__op"),
+        *[F.col(a).alias(f"__c_{a}") for a in attrs],
+    )
+    j = target.join(ch, F.col(key) == F.col("__k"), "full_outer")
+    in_change = F.col("__k").isNotNull()
+    deleted = in_change & (F.col("__op") == delete_op)
+    return (
+        j.where(~deleted)
+        .select(
+            F.coalesce(F.col(key), F.col("__k")).alias(key),
+            *[
+                F.when(in_change, F.col(f"__c_{a}"))
+                .otherwise(F.col(a))
+                .alias(a)
+                for a in attrs
+            ],
+        )
+    )
+
+
 def scd2_merge(
     history: DataFrame,
     snapshot: DataFrame,

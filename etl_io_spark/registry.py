@@ -1355,6 +1355,30 @@ def _events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_interval_join",
+    """
+    SELECT v.user_id, v.event_id AS l_id, c.event_id AS r_id,
+           epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP))
+             AS delay_us
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '60 minutes'
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+)
+def _stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch twin (streaming/windows.py
+    ``interval_join``): views pair with same-user clicks within 60 minutes.
+    The watermarked streaming mode is parity-tested in
+    tests/test_streaming.py."""
+    ev = _cat(spark, sf_dir).table("events")
+    views = ev.where(F.col("event_type") == "view")
+    clicks = ev.where(F.col("event_type") == "click")
+    return stream_win.interval_join(views, clicks, within="60 minutes")
+
+
 # ==========================================================================
 # Multimodal plumbing (binary columns + mapInPandas stages; decode stubbed
 # behind a deterministic fake — see operators/multimodal.py)
@@ -2691,6 +2715,65 @@ def _scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd.scd2_merge(
         hist, snap, "c_custkey", ["acctbal"], "2024-06-01",
         close_missing=True,
+    )
+
+
+@register(
+    "merge_upsert_customer",
+    """
+    WITH target AS (
+      SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+             c_mktsegment AS segment
+      FROM customer
+    ),
+    changes AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 13 = 2 THEN 'D' ELSE 'U' END AS op,
+             ROUND(c_acctbal + 50, 2) AS acctbal, c_mktsegment AS segment
+      FROM customer WHERE c_custkey % 13 = 2 OR c_custkey % 7 = 0
+      UNION ALL
+      SELECT -c_custkey, 'I', ROUND(c_acctbal, 2), 'NEW'
+      FROM customer WHERE c_custkey % 17 = 5
+    )
+    SELECT COALESCE(t.c_custkey, c.c_custkey) AS c_custkey,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.acctbal
+                ELSE t.acctbal END AS acctbal,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.segment
+                ELSE t.segment END AS segment
+    FROM target t FULL OUTER JOIN changes c ON t.c_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL OR c.op <> 'D'
+    """,
+)
+def _merge_upsert_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style CDC apply (operators/scd.py ``merge_upsert``): deletes,
+    updates and inserts folded into the customer table through ONE
+    full-outer join (the change batch broadcasts; the target never
+    shuffles). Upgrades the reference's whole-table copy sink
+    (etl_io.py:203-219) to incremental maintenance."""
+    cust = _cat(spark, sf_dir).table("customer")
+    target = cust.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    mods = cust.where(
+        (F.col("c_custkey") % 13 == 2) | (F.col("c_custkey") % 7 == 0)
+    ).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 13 == 2, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.round(F.col("c_acctbal") + 50, 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    inserts = cust.where(F.col("c_custkey") % 17 == 5).select(
+        (-F.col("c_custkey")).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("NEW").alias("segment"),
+    )
+    return scd.merge_upsert(
+        target, mods.unionByName(inserts), "c_custkey"
     )
 
 

@@ -114,6 +114,58 @@ def dedup_events(
     return events.dropDuplicates(list(subset))
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    within: str = "10 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Event interval join (stream-stream capable): every left event pairs
+    with the right events of the same ``key`` whose timestamp falls in
+    ``[left.ts, left.ts + within]``.
+
+    Batch/stream dual like the window aggs: in streaming mode pass
+    ``watermark`` — both sides get watermarked and the time-range predicate
+    bounds the join state Spark must retain (state eviction follows the
+    watermark + interval, the standard stream-stream inner-join contract).
+    In batch mode the same plan is a single equi-join on ``key`` with the
+    range predicate applied post-match (AQE handles skewed keys).
+
+    Output delay is integer microseconds (``unix_micros`` diff) so batch,
+    streaming and SQL oracles agree bit-for-bit.
+    """
+    l = left.select(
+        F.col(key).alias(key),
+        F.col(ts_col).alias("l_ts"),
+        F.col(id_col).alias("l_id"),
+    )
+    r = right.select(
+        F.col(key).alias("__rk"),
+        F.col(ts_col).alias("r_ts"),
+        F.col(id_col).alias("r_id"),
+    )
+    if watermark is not None:
+        l = l.withWatermark("l_ts", watermark)
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col(key) == F.col("__rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return (
+        l.join(r, cond, "inner")
+        .select(
+            key,
+            "l_id",
+            "r_id",
+            (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delay_us"),
+        )
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame,
     query_name: str,

@@ -459,3 +459,29 @@ def test_correlated_subquery_decorrelates_to_join(spark, cat):
     # a surviving correlated subquery would rescan customer per row
     assert "Join" in plan
     assert plan.count("FileScan parquet") == 2
+
+
+def test_merge_upsert_cases(spark):
+    from etl_io_spark.operators import scd
+
+    target = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+        "k int, bal double, seg string",
+    )
+    changes = spark.createDataFrame(
+        [(2, "U", 25.0, "b2"), (3, "D", 0.0, "x"), (9, "I", 90.0, "new")],
+        "k int, op string, bal double, seg string",
+    )
+    got = {
+        r["k"]: (r["bal"], r["seg"])
+        for r in scd.merge_upsert(target, changes, "k").collect()
+    }
+    assert got == {1: (10.0, "a"), 2: (25.0, "b2"), 9: (90.0, "new")}
+
+
+def test_merge_upsert_idempotent_on_empty_changes(spark):
+    from etl_io_spark.operators import scd
+
+    target = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    empty = spark.createDataFrame([], "k int, op string, v double")
+    assert scd.merge_upsert(target, empty, "k").collect() == target.collect()

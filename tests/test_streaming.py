@@ -106,3 +106,28 @@ def test_stream_static_enrichment_matches_batch(spark, event_source):
     want = enrich(cat.table("events")).collect()
     assert _as_sets(got) == _as_sets(want)
     assert len(got) > 0
+
+
+def test_interval_join_stream_matches_batch(spark, event_source):
+    """Stream-stream inner interval join: both sides watermarked; with the
+    whole source in one availableNow batch, streaming output must equal the
+    batch twin exactly."""
+    path, cat = event_source
+    ev_b = cat.table("events")
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "view"),
+            df.where(F.col("event_type") == "click"),
+        )
+
+    lv, rv = split(cat.table_stream("events", path))
+    got = _run_stream(
+        spark,
+        sw.interval_join(lv, rv, within="60 minutes", watermark="1 hour"),
+        mode="append",
+    )
+    lb, rb = split(ev_b)
+    want = sw.interval_join(lb, rb, within="60 minutes").collect()
+    assert _as_sets(got) == _as_sets(want)
+    assert len(want) > 0
