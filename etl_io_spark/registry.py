@@ -2778,6 +2778,37 @@ def _merge_upsert_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# Z-order (Morton) clustering code (functions/encoding.py): the layout key
+# behind write_zordered — graded as a value query so the bit interleave is
+# oracle-checked; the writer itself is layout-tested in pytest
+# ==========================================================================
+from etl_io_spark.functions.encoding import morton2, morton2_sql  # noqa: E402
+
+
+@register(
+    "zorder_code_orders",
+    f"""
+    SELECT o_orderkey,
+           {morton2_sql("o_custkey",
+                        "datediff('day', DATE '1970-01-01', o_orderdate)")}
+             AS zval
+    FROM orders
+    """,
+)
+def _zorder_code_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order key for a (customer, order-date) clustered layout: pure
+    Catalyst bit arithmetic, whole-stage codegen, zero shuffles."""
+    orders = _cat(spark, sf_dir).table("orders")
+    return orders.select(
+        "o_orderkey",
+        morton2(
+            F.col("o_custkey"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")),
+        ).alias("zval"),
+    )
+
+
+# ==========================================================================
 # Per-label embedding centroids (operators/similarity.py): element-wise
 # vector mean via posexplode + one partial-agg shuffle, long form
 # ==========================================================================
@@ -2796,6 +2827,32 @@ def _embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _cat(spark, sf_dir).table("embeddings")
     return sim.label_centroids(emb, "label", "embedding")
+
+
+@register(
+    "embedding_quantize",
+    """
+    SELECT vec_id, qscale,
+           list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) / qscale) AS INT))
+             AS qvec
+    FROM (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding,
+                                              x -> abs(CAST(x AS DOUBLE)))),
+                      1e-12) / 127.0 AS qscale
+      FROM embeddings
+    )
+    """,
+)
+def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization (operators/similarity.py
+    ``quantize_embeddings``): 4× smaller vectors for every downstream
+    shuffle/broadcast; pure Catalyst HOFs, zero shuffles. The quantized
+    top-k consumer (``quantized_topk``) is recall-tested in pytest."""
+    from etl_io_spark.operators import similarity as sim
+
+    return sim.quantize_embeddings(_cat(spark, sf_dir).table("embeddings"))
 
 
 # ==========================================================================

@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 def write_parquet(
@@ -164,6 +164,35 @@ def to_excel(df: DataFrame, path: str, max_rows: int = 100_000) -> str:
         pdf.to_excel(path, index=False)
     except ImportError as e:  # pragma: no cover - env-dependent
         raise NotImplementedError("to_excel requires the 'openpyxl' package") from e
+    return path
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Z-order-clustered parquet layout: rows are range-partitioned and
+    sorted by the Morton interleave of ``(x_col, y_col)``, so parquet
+    min/max stats stay tight for BOTH columns — filters on either one skip
+    most files at read time. ``write_sorted`` delivers that only for its
+    leading key; this is the two-dimensional upgrade (the lakehouse
+    "Z-ORDER BY" primitive) built from pure Catalyst bit arithmetic.
+
+    One range exchange (distribution sampling keeps file sizes balanced
+    under skew) + an in-partition sort; the helper ``__z`` column is
+    dropped before the write."""
+    from etl_io_spark.functions.encoding import morton2
+
+    out = df.withColumn("__z", morton2(F.col(x_col), F.col(y_col)))
+    if num_files is not None:
+        out = out.repartitionByRange(num_files, "__z")
+    else:
+        out = out.repartitionByRange("__z")
+    out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
     return path
 
 

@@ -251,3 +251,25 @@ def test_connected_components_long_chain(spark):
     out = dedup.connected_components(pairs).collect()
     assert len(out) == 120
     assert {r["cluster_id"] for r in out} == {1}
+
+
+def test_quantize_embeddings_error_bound(spark, emb):
+    out = similarity.quantize_embeddings(emb.limit(50)).join(
+        emb.limit(50), "vec_id"
+    ).collect()
+    for r in out:
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+        # per-element reconstruction error is bounded by half a step
+        for q, x in zip(r["qvec"], r["embedding"]):
+            assert abs(q * r["qscale"] - x) <= r["qscale"] / 2 + 1e-12
+
+
+def test_quantized_topk_recall_vs_exact(spark, emb):
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, q, k=10, assume_normalized=True)
+    quant = similarity.quantized_topk(emb, q, k=10)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
+    assert len(e & a) / len(e) >= 0.9  # int8 error is tiny vs neighbor gaps

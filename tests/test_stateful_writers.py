@@ -222,3 +222,57 @@ def test_write_sorted_produces_disjoint_file_ranges(spark, tmp_path):
         assert prev_hi <= lo  # disjoint, clustered ranges
     # a point filter must prune to a single file's row groups
     assert back.where(SF.col("k") == spans[0][0]).count() >= 1
+
+
+def _morton_py(x: int, y: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton2_matches_reference_bit_interleave(spark):
+    import pyspark.sql.functions as SF
+
+    from etl_io_spark.functions.encoding import morton2
+
+    cases = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (7, 70000)]
+    df = spark.createDataFrame(cases, "x int, y int").select(
+        "x", "y", morton2(SF.col("x"), SF.col("y")).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == _morton_py(r["x"] & 0xFFFF, r["y"] & 0xFFFF)
+
+
+def test_write_zordered_clusters_both_dimensions(spark, tmp_path):
+    import pyspark.sql.functions as SF
+
+    from etl_io_spark.sources.writers import write_zordered
+
+    # 64x64 grid in random-ish order: z-order layout must keep BOTH x and y
+    # per-file ranges far below the global range (a single-column sort
+    # achieves this only for its leading key).
+    df = spark.range(0, 4096).select(
+        ((SF.col("id") * 2654435761) % 4096 % 64).alias("x"),
+        ((SF.col("id") * 2654435761) % 4096 / 64).cast("int").alias("y"),
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(df, path, "x", "y", num_files=16)
+    back = spark.read.parquet(path)
+    stats = (
+        back.groupBy(SF.input_file_name())
+        .agg(
+            (SF.max("x") - SF.min("x")).alias("xr"),
+            (SF.max("y") - SF.min("y")).alias("yr"),
+        )
+        .collect()
+    )
+    assert len(stats) == 16
+    avg_xr = sum(r["xr"] for r in stats) / len(stats)
+    avg_yr = sum(r["yr"] for r in stats) / len(stats)
+    # global range is 63 in each dimension; 16 z-tiles of a 64x64 grid are
+    # 16x16 blocks => per-file range 15. Allow slack for range-boundary
+    # straddling, but both dimensions must cluster.
+    assert avg_xr <= 32, avg_xr
+    assert avg_yr <= 32, avg_yr
