@@ -1,0 +1,85 @@
+"""Iterative graph analytics over edge-list DataFrames.
+
+Complements ``dedup.connected_components`` (pointer-jumping label
+propagation) with value-propagation algorithms — here PageRank, the
+canonical fixed-point iteration. No graph library and no RDDs: the graph
+is an edge-list DataFrame and every iteration is one join + one keyed
+aggregation, the exact shape GraphX/Pregel lowers to anyway.
+
+Scale design:
+  * the (edge ⋈ out-degree) side is loop-invariant — computed once,
+    persisted, reused every iteration; only the rank table changes.
+  * per iteration: one shuffle to route contributions (groupBy dst with
+    map-side partial sums) and one join back to the node set. Shuffle
+    volume is |E| + |V| rows per iteration, independent of iteration count.
+  * fixed iteration count (the common production choice — rank deltas
+    converge geometrically at the damping rate) keeps the plan finite and
+    oracle-reproducible; pass ``checkpoint_every`` to truncate lineage on
+    long runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_to: int = 6,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """PageRank over a directed edge list; returns (node, rank).
+
+    Every node appearing as ``src`` or ``dst`` participates; ranks start
+    uniform at 1/N and update as
+    ``rank' = (1-d)/N + d * Σ_in rank(u)/outdeg(u)``.
+    Nodes without out-edges leak their mass (simplified PageRank — the
+    standard choice when the graph is symmetrized first, where it cannot
+    happen). Deterministic given the edge list, so SQL oracles can unroll
+    the same fixed iteration count.
+    """
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .union(e.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__outdeg"))
+    # loop-invariant: each edge annotated with its source's out-degree
+    fan = e.join(outdeg, "__src").persist()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for i in range(iterations):
+        contribs = (
+            fan.join(ranks, fan["__src"] == ranks["node"])
+            .groupBy("__dst")
+            .agg(F.sum(F.col("rank") / F.col("__outdeg")).alias("__c"))
+        )
+        ranks = nodes.join(
+            contribs, nodes["node"] == contribs["__dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("__c"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    # NOTE: ``fan`` stays persisted — the returned plan is lazy and still
+    # references it every iteration; callers can unpersist after their
+    # action (blockManager eviction reclaims it otherwise).
+    return ranks.select("node", F.round("rank", round_to).alias("rank"))
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected view of an edge list: both directions, deduplicated."""
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    return fwd.union(
+        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    ).distinct()

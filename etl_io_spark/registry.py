@@ -2809,6 +2809,73 @@ def _zorder_code_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# PageRank (operators/graph.py): fixed-point value propagation over the
+# symmetrized customer-supplier trade graph; the oracle unrolls the same
+# fixed iteration count as chained CTEs (all-double arithmetic both sides)
+# ==========================================================================
+def _pagerank_oracle(iterations: int = 5) -> str:
+    d = "CAST(0.85 AS DOUBLE)"
+    head = """
+    WITH base AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
+           FROM nodes)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+    r{i} AS (
+      SELECT nodes.node,
+             (CAST(1 AS DOUBLE) - {d}) / (SELECT n FROM nn)
+               + {d} * COALESCE(c.s, CAST(0 AS DOUBLE)) AS rank
+      FROM nodes LEFT JOIN (
+        SELECT e.dst, SUM(r.rank / deg.outdeg) AS s
+        FROM edges e JOIN deg ON e.src = deg.src
+        JOIN r{i - 1} r ON r.node = e.src
+        GROUP BY e.dst
+      ) c ON nodes.node = c.dst
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT node, ROUND(rank, 6) AS rank FROM r{iterations}
+    """
+    )
+
+
+@register("pagerank_trade_graph", _pagerank_oracle())
+def _pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected customer↔supplier graph (edge =
+    'traded at least once', from lineitem⋈orders). 5 fixed iterations;
+    each is one contribution shuffle + one node join (operators/graph.py)."""
+    from etl_io_spark.operators import graph
+
+    cat = _cat(spark, sf_dir)
+    li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
+    orders = cat.table("orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return graph.pagerank(graph.symmetrize(pairs), iterations=5)
+
+
+# ==========================================================================
 # Per-label embedding centroids (operators/similarity.py): element-wise
 # vector mean via posexplode + one partial-agg shuffle, long form
 # ==========================================================================

@@ -485,3 +485,31 @@ def test_merge_upsert_idempotent_on_empty_changes(spark):
     target = spark.createDataFrame([(1, 1.0)], "k int, v double")
     empty = spark.createDataFrame([], "k int, op string, v double")
     assert scd.merge_upsert(target, empty, "k").collect() == target.collect()
+
+
+def test_pagerank_two_node_symmetric(spark):
+    from etl_io_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank"] for r in graph.pagerank(edges).collect()}
+    # symmetric two-node graph: uniform 0.5 is the exact fixed point
+    assert got == {"a": 0.5, "b": 0.5}
+
+
+def test_pagerank_star_mass_and_order(spark):
+    from etl_io_spark.operators import graph
+
+    # undirected star: hub h <-> 3 leaves; hub must outrank leaves and
+    # total mass stays 1 (symmetrized graph has no dangling nodes)
+    star = spark.createDataFrame(
+        [("h", "l1"), ("h", "l2"), ("h", "l3")], "src string, dst string"
+    )
+    ranks = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(graph.symmetrize(star), iterations=20).collect()
+    }
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4
+    assert all(ranks["h"] > ranks[f"l{i}"] for i in (1, 2, 3))
+    assert len({ranks["l1"], ranks["l2"], ranks["l3"]}) == 1  # leaf symmetry
