@@ -686,3 +686,86 @@ def incremental_exact_dedup(
             ).alias("keep"),
         )
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 16,
+) -> DataFrame:
+    """Corpus-wide repeated-span removal (the MassiveText/RefinedWeb
+    "remove duplicated passages, keep the document" step): documents are
+    split into consecutive ``seg_tokens``-token segments, every segment
+    that already occurred earlier in the corpus (first occurrence =
+    lowest (doc_id, seg_idx)) is dropped, and the surviving segments are
+    reassembled per document.
+
+    Unlike document-level dedup this deletes boilerplate *inside*
+    otherwise-unique documents — headers, license blocks, templated
+    spans — which document-hash dedup can never catch.
+
+    Plan shape: segment fan-out is a map-side explode; first-occurrence
+    is ONE window over the segment hash (shuffle keyed by md5 — uniform,
+    no skew); reassembly is one groupBy(doc) with an in-row sort. Shuffle
+    volume is segments, bounded by corpus token count — the same asymptotic
+    cost as MinHash shingling. Everything is Catalyst expressions, so the
+    DuckDB oracle reproduces it bit-for-bit.
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    nseg = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(seg_tokens))), F.lit(1)
+    ).cast("int")
+    segs = (
+        spread(docs.select(id_col, text_col))
+        .withColumn("__toks", toks)
+        .withColumn("__nseg", nseg)
+        .select(
+            id_col,
+            F.posexplode(F.sequence(F.lit(0), F.col("__nseg") - 1)).alias(
+                "__pos", "seg_idx"
+            ),
+            F.col("__toks"),
+        )
+        .select(
+            id_col,
+            "seg_idx",
+            F.array_join(
+                F.slice(
+                    F.col("__toks"),
+                    F.col("seg_idx") * seg_tokens + 1,
+                    seg_tokens,
+                ),
+                " ",
+            ).alias("__seg"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col("__seg"))).orderBy(
+        F.col(id_col), F.col("seg_idx")
+    )
+    kept = segs.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("seg_idx", F.col("__seg")))
+                ),
+                lambda s: s["__seg"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -124,3 +124,37 @@ def dq_checks(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+def key_skew(
+    df: DataFrame,
+    key: str,
+    top: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: the ``top`` heaviest key values
+    with their row share and a skew ratio (count / mean-count-per-key).
+
+    The pre-flight check before any big shuffle — a ratio far above 1
+    says the key needs salting or an AQE skew-join; finding that out here
+    costs one partial-aggregated count, not a failed 100 TB join. One
+    groupBy shuffle + a broadcast 1-row total + TakeOrdered top-k."""
+    counts = df.groupBy(F.col(key).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key_value",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), round_to).alias("share"),
+            F.round(
+                F.col("cnt") * F.col("__nkeys") / F.col("__total"), round_to
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("cnt"), "key_value")
+        .limit(top)
+    )

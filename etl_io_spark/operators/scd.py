@@ -122,3 +122,21 @@ def scd2_merge(
         .unionByName(close)
         .unionByName(open_new)
     )
+
+
+def scd2_snapshot_at(
+    history: DataFrame,
+    as_of: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time view of an SCD2 history: the row version of each key
+    that was active on ``as_of`` (``valid_from <= as_of < valid_to``, open
+    rows have NULL ``valid_to``). The read-side complement of
+    ``scd2_merge`` — pure filter, so partition pruning on ``valid_from``
+    ranges carries it at warehouse scale."""
+    d = F.lit(as_of).cast("date")
+    return history.where(
+        (F.col(from_col) <= d)
+        & (F.col(to_col).isNull() | (F.col(to_col) > d))
+    )

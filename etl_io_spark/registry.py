@@ -2584,6 +2584,33 @@ from etl_io_spark.operators import profile as prof  # noqa: E402
 
 
 @register(
+    "skew_lineitem_suppkey",
+    """
+    WITH counts AS (
+      SELECT CAST(l_suppkey AS VARCHAR) AS key_value, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+             CAST(COUNT(*) AS DOUBLE) AS nkeys
+      FROM counts
+    )
+    SELECT key_value, cnt, ROUND(cnt / total, 6) AS share,
+           ROUND(cnt * nkeys / total, 6) AS skew_ratio
+    FROM counts, tot ORDER BY cnt DESC, key_value LIMIT 10
+    """,
+)
+def _skew_lineitem_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (profile.key_skew): the heaviest
+    supplier keys in lineitem with row share and skew ratio — the
+    pre-flight check that decides salting / AQE skew-join before a big
+    shuffle, for the cost of one partial-aggregated count."""
+    return prof.key_skew(
+        _cat(spark, sf_dir).table("lineitem"), "l_suppkey", top=10
+    )
+
+
+@register(
     "profile_lineitem",
     """
     WITH s AS (
@@ -2667,9 +2694,7 @@ def _dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 from etl_io_spark.operators import scd  # noqa: E402
 
 
-@register(
-    "scd2_customer_merge",
-    """
+_SCD2_MERGED_SQL = """
     WITH hist AS (
       SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal,
              DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
@@ -2693,9 +2718,10 @@ from etl_io_spark.operators import scd  # noqa: E402
     UNION ALL
     SELECT sk, sa, DATE '2024-06-01', CAST(NULL AS DATE)
     FROM j WHERE sk IS NOT NULL AND (hk IS NULL OR ha <> sa)
-    """,
-)
-def _scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _cat(spark, sf_dir).table("customer")
     hist = cust.select(
         "c_custkey",
@@ -2716,6 +2742,28 @@ def _scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist, snap, "c_custkey", ["acctbal"], "2024-06-01",
         close_missing=True,
     )
+
+
+@register("scd2_customer_merge", _SCD2_MERGED_SQL)
+def _scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scd2_history(spark, sf_dir)
+
+
+@register(
+    "scd2_snapshot_lookup",
+    f"""
+    WITH merged AS ({_SCD2_MERGED_SQL})
+    SELECT c_custkey, acctbal, valid_from, valid_to
+    FROM merged
+    WHERE valid_from <= DATE '2024-06-01'
+      AND (valid_to IS NULL OR valid_to > DATE '2024-06-01')
+    """,
+)
+def _scd2_snapshot_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension read (scd.scd2_snapshot_at): the active row
+    version per key on the as-of date — how a fact table joins the right
+    historical attributes (the read half of SCD2)."""
+    return scd.scd2_snapshot_at(_scd2_history(spark, sf_dir), "2024-06-01")
 
 
 @register(
@@ -2806,6 +2854,51 @@ def _zorder_code_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")),
         ).alias("zval"),
     )
+
+
+# ==========================================================================
+# Segment-level dedup (operators/dedup.py): corpus-wide repeated-span
+# removal — drop every 16-token segment already seen earlier, keep docs
+# ==========================================================================
+@register(
+    "segment_dedup_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+    ),
+    segidx AS (
+      SELECT doc_id, t,
+             UNNEST(generate_series(
+               0, CAST(greatest(ceil(len(t)/16.0), 1) AS INT) - 1))
+               AS seg_idx
+      FROM toks
+    ),
+    segs AS (
+      SELECT doc_id, seg_idx,
+             array_to_string(t[(seg_idx*16+1):(seg_idx*16+16)], ' ') AS seg
+      FROM segidx
+    ),
+    kept AS (
+      SELECT doc_id, seg_idx, seg,
+             ROW_NUMBER() OVER (PARTITION BY md5(seg)
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           COALESCE(r.n_kept, 0) AS n_kept
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def _segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span removal (dedup.segment_dedup): catches boilerplate
+    inside otherwise-unique documents — the passage-level complement of
+    document-hash dedup in an LLM curation pipeline."""
+    return dedup.segment_dedup(_cat(spark, sf_dir).table("documents"))
 
 
 # ==========================================================================

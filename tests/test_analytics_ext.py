@@ -513,3 +513,37 @@ def test_pagerank_star_mass_and_order(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-4
     assert all(ranks["h"] > ranks[f"l{i}"] for i in (1, 2, 3))
     assert len({ranks["l1"], ranks["l2"], ranks["l3"]}) == 1  # leaf symmetry
+
+
+def test_scd2_snapshot_at_picks_active_version(spark):
+    import datetime as dtm
+
+    from etl_io_spark.operators import scd
+
+    d = dtm.date
+    hist = spark.createDataFrame(
+        [
+            (1, 10.0, d(2024, 1, 1), d(2024, 6, 1)),   # closed before as-of
+            (1, 11.0, d(2024, 6, 1), None),            # open version
+            (2, 20.0, d(2024, 1, 1), d(2024, 3, 1)),   # key gone by as-of
+            (3, 30.0, d(2024, 7, 1), None),            # starts after as-of
+        ],
+        "k int, v double, valid_from date, valid_to date",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in scd.scd2_snapshot_at(hist, "2024-06-15").collect()
+    }
+    assert got == {1: 11.0}
+
+
+def test_key_skew_flags_heavy_key(spark):
+    from etl_io_spark.operators import profile as prof
+
+    rows = [(1,)] * 8 + [(2,)] * 1 + [(3,)] * 1
+    df = spark.createDataFrame(rows, "k int")
+    out = prof.key_skew(df, "k", top=2).collect()
+    assert [r["key_value"] for r in out] == ["1", "2"]
+    top = out[0]
+    assert top["cnt"] == 8 and abs(top["share"] - 0.8) < 1e-9
+    assert abs(top["skew_ratio"] - 2.4) < 1e-9  # 8 / (10/3 keys)

@@ -273,3 +273,35 @@ def test_quantized_topk_recall_vs_exact(spark, emb):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
     assert len(e & a) / len(e) >= 0.9  # int8 error is tiny vs neighbor gaps
+
+
+def test_segment_dedup_removes_repeated_spans(spark):
+    seg = "w0 w1 w2 w3"  # one 4-token segment
+    docs = spark.createDataFrame(
+        [
+            (1, seg + " unique1 a b c"),
+            (2, seg + " other2 d e f"),   # first segment duplicates doc 1's
+            (3, "totally different text here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.segment_dedup(docs, seg_tokens=4).collect()
+    }
+    assert out[1]["clean_text"] == seg + " unique1 a b c"
+    # doc 2 loses the repeated first segment, keeps its own tail
+    assert out[2]["clean_text"] == "other2 d e f"
+    assert out[2]["n_kept"] == 1
+    assert out[3]["clean_text"] == "totally different text here"
+
+
+def test_segment_dedup_fully_duplicated_doc_survives_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r for r in dedup.segment_dedup(docs, seg_tokens=4).collect()
+    }
+    assert out[1]["clean_text"] == "a b"
+    assert out[2]["clean_text"] == "" and out[2]["n_kept"] == 0

@@ -50,6 +50,13 @@ PROBE = [
     "twap_events",
     "corpus_curation",
     "bm25_search",
+    "winsorize_prices",
+    "embedding_neardup",
+    "stream_interval_join",
+    "pagerank_trade_graph",
+    "merge_upsert_customer",
+    "zorder_code_orders",
+    "embedding_quantize",
 ]
 
 #: per-table (key columns to offset, timestamp column to shift, text column)
