@@ -611,3 +611,53 @@ def quantized_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    assume_normalized: bool = False,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the k
+    most-similar corpus vectors with a DIFFERENT label — close in
+    embedding space yet semantically wrong, the negatives that teach a
+    retriever the most.
+
+    Same scale shape as ``brute_force_topk`` (broadcast query batch,
+    corpus scanned once, per-query top-k via window); the label
+    inequality is a map-side filter before the window, so mismatched
+    labels never reach the shuffle."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            F.col(label_col).alias("__qlabel"),
+        )
+    )
+    sim = F.round(
+        cosine(F.col(vec_col), F.col("__qvec"), assume_normalized), round_to
+    )
+    scored = (
+        spread(corpus.select(id_col, vec_col, label_col))
+        .crossJoin(q)
+        .where(F.col(label_col) != F.col("__qlabel"))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            sim.alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -899,6 +899,37 @@ def _similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries, k=10)
 
 
+@register(
+    "hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+             ROUND({_DOT.format(a='e.embedding', b='qv')}
+                   / ({_NORM.format(a='e.embedding')} * {_NORM.format(a='qv')}),
+                   6) AS cosine_sim
+      FROM embeddings e, q WHERE e.label <> ql
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives): per query the
+    most-similar vectors with a different label — the contrastive-training
+    negatives a retriever learns most from. Broadcast query batch, corpus
+    scanned once, label filter map-side."""
+    emb = _cat(spark, sf_dir).table("embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return similarity.hard_negatives(emb, queries, k=10)
+
+
 def _ann_lsh_oracle(planes: int = 4, tables: int = 4, dims: int = 64, k: int = 10) -> str:
     """Exact DuckDB replica of similarity.ann_lsh_topk: the md5-derived
     hyperplane signs (similarity._plane_signs) are deterministic, so bucket
@@ -1837,6 +1868,36 @@ _H_ID = _H.format(s="CAST(doc_id AS VARCHAR)")
 def _split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _cat(spark, sf_dir).table("documents")
     return training.split_assign(docs, "doc_id").select("doc_id", "split")
+
+
+_H_SRC = _H.format(s="source")
+
+
+@register(
+    "group_exclusive_split",
+    f"""
+    SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
+    FROM (
+      SELECT doc_id, source,
+             CASE WHEN {_H_SRC} % 10000 < 8000 THEN 'train'
+                  WHEN {_H_SRC} % 10000 < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) GROUP BY split
+    """,
+)
+def _group_exclusive_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free splitting: hash the GROUP key (source) instead of the
+    row id, so every group lands wholly in one split — near-duplicates
+    and templated documents from the same source can never straddle
+    train/test (training.split_assign on the group column; pure map, the
+    group column is the only thing hashed)."""
+    docs = _cat(spark, sf_dir).table("documents")
+    assigned = training.split_assign(docs, "source")
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
 
 
 @register(

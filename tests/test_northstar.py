@@ -305,3 +305,14 @@ def test_segment_dedup_fully_duplicated_doc_survives_empty(spark):
     }
     assert out[1]["clean_text"] == "a b"
     assert out[2]["clean_text"] == "" and out[2]["n_kept"] == 0
+
+
+def test_hard_negatives_excludes_same_label(spark, emb):
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = similarity.hard_negatives(emb, q, k=5).collect()
+    qlabels = {r["vec_id"]: r["label"] for r in emb.where(F.col("vec_id") < 5).collect()}
+    assert len(out) == 25
+    for r in out:
+        assert r["neighbor_label"] != qlabels[r["query_id"]]

@@ -175,3 +175,16 @@ def test_approx_percentile_accuracy(spark):
     e = {r["l_returnflag"]: r["p50"] for r in exact}
     for r in approx:
         assert abs(r["p50"] - e[r["l_returnflag"]]) / e[r["l_returnflag"]] < 0.01
+
+
+def test_group_exclusive_split_never_straddles(spark):
+    from etl_io_spark.operators import training
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 7}") for i in range(200)], "doc_id long, source string"
+    )
+    assigned = training.split_assign(df, "source")
+    per_group = assigned.groupBy("source").agg(
+        F.countDistinct("split").alias("nsplits")
+    )
+    assert all(r["nsplits"] == 1 for r in per_group.collect())
