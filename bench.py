@@ -90,6 +90,17 @@ HEADLINE = [
     "event_paths",
     "revenue_share_by_nation",
     "changelog_compaction",
+    # round 2 additions
+    "stream_interval_join",
+    "merge_upsert_customer",
+    "zorder_code_orders",
+    "embedding_quantize",
+    "segment_dedup_docs",
+    "pagerank_trade_graph",
+    "scd2_snapshot_lookup",
+    "skew_lineitem_suppkey",
+    "hard_negatives",
+    "group_exclusive_split",
 ]
 
 

@@ -33,11 +33,18 @@ def merge_upsert(
     ``changelog_compaction`` first) with an ``op`` column: ``delete_op``
     rows remove the key; any other op upserts the row's attributes.
 
-    Plan shape: ONE full-outer join on the key decides keep / replace /
-    insert / delete per entity — no per-case rescans of the target. The
-    change batch is normally tiny next to the target, so Catalyst/AQE
-    broadcast it and the target is never shuffled; at 100 TB the target-side
-    scan stays partition-pruned when the key is the partition/bucket column.
+    Plan shape — the target is NEVER shuffled (a naive full-outer join
+    would shuffle it: Spark cannot broadcast any side of a full outer):
+
+      1. keep/update/delete: target LEFT JOIN broadcast(changes) — pure
+         map-side pass over the target.
+      2. inserts: matched keys (target LEFT SEMI broadcast(change keys),
+         also map-side, output ≤ |changes|) are broadcast-anti-joined
+         against the change batch.
+
+    Two map-only target scans instead of one shuffled join — at 100 TB
+    the scan is the cheap part and the shuffle is the killer; both scans
+    stay partition-pruned when the key is the partition/bucket column.
     """
     attrs = [c for c in target.columns if c != key]
     ch = changes.select(
@@ -45,21 +52,28 @@ def merge_upsert(
         F.col(op_col).alias("__op"),
         *[F.col(a).alias(f"__c_{a}") for a in attrs],
     )
-    j = target.join(ch, F.col(key) == F.col("__k"), "full_outer")
+    j = target.join(F.broadcast(ch), F.col(key) == F.col("__k"), "left")
     in_change = F.col("__k").isNotNull()
     deleted = in_change & (F.col("__op") == delete_op)
-    return (
-        j.where(~deleted)
+    kept = j.where(~deleted).select(
+        F.col(key),
+        *[
+            F.when(in_change, F.col(f"__c_{a}")).otherwise(F.col(a)).alias(a)
+            for a in attrs
+        ],
+    )
+    matched = target.join(
+        F.broadcast(ch.select("__k")), F.col(key) == F.col("__k"), "left_semi"
+    ).select(F.col(key).alias("__mk"))
+    inserts = (
+        ch.where(F.col("__op") != delete_op)
+        .join(F.broadcast(matched), F.col("__k") == F.col("__mk"), "left_anti")
         .select(
-            F.coalesce(F.col(key), F.col("__k")).alias(key),
-            *[
-                F.when(in_change, F.col(f"__c_{a}"))
-                .otherwise(F.col(a))
-                .alias(a)
-                for a in attrs
-            ],
+            F.col("__k").alias(key),
+            *[F.col(f"__c_{a}").alias(a) for a in attrs],
         )
     )
+    return kept.unionByName(inserts)
 
 
 def scd2_merge(

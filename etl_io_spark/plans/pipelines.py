@@ -224,3 +224,114 @@ GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
+
+
+def large_order_customers(cat: TableCatalog, min_qty: float = 100.0) -> DataFrame:
+    """Large-volume-order ranking (TPC-H Q18 shape): customers holding
+    orders whose total lineitem quantity exceeds ``min_qty``.
+
+    Scale shape: the HAVING-style quantity filter runs on the ONE
+    partial-aggregated lineitem shuffle and shrinks the order set to a
+    sliver *before* any join — the surviving keys then broadcast into
+    orders, so the big fact tables are never shuffled against each other.
+    """
+    li_tot = (
+        cat.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("tot_qty"))
+        .where(F.col("tot_qty") > min_qty)
+    )
+    orders = cat.table("orders")
+    cust = cat.table("customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(li_tot), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "tot_qty",
+        )
+        .orderBy(F.col("tot_qty").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+LARGE_ORDER_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       ROUND(o_totalprice, 2) AS o_totalprice, tot_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS tot_qty
+  FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 2) > 100
+) t ON o_orderkey = t.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY tot_qty DESC, o_orderkey LIMIT 100
+"""
+
+
+def nations_trade_volume(
+    cat: TableCatalog, nation_a: str = "NATION_9", nation_b: str = "NATION_10"
+) -> DataFrame:
+    """Bilateral trade volume (TPC-H Q7 shape): revenue shipped between
+    two nations (either direction) by supplier nation, customer nation
+    and ship year.
+
+    Both nation filters push into broadcast dim joins before the fact-fact
+    lineitem⋈orders join, so the shuffled volume is only the two nations'
+    traffic — the dominant cost stays the one keyed fact join."""
+    pair = [nation_a, nation_b]
+    n1 = cat.table("nation").where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = cat.table("nation").where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    supp = cat.table("supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("sk")
+    ).select("s_suppkey", "supp_nation")
+    cust = cat.table("customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("ck")
+    ).select("c_custkey", "cust_nation")
+    li = cat.table("lineitem")
+    orders = cat.table("orders")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+NATIONS_TRADE_VOLUME_SQL = """
+SELECT supp_nation, cust_nation, ship_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM CAST(l_shipdate AS TIMESTAMP)) AS INT)
+           AS ship_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE ns.n_name IN ('NATION_9', 'NATION_10')
+    AND nc.n_name IN ('NATION_9', 'NATION_10')
+    AND ns.n_name <> nc.n_name
+) GROUP BY supp_nation, cust_nation, ship_year
+"""

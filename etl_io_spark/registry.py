@@ -2327,6 +2327,22 @@ def _returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.returned_customers(_cat(spark, sf_dir))
 
 
+@register("large_order_customers", pipelines.LARGE_ORDER_CUSTOMERS_SQL)
+def _large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the HAVING filter shrinks the aggregated lineitem
+    side to a sliver BEFORE any join, then broadcasts — the fact tables
+    are never shuffled against each other."""
+    return pipelines.large_order_customers(_cat(spark, sf_dir))
+
+
+@register("nations_trade_volume", pipelines.NATIONS_TRADE_VOLUME_SQL)
+def _nations_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade revenue by ship year — nation
+    filters push through broadcast dim joins before the one fact-fact
+    shuffle join."""
+    return pipelines.nations_trade_volume(_cat(spark, sf_dir))
+
+
 # ==========================================================================
 # First/last per group via min_by/max_by (one partial-agg shuffle)
 # ==========================================================================

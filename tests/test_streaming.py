@@ -131,3 +131,46 @@ def test_interval_join_stream_matches_batch(spark, event_source):
     want = sw.interval_join(lb, rb, within="60 minutes").collect()
     assert _as_sets(got) == _as_sets(want)
     assert len(want) > 0
+
+
+def test_cdc_apply_stream_maintains_target(spark, tmp_path):
+    """Streaming CDC apply: two micro-batches of changes folded into a
+    parquet target must equal the sequential merge result."""
+    from etl_io_spark.streaming import sinks
+
+    target_path = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double"
+    ).write.parquet(target_path)
+
+    src = tmp_path / "changes"
+    src.mkdir()
+
+    def land(name, rows):
+        # the file-stream source lists plain files, not parquet dirs —
+        # stage the write, then move the single part file into place
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(
+            rows, "k int, op string, v double, seq long"
+        ).coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        part.rename(src / f"{name}.parquet")
+
+    land("b0", [(2, "U", 25.0, 1), (3, "D", 0.0, 2), (4, "I", 40.0, 3)])
+    # same key twice in one batch: compaction must keep seq=5
+    land("b1", [(4, "U", 41.0, 4), (4, "U", 42.0, 5), (1, "D", 0.0, 6)])
+
+    stream = (
+        spark.readStream.schema("k int, op string, v double, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sinks.run_cdc_apply(
+        stream,
+        target_path,
+        key="k",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        ordering_col="seq",
+    )
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target_path).collect()}
+    assert got == {2: 25.0, 4: 42.0}
