@@ -234,3 +234,29 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             )
         ).alias("frame_fingerprint"),
     )
+
+
+def frame_dedup(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Cross-media frame deduplication: sample frames, fingerprint them,
+    and report per-media how many sampled frames are corpus-first
+    occurrences vs repeats of a frame seen in ANY earlier media item
+    (lowest (media_id, frame_index) wins).
+
+    The media analogue of text segment-dedup — near-identical clips and
+    re-encoded copies share frame fingerprints, so dup ratio per item is
+    a cheap copy detector before any expensive perceptual model runs.
+    One window over the fingerprint (md5-keyed shuffle, uniform) + one
+    per-media count; everything stays Catalyst expressions."""
+    from pyspark.sql import Window
+
+    frames = sample_frames(df, every_n=every_n)
+    w = Window.partitionBy("frame_fingerprint").orderBy(
+        "media_id", "frame_index"
+    )
+    flagged = frames.withColumn(
+        "__first", F.row_number().over(w) == 1
+    )
+    return flagged.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.sum(F.when(F.col("__first"), 0).otherwise(1)).alias("n_dup_frames"),
+    )

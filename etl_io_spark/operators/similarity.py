@@ -661,3 +661,48 @@ def hard_negatives(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def embedding_gram(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Distributed Gram matrix XᵀX over an embedding column (upper
+    triangle as (i, j, v) rows) — the one-pass building block of PCA /
+    whitening / covariance drift monitoring.
+
+    Classic map-reduce linear algebra: each partition computes its local
+    dims×dims Gram with ONE BLAS matmul (Arrow-batched ``mapInPandas``,
+    no per-element Python), then partials merge through a single groupBy
+    whose shuffle volume is partitions × dims(dims+1)/2 rows — independent
+    of corpus size. At 100 TB the reduce stays kilobytes per partition
+    while the map is embarrassingly parallel."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        G = None
+        for pdf in batches:
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(X) == 0:
+                continue
+            g = X.T @ X
+            G = g if G is None else G + g
+        if G is None:
+            return
+        iu, ju = np.triu_indices(G.shape[0])
+        yield pd.DataFrame(
+            {
+                "i": iu.astype("int32"),
+                "j": ju.astype("int32"),
+                "v": G[iu, ju],
+            }
+        )
+
+    partials = spread(df.select(vec_col)).mapInPandas(
+        run, "i int, j int, v double"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.round(F.sum("v"), round_to).alias("v")
+    )

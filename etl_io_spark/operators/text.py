@@ -553,3 +553,40 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 100,
+) -> DataFrame:
+    """Vocabulary-coverage scoring: per document, the fraction of tokens
+    outside the corpus's ``vocab_size`` most-frequent tokens (count desc,
+    token asc tie-break) — the gate that flags encoding junk, wrong-language
+    and OCR noise before tokenizer training.
+
+    Two stages sharing one tokenization: the vocab is an exact heavy-hitter
+    count (map-side combine, TakeOrdered) collected into a broadcast set;
+    the per-doc pass is then pure map (array_except-style filter against
+    the broadcast literal array) — the corpus is never joined row-to-row."""
+    toks = tokens(text_col)
+    vocab_rows = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = F.array(*[F.lit(r["tok"]) for r in vocab_rows])
+    n = F.size(toks)
+    n_oov = F.size(F.filter(toks, lambda t: ~F.array_contains(vocab, t)))
+    return docs.select(
+        id_col,
+        n.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        F.when(n > 0, F.round(n_oov / n, 6)).otherwise(F.lit(0.0)).alias(
+            "oov_rate"
+        ),
+    )

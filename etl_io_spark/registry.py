@@ -1459,6 +1459,38 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(media)
 
 
+@register(
+    "media_frame_dedup",
+    """
+    WITH frames AS (
+      SELECT doc_id AS media_id,
+             UNNEST(generate_series(0, CAST(doc_id % 10 AS INT), 2))
+               AS frame_index,
+             md5(lower(hex(encode(text))) || ':' ||
+                 UNNEST(generate_series(0, CAST(doc_id % 10 AS INT), 2)))
+               AS fp
+      FROM documents
+    ),
+    flagged AS (
+      SELECT media_id, frame_index,
+             ROW_NUMBER() OVER (PARTITION BY fp
+                                ORDER BY media_id, frame_index) AS rn
+      FROM frames
+    )
+    SELECT media_id, COUNT(*) AS n_frames_sampled,
+           CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dup_frames
+    FROM flagged GROUP BY media_id
+    """,
+)
+def _media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-media frame dedup (multimodal.frame_dedup): per item, how
+    many sampled frames repeat a frame seen in any earlier item — the
+    cheap re-encode/copy detector that runs before perceptual models."""
+    media = mm.synthesize_media(_cat(spark, sf_dir).table("documents"))
+    return mm.frame_dedup(media, every_n=2)
+
+
 # ==========================================================================
 # Composite pipelines through the handler facades (Q1-Q6 analogues;
 # plans/handlers.py mirrors the reference's IPEDSHandler/ONETHandler API)
@@ -2931,6 +2963,60 @@ def _zorder_code_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")),
         ).alias("zval"),
     )
+
+
+@register(
+    "oov_rate_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    nonempty AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS cnt FROM nonempty GROUP BY tok
+        ORDER BY cnt DESC, tok LIMIT 100
+      )
+    ),
+    stats AS (
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+             CAST(SUM(CASE WHEN tok IN (SELECT tok FROM vocab)
+                           THEN 0 ELSE 1 END) AS INT) AS n_oov
+      FROM nonempty GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens,
+           COALESCE(s.n_oov, 0) AS n_oov,
+           CASE WHEN COALESCE(s.n_tokens, 0) > 0
+                THEN ROUND(s.n_oov / s.n_tokens, 6) ELSE 0.0 END AS oov_rate
+    FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+    """,
+)
+def _oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage gate (text.oov_rate): fraction of tokens per
+    document outside the top-100 corpus vocabulary — flags encoding junk
+    and wrong-language docs; vocab broadcasts, per-doc pass is pure map."""
+    return text.oov_rate(_cat(spark, sf_dir).table("documents"))
+
+
+@register(
+    "embedding_gram",
+    """
+    SELECT CAST(gi.i - 1 AS INT) AS i, CAST(gj.i - 1 AS INT) AS j,
+           ROUND(SUM(CAST(embedding[gi.i] AS DOUBLE)
+                     * CAST(embedding[gj.i] AS DOUBLE)), 6) AS v
+    FROM embeddings, generate_series(1, 64) gi(i), generate_series(1, 64) gj(i)
+    WHERE gi.i <= gj.i
+    GROUP BY 1, 2
+    """,
+)
+def _embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix (similarity.embedding_gram): per-partition
+    BLAS matmul partials merged by one tiny groupBy — the PCA/whitening
+    building block whose shuffle is independent of corpus size."""
+    from etl_io_spark.operators import similarity as sim
+
+    return sim.embedding_gram(_cat(spark, sf_dir).table("embeddings"))
 
 
 # ==========================================================================

@@ -71,3 +71,20 @@ def test_library_decode_stub_raises():
 def test_decode_preserves_partitioning(spark, media):
     parted = media.repartition(4, "media_id")
     assert mm.decode_media(parted).rdd.getNumPartitions() == 4
+
+
+def test_frame_dedup_counts_cross_media_repeats(spark):
+    from etl_io_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(b"same"), 4),
+            (2, "video", bytearray(b"same"), 4),   # identical payload: all frames dup
+            (3, "video", bytearray(b"other"), 2),
+        ],
+        "media_id long, kind string, data binary, n_frames int",
+    )
+    out = {r["media_id"]: r for r in mm.frame_dedup(media, every_n=2).collect()}
+    assert out[1]["n_frames_sampled"] == 2 and out[1]["n_dup_frames"] == 0
+    assert out[2]["n_frames_sampled"] == 2 and out[2]["n_dup_frames"] == 2
+    assert out[3]["n_dup_frames"] == 0

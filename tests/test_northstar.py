@@ -316,3 +316,34 @@ def test_hard_negatives_excludes_same_label(spark, emb):
     assert len(out) == 25
     for r in out:
         assert r["neighbor_label"] != qlabels[r["query_id"]]
+
+
+def test_oov_rate_hand_case(spark):
+    from etl_io_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a z"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.oov_rate(docs, vocab_size=2).collect()}
+    # vocab = {a, b} (a:4, b:1 beat z:1 on count; b beats z lexicographically)
+    assert out[1]["n_oov"] == 0 and out[1]["oov_rate"] == 0.0
+    assert out[2]["n_tokens"] == 2 and out[2]["n_oov"] == 1
+    assert abs(out[2]["oov_rate"] - 0.5) < 1e-9
+    assert out[3]["n_tokens"] == 0 and out[3]["oov_rate"] == 0.0
+
+
+def test_embedding_gram_matches_numpy(spark):
+    import numpy as np
+
+    rng = [[float(i * 3 + j) / 10 for j in range(3)] for i in range(5)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<double>"
+    )
+    got = {(r["i"], r["j"]): r["v"] for r in similarity.embedding_gram(df).collect()}
+    X = np.array(rng)
+    G = X.T @ X
+    for i in range(3):
+        for j in range(i, 3):
+            assert abs(got[(i, j)] - round(G[i, j], 6)) < 1e-9
+    assert len(got) == 6  # upper triangle only
