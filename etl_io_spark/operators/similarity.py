@@ -706,3 +706,60 @@ def embedding_gram(
     return partials.groupBy("i", "j").agg(
         F.round(F.sum("v"), round_to).alias("v")
     )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means with deterministic seeding (the k
+    lowest-id vectors initialize the centroids) and a fixed iteration
+    count; returns the final (id, cluster) assignment.
+
+    Every iteration is two partial-aggregable shuffles over LONG-FORM
+    data: (1) squared distances — points posexplode to (id, dim, val),
+    broadcast-join the k×dims centroid table, sum (val-mu)² per (id, c);
+    (2) new centroids — the arg-min assignment (ranked window, centroid-id
+    tie-break) joins back and averages per (c, dim). Shuffle volume is
+    rows×k + k×dims — the dims axis never shuffles. Deterministic given
+    the data, so a SQL oracle can unroll the same fixed iterations."""
+    pts = (
+        spread(emb.select(id_col, vec_col))
+        .select(id_col, F.posexplode(F.col(vec_col)).alias("dim", "val"))
+        .withColumn("val", F.col("val").cast("double"))
+    )
+    cent = (
+        emb.where(F.col(id_col) < k)
+        .select(
+            F.col(id_col).alias("c"),
+            F.posexplode(F.col(vec_col)).alias("dim", "mu"),
+        )
+        .withColumn("mu", F.col("mu").cast("double"))
+    )
+    assign = None
+    for _ in range(iterations):
+        d2 = (
+            pts.join(F.broadcast(cent), "dim")
+            .groupBy(id_col, "c")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("mu"))
+                    * (F.col("val") - F.col("mu"))
+                ).alias("d2")
+            )
+        )
+        w = Window.partitionBy(id_col).orderBy("d2", "c")
+        assign = (
+            d2.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(id_col, F.col("c").alias("cluster"))
+        )
+        cent = (
+            pts.join(assign, id_col)
+            .groupBy(F.col("cluster").alias("c"), "dim")
+            .agg(F.avg("val").alias("mu"))
+        )
+    return assign

@@ -3019,6 +3019,56 @@ def _embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_gram(_cat(spark, sf_dir).table("embeddings"))
 
 
+def _kmeans_oracle(k: int = 4, iterations: int = 3, dims: int = 64) -> str:
+    head = f"""
+    WITH pts AS (
+      SELECT vec_id, gs.i - 1 AS dim, CAST(embedding[gs.i] AS DOUBLE) AS val
+      FROM embeddings, generate_series(1, {dims}) gs(i)
+    ),
+    c0 AS (
+      SELECT vec_id AS c, gs.i - 1 AS dim,
+             CAST(embedding[gs.i] AS DOUBLE) AS mu
+      FROM embeddings, generate_series(1, {dims}) gs(i) WHERE vec_id < {k}
+    )"""
+    steps = []
+    for t in range(1, iterations + 1):
+        steps.append(f""",
+    a{t} AS (
+      SELECT vec_id, c FROM (
+        SELECT p.vec_id, c.c,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY SUM((p.val - c.mu) * (p.val - c.mu)), c.c) AS rn
+        FROM pts p JOIN c{t - 1} c ON p.dim = c.dim
+        GROUP BY p.vec_id, c.c
+      ) WHERE rn = 1
+    )""")
+        if t < iterations:
+            steps.append(f""",
+    c{t} AS (
+      SELECT a.c, p.dim, AVG(p.val) AS mu
+      FROM pts p JOIN a{t} a ON p.vec_id = a.vec_id
+      GROUP BY a.c, p.dim
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT vec_id, c AS cluster FROM a{iterations}
+    """
+    )
+
+
+@register("kmeans_embeddings", _kmeans_oracle())
+def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (similarity.kmeans_assign): fixed
+    iterations, deterministic lowest-id seeding; the oracle unrolls the
+    same assign/recenter rounds as chained CTEs."""
+    from etl_io_spark.operators import similarity as sim
+
+    return sim.kmeans_assign(_cat(spark, sf_dir).table("embeddings"))
+
+
 # ==========================================================================
 # Segment-level dedup (operators/dedup.py): corpus-wide repeated-span
 # removal — drop every 16-token segment already seen earlier, keep docs

@@ -347,3 +347,17 @@ def test_embedding_gram_matches_numpy(spark):
         for j in range(i, 3):
             assert abs(got[(i, j)] - round(G[i, j], 6)) < 1e-9
     assert len(got) == 6  # upper triangle only
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    # ids 0,1 seed the two centroids; two tight blobs around (0,0) and (10,10)
+    rows = [
+        (0, [0.1, 0.0]), (1, [10.0, 10.1]),
+        (2, [0.0, 0.2]), (3, [0.2, 0.1]),
+        (4, [9.9, 10.0]), (5, [10.2, 9.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["cluster"] for r in
+           similarity.kmeans_assign(df, k=2, iterations=3).collect()}
+    assert {out[0], out[2], out[3]} == {0}
+    assert {out[1], out[4], out[5]} == {1}
