@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from etl_io_spark.functions.numeric import round_pz  # noqa: E402
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -242,8 +243,8 @@ def corr_stats(
     single-pass co-moment merge formulas), so this is one map-side-combine
     shuffle regardless of data size."""
     return df.groupBy(*keys).agg(
-        F.round(F.corr(x, y), round_to).alias("corr_xy"),
-        F.round(F.covar_samp(x, y), round_to).alias("covar_xy"),
+        round_pz(F.corr(x, y), round_to).alias("corr_xy"),
+        round_pz(F.covar_samp(x, y), round_to).alias("covar_xy"),
         F.round(F.stddev_samp(x), round_to).alias("stddev_x"),
         F.round(F.stddev_samp(y), round_to).alias("stddev_y"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -427,6 +428,6 @@ def ab_test_stats(
         F.round("__ma", round_to).alias("mean_a"),
         "n_b",
         F.round("__mb", round_to).alias("mean_b"),
-        F.round(F.col("__mb") - F.col("__ma"), round_to).alias("lift"),
-        F.round(z, round_to).alias("z"),
+        round_pz(F.col("__mb") - F.col("__ma"), round_to).alias("lift"),
+        round_pz(z, round_to).alias("z"),
     )

@@ -226,33 +226,11 @@ def minhash_lsh_candidates(
     self-join per (band, key) bucket → distinct pairs → rejoin signatures
     once to score agreement. Bucket join replaces the O(n²) cross join —
     the 100 TB dedup path."""
-    rows_per_band = num_perm // bands
     sig = minhash_signatures_wide(df, id_col, text_col, num_perm, n).cache()
     # band keys straight from the wide signature: md5 of the in-band
     # minhashes in j-order ("v0,v1,..." — reproducible in any engine);
     # one row per (doc, band) via a post-aggregation explode of tiny rows.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("sig", b * rows_per_band + j + 1).cast(
-                                "string"
-                            )
-                            for j in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
-    )
-    band_key = sig.select(
-        id_col, F.explode(band_structs).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    band_key = _band_key_rows(sig, id_col, num_perm, bands)
     a = band_key.select(F.col(id_col).alias("a"), "band", "bkey")
     b = band_key.select(F.col(id_col).alias("b"), "band", "bkey")
     cand = (
@@ -767,5 +745,111 @@ def segment_dedup(
             id_col,
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def _band_key_rows(
+    sig: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """(id, band, bkey) rows from a wide signature table: band key = md5
+    of the ordered in-band minhashes — the same construction (and exact
+    bytes) as minhash_lsh_candidates, factored for reuse."""
+    rows_per_band = num_perm // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(
+                                "sig", b * rows_per_band + j + 1
+                            ).cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(id_col, F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+
+
+def incremental_neardup_gate(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate ingestion gate: flag every ``batch`` document whose
+    MinHash signature LSH-collides with an existing ``corpus`` document
+    and agrees on ≥ ``min_est_jaccard`` of the signature — the
+    new-crawl-vs-corpus dedup step of a continuously-fed training
+    pipeline (the near-dup upgrade of ``incremental_exact_dedup``).
+
+    Scale shape: in production the corpus side's signatures/band keys are
+    computed ONCE at ingest and stored; per batch the cost is signing the
+    batch + one band-bucket join (batch bands are tiny — broadcastable)
+    + one signature rescore join. Nothing ever scans corpus × batch.
+
+    Returns one row per batch doc: (id, is_neardup, match_id,
+    est_jaccard) where match is the best-agreeing corpus doc (ties to the
+    lowest id), NULL when no collision clears the threshold.
+    """
+    sig_c = minhash_signatures_wide(corpus, id_col, text_col, num_perm, n)
+    sig_b = minhash_signatures_wide(batch, id_col, text_col, num_perm, n)
+    bk_c = _band_key_rows(sig_c, id_col, num_perm, bands).select(
+        F.col(id_col).alias("__cid"), "band", "bkey"
+    )
+    bk_b = _band_key_rows(sig_b, id_col, num_perm, bands).select(
+        F.col(id_col).alias("__bid"), "band", "bkey"
+    )
+    cand = (
+        bk_c.join(bk_b, ["band", "bkey"]).select("__bid", "__cid").distinct()
+    )
+    sa = sig_c.select(F.col(id_col).alias("__cid"), F.col("sig").alias("sig_c"))
+    sb = sig_b.select(F.col(id_col).alias("__bid"), F.col("sig").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_c", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        cand.join(sa, "__cid")
+        .join(sb, "__bid")
+        .select(
+            "__bid",
+            "__cid",
+            F.round(agree / F.lit(num_perm), 6).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= min_est_jaccard)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__bid").orderBy(
+        F.desc("est_jaccard"), F.col("__cid")
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        batch.select(id_col)
+        .join(best, F.col(id_col) == F.col("__bid"), "left")
+        .select(
+            id_col,
+            F.col("__bid").isNotNull().alias("is_neardup"),
+            F.col("__cid").alias("match_id"),
+            "est_jaccard",
         )
     )

@@ -22,6 +22,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from etl_io_spark.functions.numeric import round_pz
 from etl_io_spark.partitioning import spread
 
 
@@ -70,7 +71,7 @@ def brute_force_topk(
             F.col(query_id_col), F.col(vec_col).alias("__qvec")
         )
     )
-    sim = F.round(
+    sim = round_pz(
         cosine(F.col(vec_col), F.col("__qvec"), assume_normalized), round_to
     )
     scored = (
@@ -188,7 +189,7 @@ def ann_lsh_topk(
             F.col("__tb.__bucket").alias("__bucket"),
         )
     )
-    sim = F.round(cosine(F.col(vec_col), F.col("__qvec"), True), round_to)
+    sim = round_pz(cosine(F.col(vec_col), F.col("__qvec"), True), round_to)
     scored = (
         c.join(F.broadcast(q), ["__t", "__bucket"])
         .where(F.col(id_col) != F.col(query_id_col))
@@ -233,7 +234,7 @@ def neardup_pairs_cosine(
         a = a.withColumn("__bucket", lsh_bucket(F.col("va"), signs))
         b = b.withColumn("__bucket", lsh_bucket(F.col("vb"), signs))
         joined = a.join(b, "__bucket")
-    sim = F.round(cosine(F.col("va"), F.col("vb"), True), round_to)
+    sim = round_pz(cosine(F.col("va"), F.col("vb"), True), round_to)
     return (
         joined.where(F.col("a") < F.col("b"))
         .select("a", "b", sim.alias("cosine_sim"))
@@ -320,7 +321,7 @@ def ivf_topk(
         .where(F.col("__pr") <= nprobe)
         .select(query_id_col, "__qvec", "cell")
     )
-    sim = F.round(cosine(F.col(vec_col), F.col("__qvec"), True), round_to)
+    sim = round_pz(cosine(F.col(vec_col), F.col("__qvec"), True), round_to)
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .where(F.col(id_col) != F.col(query_id_col))
@@ -396,7 +397,7 @@ def neardup_pairs_cosine_blocked(
     )
     return (
         cand.select(
-            "a", "b", F.round(F.col("raw_sim"), round_to).alias("cosine_sim")
+            "a", "b", round_pz(F.col("raw_sim"), round_to).alias("cosine_sim")
         )
         .where(F.col("cosine_sim") >= threshold)
     )
@@ -498,7 +499,7 @@ def neardup_pairs_cosine_blockpair(
         .applyInPandas(mult, "a long, b long, raw_sim double")
     )
     return cand.select(
-        "a", "b", F.round(F.col("raw_sim"), round_to).alias("cosine_sim")
+        "a", "b", round_pz(F.col("raw_sim"), round_to).alias("cosine_sim")
     ).where(F.col("cosine_sim") >= threshold)
 
 
@@ -524,7 +525,7 @@ def label_centroids(
         F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "__v")
     )
     return exploded.groupBy(label_col, "dim").agg(
-        F.round(F.avg("__v"), round_to).alias("mean"),
+        round_pz(F.avg("__v"), round_to).alias("mean"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -640,7 +641,7 @@ def hard_negatives(
             F.col(label_col).alias("__qlabel"),
         )
     )
-    sim = F.round(
+    sim = round_pz(
         cosine(F.col(vec_col), F.col("__qvec"), assume_normalized), round_to
     )
     scored = (
@@ -704,7 +705,7 @@ def embedding_gram(
         run, "i int, j int, v double"
     )
     return partials.groupBy("i", "j").agg(
-        F.round(F.sum("v"), round_to).alias("v")
+        round_pz(F.sum("v"), round_to).alias("v")
     )
 
 

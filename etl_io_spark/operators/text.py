@@ -16,6 +16,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from etl_io_spark.functions.numeric import round_pz
 from etl_io_spark.partitioning import spread
 
 #: 60-bit md5-derived hash (SQL text, shared by dedup/similarity oracles)
@@ -465,7 +466,7 @@ def pmi_collocations(
             "w1",
             "w2",
             "c12",
-            F.round(
+            round_pz(
                 F.log(
                     (F.col("c12") * F.col("total"))
                     / (F.col("c1").cast("double") * F.col("c2"))

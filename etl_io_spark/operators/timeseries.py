@@ -13,6 +13,7 @@ them onto the same partitioning.
 
 from __future__ import annotations
 
+from etl_io_spark.functions.numeric import round_pz  # noqa: E402
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -165,8 +166,8 @@ def trend_slopes(
     x = (F.unix_micros(F.col(ts_col)) / F.lit(3_600_000_000.0))  # hours
     y = F.col(value_col)
     return df.groupBy(key_col).agg(
-        F.round(F.regr_slope(y, x), round_to).alias("slope_per_hour"),
-        F.round(F.regr_intercept(y, x), round_to).alias("intercept"),
+        round_pz(F.regr_slope(y, x), round_to).alias("slope_per_hour"),
+        round_pz(F.regr_intercept(y, x), round_to).alias("intercept"),
         F.round(F.regr_r2(y, x), round_to).alias("r2"),
         F.count(F.lit(1)).alias("n_obs"),
     )

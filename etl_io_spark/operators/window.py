@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from etl_io_spark.functions.numeric import round_pz  # noqa: E402
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -125,7 +126,7 @@ def rolling_zscore(
     )
     mean = F.avg(col).over(w)
     sd = F.stddev_samp(col).over(w)
-    z = F.round(
+    z = round_pz(
         F.when(sd > 0, (F.col(col) - mean) / sd), round_to
     )
     return df.withColumn("zscore", z).withColumn(

@@ -831,6 +831,69 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_gate_oracle(num_perm: int = 16, bands: int = 4) -> str:
+    """DuckDB replica of dedup.incremental_neardup_gate: signatures/bands
+    over all documents, corpus = doc_id % 10 <> 0, batch = % 10 = 0."""
+    rpb = num_perm // bands
+    p = dedup.MINHASH_P
+    a = ", ".join(str(dedup._perm_a(j)) for j in range(num_perm))
+    b = ", ".join(str(dedup._perm_b(j)) for j in range(num_perm))
+    return (
+        _SHINGLE_CTE
+        + f""",
+    perms AS (SELECT UNNEST(generate_series(0, {num_perm - 1})) AS j),
+    sig AS (
+      SELECT doc_id, j,
+             MIN((([{a}][j+1]) * (sh % {p}) + ([{b}][j+1])) % {p}) AS minhash
+      FROM sh, perms GROUP BY doc_id, j
+    ),
+    bkeys AS (
+      SELECT doc_id, CAST(j // {rpb} AS INT) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j)) AS bkey
+      FROM sig GROUP BY doc_id, CAST(j // {rpb} AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT y.doc_id AS bid, x.doc_id AS cid
+      FROM bkeys x JOIN bkeys y ON x.band = y.band AND x.bkey = y.bkey
+      WHERE x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0
+    ),
+    scored AS (
+      SELECT bid, cid,
+             ROUND(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                   * 1.0 / COUNT(*), 6) AS est_jaccard
+      FROM cand
+      JOIN sig sa ON sa.doc_id = cid
+      JOIN sig sb ON sb.doc_id = bid AND sb.j = sa.j
+      GROUP BY bid, cid
+      HAVING SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*) >= 0.5
+    ),
+    best AS (
+      SELECT bid, cid, est_jaccard,
+             ROW_NUMBER() OVER (PARTITION BY bid
+                                ORDER BY est_jaccard DESC, cid) AS rn
+      FROM scored
+    )
+    SELECT d.doc_id, (b.bid IS NOT NULL) AS is_neardup,
+           b.cid AS match_id, b.est_jaccard
+    FROM documents d
+    LEFT JOIN best b ON d.doc_id = b.bid AND b.rn = 1
+    WHERE d.doc_id % 10 = 0
+    """
+    )
+
+
+@register("incremental_neardup", _incremental_gate_oracle())
+def _incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup ingestion gate (dedup.incremental_neardup_gate): a
+    synthetic new-crawl batch (doc_id % 10 = 0) deduped against the rest
+    of the corpus via LSH band collisions + signature agreement."""
+    docs = _cat(spark, sf_dir).table("documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    return dedup.incremental_neardup_gate(corpus, batch, "doc_id", "text")
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     """DuckDB replica of dedup.simhash: per-bit majority of token hashes."""
     h = _H.format(s="t")
@@ -881,7 +944,7 @@ _NORM = (
       SELECT query_id, e.vec_id AS neighbor_id,
              ROUND({_DOT.format(a='e.embedding', b='qv')}
                    / ({_NORM.format(a='e.embedding')} * {_NORM.format(a='qv')}),
-                   6) AS cosine_sim
+                   6) + 0.0 AS cosine_sim
       FROM embeddings e, q WHERE e.vec_id <> query_id
     )
     SELECT query_id, neighbor_id, cosine_sim, rank FROM (
@@ -908,7 +971,7 @@ def _similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
              ROUND({_DOT.format(a='e.embedding', b='qv')}
                    / ({_NORM.format(a='e.embedding')} * {_NORM.format(a='qv')}),
-                   6) AS cosine_sim
+                   6) + 0.0 AS cosine_sim
       FROM embeddings e, q WHERE e.label <> ql
     )
     SELECT query_id, neighbor_id, neighbor_label, cosine_sim, rank FROM (
@@ -967,7 +1030,7 @@ def _ann_lsh_oracle(planes: int = 4, tables: int = 4, dims: int = 64, k: int = 1
           FROM fan WHERE vec_id < 5),
     cand AS (
       SELECT DISTINCT query_id, c.vec_id AS neighbor_id,
-             ROUND({dot}, 6) AS cosine_sim
+             ROUND({dot}, 6) + 0.0 AS cosine_sim
       FROM fan c JOIN q ON c.t = q.t AND c.bucket = q.bucket
       WHERE c.vec_id <> query_id
     )
@@ -992,7 +1055,7 @@ def _similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_neardup",
     f"""
     SELECT a.vec_id AS a, b.vec_id AS b,
-           ROUND({_DOT.format(a='a.embedding', b='b.embedding')}, 6) AS cosine_sim
+           ROUND({_DOT.format(a='a.embedding', b='b.embedding')}, 6) + 0.0 AS cosine_sim
     FROM embeddings a, embeddings b
     WHERE a.vec_id < b.vec_id
       AND ROUND({_DOT.format(a='a.embedding', b='b.embedding')}, 6) >= 0.4
@@ -1186,7 +1249,7 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT w1, w2, c12,
-             ROUND(ln((c12 * tot.total) / (u1.cw * 1.0 * u2.cw)), 6) AS pmi
+             ROUND(ln((c12 * tot.total) / (u1.cw * 1.0 * u2.cw)), 6) + 0.0 AS pmi
       FROM bg
       CROSS JOIN tot
       JOIN uni u1 ON bg.w1 = u1.w
@@ -2219,7 +2282,7 @@ def _histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN zscore IS NOT NULL THEN ABS(zscore) > 3 END AS is_anomaly
     FROM (
       SELECT event_id, user_id, value,
-             ROUND(CASE WHEN sd > 0 THEN (value - mean) / sd END, 4) AS zscore
+             ROUND(CASE WHEN sd > 0 THEN (value - mean) / sd END, 4) + 0.0 AS zscore
       FROM (
         SELECT event_id, user_id, value,
                AVG(value) OVER w AS mean,
@@ -2412,8 +2475,8 @@ def _first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corr_stats_flags",
     """
     SELECT l_returnflag,
-           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_xy,
-           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 6) AS covar_xy,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) + 0.0 AS corr_xy,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 6) + 0.0 AS covar_xy,
            ROUND(STDDEV_SAMP(l_quantity), 6) AS stddev_x,
            ROUND(STDDEV_SAMP(l_extendedprice), 6) AS stddev_y,
            COUNT(*) AS n_rows
@@ -3004,7 +3067,7 @@ def _oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(gi.i - 1 AS INT) AS i, CAST(gj.i - 1 AS INT) AS j,
            ROUND(SUM(CAST(embedding[gi.i] AS DOUBLE)
-                     * CAST(embedding[gj.i] AS DOUBLE)), 6) AS v
+                     * CAST(embedding[gj.i] AS DOUBLE)), 6) + 0.0 AS v
     FROM embeddings, generate_series(1, 64) gi(i), generate_series(1, 64) gj(i)
     WHERE gi.i <= gj.i
     GROUP BY 1, 2
@@ -3189,7 +3252,7 @@ def _pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_centroids",
     """
     SELECT label, CAST(gs.i - 1 AS INT) AS dim,
-           ROUND(AVG(CAST(embedding[gs.i] AS DOUBLE)), 6) AS mean,
+           ROUND(AVG(CAST(embedding[gs.i] AS DOUBLE)), 6) + 0.0 AS mean,
            COUNT(*) AS n
     FROM embeddings, generate_series(1, 64) gs(i)  -- fixed 64-dim embeddings
     GROUP BY label, dim
@@ -3246,9 +3309,9 @@ def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT event_type, n_a, ROUND(ma, 6) AS mean_a, n_b, ROUND(mb, 6) AS mean_b,
-           ROUND(mb - ma, 6) AS lift,
+           ROUND(mb - ma, 6) + 0.0 AS lift,
            ROUND(CASE WHEN va / n_a + vb / n_b > 0
-                      THEN (mb - ma) / SQRT(va / n_a + vb / n_b) END, 6) AS z
+                      THEN (mb - ma) / SQRT(va / n_a + vb / n_b) END, 6) + 0.0 AS z
     FROM a
     """,
 )
@@ -3336,9 +3399,9 @@ def _table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id,
            ROUND(regr_slope(value, epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0), 6)
-             AS slope_per_hour,
+             + 0.0 AS slope_per_hour,
            ROUND(regr_intercept(value, epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0), 6)
-             AS intercept,
+             + 0.0 AS intercept,
            ROUND(regr_r2(value, epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0), 6)
              AS r2,
            COUNT(*) AS n_obs

@@ -361,3 +361,21 @@ def test_kmeans_separates_obvious_clusters(spark):
            similarity.kmeans_assign(df, k=2, iterations=3).collect()}
     assert {out[0], out[2], out[3]} == {0}
     assert {out[1], out[4], out[5]} == {1}
+
+
+def test_incremental_neardup_gate_flags_known_dup(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "completely unrelated content about spark shuffles and joins")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again"),
+         (11, "fresh new text that matches nothing in the existing corpus")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.incremental_neardup_gate(
+        corpus, batch, "doc_id", "text").collect()}
+    assert out[10]["is_neardup"] and out[10]["match_id"] == 1
+    assert out[10]["est_jaccard"] == 1.0
+    assert not out[11]["is_neardup"] and out[11]["match_id"] is None
