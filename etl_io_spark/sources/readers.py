@@ -183,3 +183,11 @@ def union_evolved(frames: Sequence[DataFrame]) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
     return out
+
+
+def read_avro(spark, path: str):
+    """Avro source — passthrough to the built-in-but-external avro module
+    (requires the spark-avro jar on the classpath; this container ships
+    none, so the call fails fast with Spark's own deploy hint — honest
+    env-gating, same policy as the JDBC sink)."""
+    return spark.read.format("avro").load(path)

@@ -220,3 +220,45 @@ def write_sorted(
         out = out.repartitionByRange(*sort_cols)
     out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
     return path
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    """Avro sink — env-gated passthrough (needs the spark-avro jar; fails
+    fast with Spark's deploy hint when absent, like ``write_jdbc``)."""
+    df.write.mode(mode).format("avro").save(path)
+    return path
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    target_mb: int = 128,
+    sort_cols: Sequence[str] = (),
+) -> int:
+    """Small-file compaction (the table-maintenance job every streaming
+    sink eventually needs): rewrite a parquet directory into
+    ``ceil(bytes / target_mb)`` files, optionally re-clustering on
+    ``sort_cols`` while the data is in motion anyway.
+
+    Thousands of kilobyte files (the natural output of frequent
+    micro-batches) make every downstream scan schedule thousands of
+    splits and hammer the namenode/object-store listing — compaction
+    restores ~target_mb row groups so scans plan few, large, prunable
+    splits. Returns the output file count."""
+    import math
+
+    df = spark.read.parquet(path)
+    total = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(path).rglob("*.parquet")
+    )
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    if sort_cols:
+        out = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n)
+    out.write.mode("overwrite").parquet(out_path)
+    return n

@@ -276,3 +276,41 @@ def test_write_zordered_clusters_both_dimensions(spark, tmp_path):
     # straddling, but both dimensions must cluster.
     assert avg_xr <= 32, avg_xr
     assert avg_yr <= 32, avg_yr
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from etl_io_spark.sources.writers import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    # 40 tiny files
+    spark.range(0, 4000).repartition(40).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 40
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_mb=128)
+    assert n == 1
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == 1
+    assert spark.read.parquet(out).count() == 4000
+
+
+def test_compact_parquet_sorted_recluster(spark, tmp_path):
+    import pyspark.sql.functions as SF
+
+    from etl_io_spark.sources.writers import compact_parquet
+
+    src = str(tmp_path / "frag2")
+    spark.range(0, 2000).select((SF.col("id") * 7919 % 2000).alias("k")) \
+        .repartition(20).write.parquet(src)
+    out = str(tmp_path / "compact2")
+    compact_parquet(spark, src, out, target_mb=128, sort_cols=["k"])
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+
+
+def test_avro_gated_with_clear_error(spark, tmp_path):
+    from etl_io_spark.sources.writers import write_avro
+
+    with pytest.raises(Exception, match="avro|Avro"):
+        write_avro(spark.range(3).toDF("id"), str(tmp_path / "a.avro"))
