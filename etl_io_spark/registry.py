@@ -1727,7 +1727,56 @@ def _salted_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_ivf")  # no SQL oracle: approximate op; recall tested
+def _ivf_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    """Exact DuckDB replica of similarity.ivf_topk: centroid picking,
+    cell assignment and probing are all deterministic (md5-hash ordering,
+    left-fold dots, explicit tie-breaks), so the approximate result is
+    bit-reproducible."""
+    h = _H.format(s="CAST(vec_id AS VARCHAR)")
+    dot_ac = _DOT.format(a="e.embedding", b="c.cvec")
+    dot_qc = _DOT.format(a="q.qv", b="c.cvec")
+    dot_eq = _DOT.format(a="e.embedding", b="p.qv")
+    return f"""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell,
+             embedding AS cvec
+      FROM (SELECT vec_id, embedding, {h} AS h FROM embeddings
+            ORDER BY h, vec_id LIMIT {n_cells})
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dot_ac} DESC, c.cell) AS rn
+        FROM embeddings e, cents c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {dot_qc} DESC, c.cell) AS pr
+        FROM q, cents c
+      ) WHERE pr <= {nprobe}
+    ),
+    scored AS (
+      SELECT DISTINCT p.query_id, e.vec_id AS neighbor_id,
+             ROUND({dot_eq}, 6) + 0.0 AS cosine_sim
+      FROM assigned e JOIN probes p ON e.cell = p.cell
+      WHERE e.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id)
+                  AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("similarity_ivf", _ivf_oracle())
 def _similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _cat(spark, sf_dir).table("embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
