@@ -276,6 +276,19 @@ def cooccurrence_pairs(
     codegen'd generators. Measured 1.6x faster at sf0.1 than building the
     full nested pair-struct array with per-index ``element_at`` lambdas
     (1.16 s vs 1.82 s); both stay map-side between the two shuffles."""
+    return (
+        _basket_pair_counts(df, basket_col, item_col, min_count)
+        .orderBy(F.col("n_baskets").desc(), "item_a", "item_b")
+        .limit(k)
+    )
+
+
+def _basket_pair_counts(
+    df: DataFrame, basket_col: str, item_col: str, min_count: int
+) -> DataFrame:
+    """Unordered-pair basket counts (a < b) — the shared core of
+    ``cooccurrence_pairs`` and ``item_similarity``: one collect_set
+    shuffle, map-side slice expansion, one pair-count shuffle."""
     baskets = (
         df.groupBy(basket_col)
         .agg(F.array_sort(F.collect_set(item_col)).alias("__items"))
@@ -294,7 +307,43 @@ def cooccurrence_pairs(
         pairs.groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .where(F.col("n_baskets") >= min_count)
-        .orderBy(F.col("n_baskets").desc(), "item_a", "item_b")
+    )
+
+
+def item_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    k: int = 50,
+    round_to: int = 6,
+) -> DataFrame:
+    """Item-item cosine similarity from co-occurrence —
+    ``sim(a, b) = n_ab / sqrt(n_a · n_b)`` over basket membership — the
+    classic recommender candidate generator ("users who bought a also
+    bought b", normalized so ubiquitous items don't dominate raw counts).
+
+    Adds to the pair-count core only two broadcast joins against the
+    (small) per-item count table; ranking plans as TakeOrdered."""
+    b = df.select(basket_col, item_col).distinct()
+    counts = b.groupBy(item_col).agg(F.count(F.lit(1)).alias("__n"))
+    pc = _basket_pair_counts(df, basket_col, item_col, min_pair_count)
+    ca = counts.select(
+        F.col(item_col).alias("item_a"), F.col("__n").alias("__na")
+    )
+    cb = counts.select(
+        F.col(item_col).alias("item_b"), F.col("__n").alias("__nb")
+    )
+    sim = F.round(
+        F.col("n_baskets")
+        / F.sqrt(F.col("__na") * 1.0 * F.col("__nb")),
+        round_to,
+    )
+    return (
+        pc.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .select("item_a", "item_b", "n_baskets", sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), "item_a", "item_b")
         .limit(k)
     )
 

@@ -2685,6 +2685,34 @@ def _market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2, k=50)
 
 
+@register(
+    "item_similarity",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ic AS (SELECT l_partkey, COUNT(*) AS n FROM b GROUP BY 1),
+    pc AS (
+      SELECT a.l_partkey AS item_a, c.l_partkey AS item_b,
+             COUNT(*) AS n_baskets
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT item_a, item_b, n_baskets,
+           ROUND(n_baskets / sqrt(ia.n * 1.0 * ib.n), 6) AS cosine_sim
+    FROM pc
+    JOIN ic ia ON item_a = ia.l_partkey
+    JOIN ic ib ON item_b = ib.l_partkey
+    ORDER BY cosine_sim DESC, item_a, item_b LIMIT 50
+    """,
+)
+def _item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine from basket co-occurrence (agg.item_similarity):
+    the recommender candidate generator — pair counts normalized by
+    per-item frequency so ubiquitous parts don't dominate."""
+    li = _cat(spark, sf_dir).table("lineitem")
+    return agg.item_similarity(li, "l_orderkey", "l_partkey")
+
+
 # ==========================================================================
 # Trending event types: top-3 per tumbling window (window agg + ranked
 # window function sharing one keyed sort)

@@ -547,3 +547,18 @@ def test_key_skew_flags_heavy_key(spark):
     top = out[0]
     assert top["cnt"] == 8 and abs(top["share"] - 0.8) < 1e-9
     assert abs(top["skew_ratio"] - 2.4) < 1e-9  # 8 / (10/3 keys)
+
+
+def test_item_similarity_hand_case(spark):
+    import math
+
+    from etl_io_spark.operators import aggregate as agg
+
+    # a&b together twice; a in 3 baskets, b in 2 => sim = 2/sqrt(6)
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"), (4, "c")]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = agg.item_similarity(df, "basket", "item", min_pair_count=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["n_baskets"]) == ("a", "b", 2)
+    assert abs(r["cosine_sim"] - round(2 / math.sqrt(6), 6)) < 1e-9
