@@ -335,3 +335,120 @@ FROM (
     AND ns.n_name <> nc.n_name
 ) GROUP BY supp_nation, cust_nation, ship_year
 """
+
+
+def small_quantity_revenue(cat: TableCatalog, brand: str = "Brand#23") -> DataFrame:
+    """Correlated-average revenue probe (TPC-H Q17 shape): yearly revenue
+    that would be lost by dropping small-quantity orders of one brand's
+    parts — ``l_quantity < 0.2 * AVG(l_quantity)`` where the average is
+    *per part* (a correlated scalar subquery).
+
+    Scale shape: the brand filter broadcasts ``part`` into ``lineitem``
+    first, so the correlated average is computed over only the surviving
+    sliver — then a window AVG over ``l_partkey`` reuses that single
+    shuffle instead of a second self-join against lineitem (the naive
+    decorrelation). One shuffle on the filtered fact, no fact-fact join.
+    """
+    pk = (
+        cat.table("part")
+        .where(F.col("p_brand") == brand)
+        .select("p_partkey")
+    )
+    li = cat.table("lineitem").join(
+        F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey")
+    )
+    from pyspark.sql import Window
+
+    per_part = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("__avg_qty", F.avg("l_quantity").over(per_part))
+        .where(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(i.l_quantity) FROM lineitem i
+    WHERE i.l_partkey = p_partkey
+  )
+"""
+
+
+def sole_late_suppliers(cat: TableCatalog, grace_days: int = 45) -> DataFrame:
+    """Sole-late-supplier ranking (TPC-H Q21 shape, adapted to this
+    schema's columns: "late" = ``l_shipdate > o_orderdate + grace``
+    since there is no receipt/commit date). For finished ('F') orders
+    with at least two suppliers, find the orders where EXACTLY ONE
+    supplier shipped late and charge that order to the late supplier.
+
+    The reference SQL is the classic EXISTS / NOT-EXISTS pair; the Spark
+    plan replaces both correlated subqueries with ONE order-level
+    aggregation: per order, count distinct suppliers and distinct *late*
+    suppliers in the same pass, keep ``n_sups > 1 AND n_late = 1``, and
+    recover the culprit as ``MAX(CASE WHEN late THEN suppkey END)``
+    (exact because only one supplier is late). Two aggregation shuffles
+    (order-level, then supplier-level) after one keyed fact join against
+    the 'F'-orders sliver (shuffle-hash: both sides are fact-sized at
+    100 TB, and the agg side needs no sort) — no lineitem self-join
+    anywhere, which is where the EXISTS form pays twice.
+    """
+    orders = (
+        cat.table("orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = cat.table("lineitem").join(
+        orders.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {grace_days} DAYS"
+    )
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("__n_sups"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("__n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("__late_sup"),
+        )
+        .where((F.col("__n_sups") > 1) & (F.col("__n_late") == 1))
+    )
+    sup = cat.table("supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.groupBy("__late_sup")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("__late_sup") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+SOLE_LATE_SUPPLIERS_SQL = """
+SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders    ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 45 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 45 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""

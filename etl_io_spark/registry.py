@@ -3693,3 +3693,21 @@ def _changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "event_type",
         F.round("value", 2).alias("value"),
     )
+
+
+# ==========================================================================
+# TPC-H Q17 shape: correlated per-part average, decorrelated into a
+# window over the broadcast-filtered fact (one shuffle, no self-join)
+# ==========================================================================
+@register("small_quantity_revenue", pipelines.SMALL_QUANTITY_REVENUE_SQL)
+def _small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.small_quantity_revenue(_cat(spark, sf_dir))
+
+
+# ==========================================================================
+# TPC-H Q21 shape: EXISTS / NOT-EXISTS pair collapsed to one order-level
+# aggregation (sole-late-supplier detection without a lineitem self-join)
+# ==========================================================================
+@register("sole_late_suppliers", pipelines.SOLE_LATE_SUPPLIERS_SQL)
+def _sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.sole_late_suppliers(_cat(spark, sf_dir))

@@ -174,3 +174,20 @@ def test_interval_join_no_cartesian(spark):
     plan = _plan(spark, "stream_interval_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17_decorrelates_to_window_not_self_join(spark):
+    plan = _plan(spark, "small_quantity_revenue")
+    # the correlated per-part AVG must reuse the broadcast-filtered fact via
+    # a window, not rejoin lineitem against itself
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("FileScan parquet") == 2  # lineitem + part, each once
+    assert "Window" in plan
+
+
+def test_q21_no_lineitem_self_join(spark):
+    plan = _plan(spark, "sole_late_suppliers")
+    # EXISTS/NOT-EXISTS pair collapsed into one order-level aggregation:
+    # lineitem scanned once, no semi/anti join against a second scan of it
+    assert plan.count("FileScan parquet") == 3  # lineitem, orders, supplier
+    assert "ShuffledHashJoin" in plan
