@@ -83,3 +83,81 @@ def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFram
     return fwd.union(
         edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
     ).distinct()
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    undirected simple graph given as an edge list (directions and
+    duplicates ignored, self-loops dropped). Returns ONE row:
+    ``(n_nodes, n_edges, n_wedges, n_triangles, clustering_coeff)``.
+
+    Scale design — degree-ordered orientation (the MapReduce-classic
+    trick): every canonical edge {a,b} is directed from its lower
+    (degree, id) endpoint to the higher, so each triangle is generated
+    exactly once at its lowest-degree vertex and the wedge join's
+    intermediate is bounded by Σ_u C(outdeg(u), 2) ≤ O(m^{3/2})
+    (arboricity bound) instead of Σ C(deg,2), which a hub vertex makes
+    quadratic. Three shuffles: degree agg, wedge self-join on the source,
+    closure semi-join on the (v, w) pair. No collect, no cartesian.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # annotate both endpoints with their degree, then orient low -> high
+    ann = (
+        canon.join(deg.withColumnsRenamed({"node": "a", "d": "da"}), "a")
+        .join(deg.withColumnsRenamed({"node": "b", "d": "db"}), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ann.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.u") == F.col("e2.u"))
+        & (
+            (F.col("e1.dv") < F.col("e2.dv"))
+            | ((F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v")))
+        ),
+    ).select(F.col("e1.v").alias("u"), F.col("e2.v").alias("v"))
+    triangles = wedges.join(oriented.select("u", "v"), ["u", "v"], "left_semi")
+
+    n_tri = triangles.agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.expr("d * (d - 1)")) / F.lit(2)).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = canon.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(n_edges)
+        .crossJoin(n_tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+                ),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

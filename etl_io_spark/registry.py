@@ -3711,3 +3711,59 @@ def _small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sole_late_suppliers", pipelines.SOLE_LATE_SUPPLIERS_SQL)
 def _sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.sole_late_suppliers(_cat(spark, sf_dir))
+
+
+# ==========================================================================
+# Triangle counting (degree-ordered orientation) over the co-supplier
+# graph: suppliers are adjacent when they supply >= 20 common parts
+# ==========================================================================
+_TRIANGLE_SQL = """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    edges AS (
+      SELECT a.s AS u, b.s AS v
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+      GROUP BY 1, 2 HAVING COUNT(*) >= 20
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT COUNT(*) FROM deg)  AS n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           CAST((SELECT SUM(d * (d - 1)) FROM deg) / 2 AS BIGINT) AS n_wedges,
+           (SELECT t FROM tri) AS n_triangles,
+           ROUND(CASE WHEN (SELECT SUM(d * (d - 1)) FROM deg) > 0
+                      THEN 3.0 * (SELECT t FROM tri)
+                           / ((SELECT SUM(d * (d - 1)) FROM deg) / 2)
+                 END, 6) AS clustering_coeff
+"""
+
+
+@register("triangle_count_cosuppliers", _TRIANGLE_SQL)
+def _triangle_count_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.operators import graph
+
+    ps = (
+        _cat(spark, sf_dir)
+        .table("lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        ps.alias("a")
+        .join(ps.alias("b"), (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("__support"))
+        .where(F.col("__support") >= 20)
+        .drop("__support")
+    )
+    return graph.triangle_stats(edges)

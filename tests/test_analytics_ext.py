@@ -562,3 +562,32 @@ def test_item_similarity_hand_case(spark):
     r = out[0]
     assert (r["item_a"], r["item_b"], r["n_baskets"]) == ("a", "b", 2)
     assert abs(r["cosine_sim"] - round(2 / math.sqrt(6), 6)) < 1e-9
+
+
+def test_triangle_stats_hand_graph(spark):
+    from etl_io_spark.operators import graph
+
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant 4-5 (0 new triangles);
+    # edges given with duplicates / reversals / a self-loop to exercise
+    # canonicalization
+    edges = [
+        (1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 5),
+    ]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    r = graph.triangle_stats(df).collect()[0]
+    assert r["n_nodes"] == 5 and r["n_edges"] == 7
+    assert r["n_triangles"] == 4
+    # wedges: deg = {1:3, 2:3, 3:3, 4:4, 5:1} -> 3+3+3+6+0 = 15
+    assert r["n_wedges"] == 15
+    assert abs(r["clustering_coeff"] - round(12 / 15, 6)) < 1e-12
+
+
+def test_triangle_stats_triangle_free(spark):
+    from etl_io_spark.operators import graph
+
+    # star graph: many wedges, zero triangles
+    df = spark.createDataFrame([(0, i) for i in range(1, 6)], "src int, dst int")
+    r = graph.triangle_stats(df).collect()[0]
+    assert r["n_triangles"] == 0 and r["n_wedges"] == 10
+    assert r["clustering_coeff"] == 0.0
