@@ -853,3 +853,63 @@ def incremental_neardup_gate(
             "est_jaccard",
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 3,
+    block_prefix: int = 2,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood method (SNM) — the third classic blocking
+    family next to key-equality blocking (``fuzzy_pairs``) and PassJoin
+    segments (``fuzzy_pairs_segmented``): normalize the key, sort, and
+    compare each record only to its next ``window`` neighbors in sort
+    order. Catches near-dups whose *prefixes* agree (typos near the end)
+    at O(n·window) comparisons.
+
+    Scale shape: a global sort would serialize into one partition, so the
+    sort is per-block (first ``block_prefix`` chars of the normalized
+    key — the standard blocked-SNM compromise: pairs straddling a block
+    boundary are missed, exactly the trade documented for multi-pass SNM;
+    run again with a different key for recall). One keyed window shuffle;
+    the ``window`` neighbor probes are ``lead`` columns folded into an
+    array — no self-join, no explosion beyond n·window.
+
+    Returns (id_a, id_b, key_a, key_b, distance) with the sort-order
+    predecessor as ``_a``; Levenshtein ≤ ``max_distance``.
+    """
+    from pyspark.sql import Window as W
+
+    norm = F.lower(F.regexp_replace(F.col(key_col), "[^a-zA-Z0-9]", ""))
+    base = df.select(F.col(id_col).alias("id_a"), norm.alias("key_a"))
+    w = W.partitionBy(F.substring("key_a", 1, block_prefix)).orderBy(
+        "key_a", "id_a"
+    )
+    # window exprs can't live inside a generator: materialize the lead
+    # columns first (all share one window sort), then fold + explode
+    leads = base.withColumns(
+        {
+            f"__{name}{o}": F.lead(src, o).over(w)
+            for o in range(1, window + 1)
+            for name, src in (("id", "id_a"), ("key", "key_a"))
+        }
+    )
+    probes = F.array(
+        *[
+            F.struct(
+                F.col(f"__id{o}").alias("id_b"),
+                F.col(f"__key{o}").alias("key_b"),
+            )
+            for o in range(1, window + 1)
+        ]
+    )
+    return (
+        leads.withColumn("__nb", F.explode(probes))
+        .select("id_a", "key_a", F.col("__nb.id_b"), F.col("__nb.key_b"))
+        .where(F.col("id_b").isNotNull())
+        .withColumn("distance", F.levenshtein("key_a", "key_b"))
+        .where(F.col("distance") <= max_distance)
+    )

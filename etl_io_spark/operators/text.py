@@ -591,3 +591,41 @@ def oov_rate(
             "oov_rate"
         ),
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy (bits/char) of the character
+    distribution — a model-free quality/gibberish signal: natural prose
+    sits ~4-4.5 bits, base64 blobs and key-mash near 6, template spam and
+    repeated-char padding far below. Complements the token-level quality
+    scores (same family as ``quality_scores``; entropy catches what
+    token ratios can't — e.g. hex dumps are 100% "words").
+
+    Shape: explode to (doc, char) pairs, count per pair, then fold with
+    the one-pass algebra ``H = log2(n) - Σ c·log2(c) / n`` — two keyed
+    aggregations, both partial-aggregable map-side (distinct chars per
+    doc per partition is bounded by the alphabet, so the shuffle carries
+    ~|alphabet| rows per doc regardless of document length). Documents
+    with empty text yield no characters and are dropped (entropy of an
+    empty string is undefined).
+    """
+    ln2 = F.lit(0.6931471805599453)
+    ch = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("__ch"),
+    ).where(F.col("__ch") != "")  # split("") yields [""], not []
+    counts = ch.groupBy(id_col, "__ch").agg(F.count(F.lit(1)).alias("__c"))
+    n = F.sum("__c")
+    return counts.groupBy(id_col).agg(
+        n.cast("bigint").alias("n_chars_counted"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.round(
+            (F.log(n) - F.sum(F.col("__c") * F.log("__c")) / n) / ln2,
+            round_to,
+        ).alias("entropy_bits"),
+    )

@@ -194,3 +194,52 @@ def impute_group_mean(
     return df.withColumn("was_imputed", F.col(value_col).isNull() & mean.isNotNull()).withColumn(
         value_col, imputed
     )
+
+
+def ewma_score(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    halflife_seconds: float = 86400.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key exponentially-time-decayed sum of ``value_col`` evaluated
+    at the key's LAST event — the recency-weighted engagement/activity
+    score: ``s = Σ_j v_j · 2^(-(t_last - t_j)/halflife)``.
+
+    The recursive EWMA is factored into one prefix-free aggregation via
+    ``s = e^(-λ(t_last - t_0)) · Σ_j v_j e^(λ(t_j - t_0))`` with ``t_0``
+    the per-key min — so the whole thing is ONE keyed window (min ts,
+    unsorted) + ONE partial-aggregable groupBy on the same key (a single
+    exchange; no per-key sequential scan, no UDF). Timestamps enter as
+    exact integer microseconds, so both engines of a differential test
+    see bit-identical exp() arguments.
+
+    Range limit: the factorization computes ``exp(λ·(span))`` — finite
+    for ``span/halflife < ~700`` half-lives (IEEE double overflow). For
+    longer spans, segment the series (e.g. by month) and fold segments
+    with one extra decay step; contributions older than ~50 half-lives
+    are below double precision relative to the tail either way.
+    """
+    import math
+
+    lam = math.log(2.0) / float(halflife_seconds)
+    w0 = Window.partitionBy(key_col)
+    base = df.select(
+        F.col(key_col),
+        F.col(value_col),
+        F.unix_micros(F.col(ts_col)).alias("__tm"),
+    ).withColumn("__t0", F.min("__tm").over(w0))
+    rel = (F.col("__tm") - F.col("__t0")) / F.lit(1_000_000.0)
+    return base.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col(value_col) * F.exp(F.lit(lam) * rel))
+            * F.exp(
+                F.lit(-lam)
+                * ((F.max("__tm") - F.min("__t0")) / F.lit(1_000_000.0))
+            ),
+            round_to,
+        ).alias("ewma_score"),
+    )

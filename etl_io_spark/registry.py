@@ -3767,3 +3767,111 @@ def _triangle_count_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__support")
     )
     return graph.triangle_stats(edges)
+
+
+# ==========================================================================
+# Time-decayed engagement score (EWMA at last event, halflife = 1 day):
+# recursive EWMA factored into one window + one partial-aggregable groupBy
+# ==========================================================================
+_EWMA_SQL = """
+    WITH e AS (
+      SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tm FROM events
+    ),
+    b AS (
+      SELECT user_id, value, tm,
+             MIN(tm) OVER (PARTITION BY user_id) AS t0
+      FROM e
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(
+             SUM(value * EXP(8.022536812036404e-06 * ((tm - t0) / 1000000.0)))
+             * EXP(-8.022536812036404e-06
+                   * ((MAX(tm) - MIN(t0)) / 1000000.0)),
+           6) AS ewma_score
+    FROM b GROUP BY user_id
+"""
+
+
+@register("ewma_events", _EWMA_SQL)
+def _ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.operators import timeseries
+
+    ev = _cat(spark, sf_dir).table("events")
+    return timeseries.ewma_score(
+        ev, "user_id", "ts", "value", halflife_seconds=86400.0
+    )
+
+
+# ==========================================================================
+# Character-distribution Shannon entropy per document (quality signal)
+# ==========================================================================
+_CHAR_ENTROPY_SQL = """
+    WITH ch AS (
+      SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents
+    ),
+    c AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch
+          WHERE ch <> '' GROUP BY doc_id, ch)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_chars_counted,
+           COUNT(*) AS distinct_chars,
+           ROUND((LN(SUM(c)) - SUM(c * LN(c)) / SUM(c))
+                 / 0.6931471805599453, 6) AS entropy_bits
+    FROM c GROUP BY doc_id
+"""
+
+
+@register("char_entropy_docs", _CHAR_ENTROPY_SQL)
+def _char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.operators import text as txt
+
+    docs = _cat(spark, sf_dir).table("documents")
+    return txt.char_entropy(docs, "doc_id", "text")
+
+
+# ==========================================================================
+# Sorted-neighborhood dedup (blocked SNM) over document text prefixes
+# ==========================================================================
+_SNM_SQL = """
+    WITH b AS (
+      SELECT doc_id AS id_a,
+             substring(LOWER(REGEXP_REPLACE(text, '[^a-zA-Z0-9]', '', 'g')),
+                       1, 24) AS key_a
+      FROM documents
+    ),
+    l AS (
+      SELECT id_a, key_a,
+             LEAD(id_a, 1) OVER w AS id_b1, LEAD(key_a, 1) OVER w AS key_b1,
+             LEAD(id_a, 2) OVER w AS id_b2, LEAD(key_a, 2) OVER w AS key_b2,
+             LEAD(id_a, 3) OVER w AS id_b3, LEAD(key_a, 3) OVER w AS key_b3
+      FROM b
+      WINDOW w AS (PARTITION BY substring(key_a, 1, 2) ORDER BY key_a, id_a)
+    ),
+    p AS (
+      SELECT id_a, key_a, id_b1 AS id_b, key_b1 AS key_b FROM l
+      UNION ALL SELECT id_a, key_a, id_b2, key_b2 FROM l
+      UNION ALL SELECT id_a, key_a, id_b3, key_b3 FROM l
+    )
+    SELECT id_a, key_a, id_b, key_b,
+           levenshtein(key_a, key_b) AS distance
+    FROM p
+    WHERE id_b IS NOT NULL AND levenshtein(key_a, key_b) <= 2
+"""
+
+
+@register("snm_neardup_docs", _SNM_SQL)
+def _snm_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.operators import dedup
+
+    docs = (
+        _cat(spark, sf_dir)
+        .table("documents")
+        .select(
+            "doc_id",
+            F.substring(
+                F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", "")), 1, 24
+            ).alias("prefix_key"),
+        )
+    )
+    return dedup.sorted_neighborhood_pairs(
+        docs, "doc_id", "prefix_key", window=3, block_prefix=2, max_distance=2
+    )

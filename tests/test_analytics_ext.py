@@ -591,3 +591,52 @@ def test_triangle_stats_triangle_free(spark):
     r = graph.triangle_stats(df).collect()[0]
     assert r["n_triangles"] == 0 and r["n_wedges"] == 10
     assert r["clustering_coeff"] == 0.0
+
+
+def test_ewma_score_hand_case(spark):
+    from etl_io_spark.operators import timeseries
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 01:00:00", 2.0),
+        (2, "2024-01-05 12:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string, value double").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = {
+        r["user_id"]: r
+        for r in timeseries.ewma_score(
+            df, "user_id", "ts", "value", halflife_seconds=3600.0
+        ).collect()
+    }
+    # one halflife between the two events: 2.0 + 1.0 * 0.5
+    assert out[1]["n_events"] == 2 and abs(out[1]["ewma_score"] - 2.5) < 1e-9
+    # single event: no decay at its own timestamp
+    assert out[2]["n_events"] == 1 and out[2]["ewma_score"] == 7.0
+
+
+def test_char_entropy_hand_cases(spark):
+    from etl_io_spark.operators import text as txt
+
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, "abcd"), (3, "aaaa"), (4, "")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in txt.char_entropy(df, "doc_id", "text").collect()}
+    assert abs(out[1]["entropy_bits"] - 1.0) < 1e-9
+    assert abs(out[2]["entropy_bits"] - 2.0) < 1e-9
+    assert out[3]["entropy_bits"] == 0.0 and out[3]["distinct_chars"] == 1
+    assert 4 not in out  # empty text has no characters -> dropped
+
+
+def test_sorted_neighborhood_hand_case(spark):
+    from etl_io_spark.operators import dedup
+
+    rows = [(1, "alpha1"), (2, "alpha2"), (3, "alphx1"), (4, "beta")]
+    df = spark.createDataFrame(rows, "id int, k string")
+    out = dedup.sorted_neighborhood_pairs(
+        df, "id", "k", window=2, block_prefix=2, max_distance=2
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["distance"] for r in out.collect()}
+    # sort order within block 'al': alpha1, alpha2, alphx1
+    assert pairs == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
