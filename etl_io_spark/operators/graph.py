@@ -42,11 +42,15 @@ def pagerank(
     happen). Deterministic given the edge list, so SQL oracles can unroll
     the same fixed iteration count.
     """
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    # the edge list is typically derived (joins + distinct upstream) and is
+    # referenced by nodes, outdeg, fan AND every iteration's rank join —
+    # persist it so the derivation runs once, not once per reference
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")).persist()
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
         .distinct()
+        .persist()  # joined against every iteration
     )
     n = nodes.count()
     outdeg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__outdeg"))
@@ -71,9 +75,10 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
-    # NOTE: ``fan`` stays persisted — the returned plan is lazy and still
-    # references it every iteration; callers can unpersist after their
-    # action (blockManager eviction reclaims it otherwise).
+    # NOTE: ``e``/``nodes``/``fan`` stay persisted — the returned plan is
+    # lazy and still references them every iteration; callers can
+    # unpersist after their action (blockManager eviction reclaims them
+    # otherwise).
     return ranks.select("node", F.round("rank", round_to).alias("rank"))
 
 
