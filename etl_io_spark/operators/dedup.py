@@ -913,3 +913,74 @@ def sorted_neighborhood_pairs(
         .withColumn("distance", F.levenshtein("key_a", "key_b"))
         .where(F.col("distance") <= max_distance)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT ``|A∩B| / |A|`` for all pairs where
+    either direction clears ``threshold`` — catches subset clones that
+    Jaccard misses by construction: a paragraph quoted inside a 100×
+    longer page has jaccard ≈ 1% but containment ≈ 100%, and dropping
+    such nested duplicates matters as much as symmetric near-dups in a
+    training corpus.
+
+    Same inverted-index shape as ``ngram_jaccard_pairs`` (set sizes ride
+    map-side through the shingle join; shuffles keyed by shingle then by
+    pair; no cross join) — only the final scoring differs, so the same
+    stop-shingle caveats and LSH scale guidance apply.
+    """
+    toked = spread(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    toked = toked.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(F.col("__toks"), n)).alias("__arr"),
+    )
+    sh = (
+        toked.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    "__arr",
+                    lambda x: F.struct(
+                        x.alias("s"), F.size("__arr").alias("sz")
+                    ),
+                )
+            ).alias("__e"),
+        )
+        .select(
+            id_col,
+            F.col("__e.sz").alias("sz"),
+            hash60(F.col("__e.s")).alias("sh"),
+        )
+        .cache()
+    )
+    a = sh.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"), "sh")
+    b = sh.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("sz_a").alias("sz_a"),
+            F.min("sz_b").alias("sz_b"),
+        )
+    )
+    c_ab = F.round(F.col("inter") / F.col("sz_a"), 6)
+    c_ba = F.round(F.col("inter") / F.col("sz_b"), 6)
+    return (
+        inter.select(
+            "a",
+            "b",
+            c_ab.alias("containment_a_in_b"),
+            c_ba.alias("containment_b_in_a"),
+        )
+        .where(
+            F.greatest("containment_a_in_b", "containment_b_in_a")
+            >= F.lit(threshold)
+        )
+    )

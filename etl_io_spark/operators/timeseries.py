@@ -243,3 +243,77 @@ def ewma_score(
             round_to,
         ).alias("ewma_score"),
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-key activity streaks (gaps-and-islands): collapse events to
+    distinct active DAYS, then group consecutive days into islands with
+    the classic ``day - row_number`` anchor (consecutive days share one
+    anchor; any gap starts a new one). Returns one row per key:
+    ``n_active_days``, ``n_streaks``, ``longest_streak`` (days),
+    ``longest_streak_start`` (its first day — earliest such streak on
+    ties).
+
+    Shape: one keyed groupBy to distinct days (partial-aggregable), one
+    keyed window for row_number (same key ⇒ same exchange under AQE),
+    then two more partial-aggregable groupBys (island, key). Everything
+    is keyed by the entity — no global sort, no self-join.
+    """
+    days = df.select(
+        F.col(key_col), F.to_date(F.col(ts_col)).alias("__day")
+    ).distinct()
+    w = Window.partitionBy(key_col).orderBy("__day")
+    anchored = days.withColumn(
+        "__anchor",
+        F.date_sub(F.col("__day"), F.row_number().over(w)),
+    )
+    islands = anchored.groupBy(key_col, "__anchor").agg(
+        F.count(F.lit(1)).alias("__len"),
+        F.min("__day").alias("__start"),
+    )
+    return islands.groupBy(key_col).agg(
+        F.sum("__len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("__len").alias("longest_streak"),
+        F.expr("min_by(__start, struct(-__len, __start))").alias(
+            "longest_streak_start"
+        ),
+    )
+
+
+def cumulative_reach(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Daily audience accounting: per day, distinct active keys
+    (``n_active``), first-ever-seen keys (``n_new``) and the running
+    total of distinct keys to date (``cum_reach``) — the exact
+    cumulative-distinct curve, computed WITHOUT a distinct-over-growing-
+    window (quadratic) by the first-seen decomposition:
+    ``cum_reach(d) = Σ_{d'<=d} n_new(d')``.
+
+    Shape: one groupBy (key, day) to collapse events, one groupBy key for
+    first-seen (both partial-aggregable), one tiny day-level agg and a
+    running-sum window over the day axis (bounded by #days, so the
+    unpartitioned window is safe at any corpus size).
+    """
+    kd = df.select(
+        F.col(key_col).alias("__k"), F.to_date(F.col(ts_col)).alias("day")
+    ).distinct()
+    first_seen = kd.groupBy("__k").agg(F.min("day").alias("__first"))
+    daily = kd.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
+    new = first_seen.groupBy(F.col("__first").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(new, "day", "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+        .withColumn("cum_reach", F.sum("n_new").over(w).cast("bigint"))
+        .select("day", "n_active", "n_new", "cum_reach")
+    )

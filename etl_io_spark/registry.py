@@ -3875,3 +3875,104 @@ def _snm_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.sorted_neighborhood_pairs(
         docs, "doc_id", "prefix_key", window=3, block_prefix=2, max_distance=2
     )
+
+
+# ==========================================================================
+# Asymmetric shingle containment (subset-clone detection — what Jaccard
+# structurally misses; same inverted-index plan, different scoring)
+# ==========================================================================
+@register(
+    "containment_pairs",
+    _SHINGLE_CTE
+    + """,
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b,
+           ROUND(i * 1.0 / sa.sz, 6) AS containment_a_in_b,
+           ROUND(i * 1.0 / sb.sz, 6) AS containment_b_in_a
+    FROM inter
+    JOIN sz sa ON a = sa.doc_id
+    JOIN sz sb ON b = sb.doc_id
+    WHERE GREATEST(ROUND(i * 1.0 / sa.sz, 6),
+                   ROUND(i * 1.0 / sb.sz, 6)) >= 0.7
+    """,
+)
+def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(
+        _cat(spark, sf_dir).table("documents"), "doc_id", "text", n=3,
+        threshold=0.7,
+    )
+
+
+# ==========================================================================
+# Gaps-and-islands: per-user activity streaks over distinct active days
+# ==========================================================================
+_STREAKS_SQL = """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events
+    ),
+    a AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+      FROM days
+    ),
+    i AS (
+      SELECT user_id, anchor, COUNT(*) AS len, MIN(day) AS start
+      FROM a GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT user_id, len, start,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, start) AS rn
+      FROM i
+    ),
+    agg AS (
+      SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+             COUNT(*) AS n_streaks, MAX(len) AS longest_streak
+      FROM i GROUP BY user_id
+    )
+    SELECT agg.user_id, n_active_days, n_streaks, longest_streak,
+           r.start AS longest_streak_start
+    FROM agg JOIN r ON agg.user_id = r.user_id AND r.rn = 1
+"""
+
+
+@register("activity_streaks", _STREAKS_SQL)
+def _activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.operators import timeseries
+
+    ev = _cat(spark, sf_dir).table("events")
+    return timeseries.activity_streaks(ev, "user_id", "ts")
+
+
+# ==========================================================================
+# Cumulative audience reach: daily active / first-seen / running distinct
+# via the first-seen decomposition (no distinct-over-growing-window)
+# ==========================================================================
+_REACH_SQL = """
+    WITH kd AS (
+      SELECT DISTINCT user_id AS k,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events
+    ),
+    fs AS (SELECT k, MIN(day) AS first FROM kd GROUP BY k),
+    daily AS (SELECT day, COUNT(*) AS n_active FROM kd GROUP BY day),
+    nw AS (SELECT first AS day, COUNT(*) AS n_new FROM fs GROUP BY first)
+    SELECT d.day, n_active, COALESCE(n_new, 0) AS n_new,
+           CAST(SUM(COALESCE(n_new, 0)) OVER (
+             ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_reach
+    FROM daily d LEFT JOIN nw ON d.day = nw.day
+"""
+
+
+@register("cumulative_reach", _REACH_SQL)
+def _cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.operators import timeseries
+
+    ev = _cat(spark, sf_dir).table("events")
+    return timeseries.cumulative_reach(ev, "user_id", "ts")

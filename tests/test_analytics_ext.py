@@ -640,3 +640,60 @@ def test_sorted_neighborhood_hand_case(spark):
     pairs = {(r["id_a"], r["id_b"]): r["distance"] for r in out.collect()}
     # sort order within block 'al': alpha1, alpha2, alphx1
     assert pairs == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+
+
+def test_containment_pairs_subset_clone(spark):
+    from etl_io_spark.operators import dedup
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    other = "one two three four five six seven"
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], "doc_id int, text string"
+    )
+    out = dedup.containment_pairs(df, "doc_id", "text", n=3, threshold=0.9)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # the small doc is fully contained in the big one; reverse is tiny
+    assert (r["a"], r["b"]) == (1, 2)
+    assert r["containment_a_in_b"] == 1.0
+    assert r["containment_b_in_a"] < 0.1
+
+
+def test_activity_streaks_hand_case(spark):
+    from etl_io_spark.operators import timeseries
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 23:00:00"),
+        (1, "2024-01-02 05:00:00"), (1, "2024-01-04 00:00:00"),
+        (1, "2024-01-05 00:00:00"), (1, "2024-01-06 00:00:00"),
+        (2, "2024-03-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {r["user_id"]: r for r in timeseries.activity_streaks(df, "user_id", "ts").collect()}
+    r1 = out[1]
+    assert r1["n_active_days"] == 5 and r1["n_streaks"] == 2
+    assert r1["longest_streak"] == 3
+    assert str(r1["longest_streak_start"]) == "2024-01-04"
+    r2 = out[2]
+    assert r2["longest_streak"] == 1 and r2["n_streaks"] == 1
+
+
+def test_cumulative_reach_hand_case(spark):
+    from etl_io_spark.operators import timeseries
+
+    rows = [
+        (10, "2024-01-01 01:00:00"), (11, "2024-01-01 02:00:00"),
+        (10, "2024-01-02 01:00:00"), (12, "2024-01-03 09:00:00"),
+        (10, "2024-01-03 01:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {str(r["day"]): r for r in timeseries.cumulative_reach(df, "user_id", "ts").collect()}
+    assert (out["2024-01-01"]["n_active"], out["2024-01-01"]["n_new"], out["2024-01-01"]["cum_reach"]) == (2, 2, 2)
+    assert (out["2024-01-02"]["n_active"], out["2024-01-02"]["n_new"], out["2024-01-02"]["cum_reach"]) == (1, 0, 2)
+    assert (out["2024-01-03"]["n_active"], out["2024-01-03"]["n_new"], out["2024-01-03"]["cum_reach"]) == (2, 1, 3)
