@@ -69,6 +69,16 @@ HEADLINE = [
     "shipping_priority",
     "regional_revenue",
     "returned_customers",
+    "small_quantity_revenue",
+    "sole_late_suppliers",
+    "triangle_count_cosuppliers",
+    "ewma_events",
+    "activity_streaks",
+    "cumulative_reach",
+    "char_entropy_docs",
+    "snm_neardup_docs",
+    "containment_pairs",
+    "dedup_jaccard_prefix",
     "first_last_event",
     "corr_stats_flags",
     "rolling_avg_events",

@@ -984,3 +984,83 @@ def containment_pairs(
             >= F.lit(threshold)
         )
     )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ ``threshold`` via PREFIX FILTERING
+    (the PPJoin/AllPairs candidate rule) — identical output to
+    ``ngram_jaccard_pairs``, asymptotically cheaper candidates.
+
+    Rule: order every doc's shingles by global rarity (document
+    frequency asc, hash as tie-break); two docs with jaccard ≥ t MUST
+    share a shingle within each one's first ``|A| - ⌈t·|A|⌉ + 1``
+    shingles. So the inverted-index self-join runs over PREFIXES only:
+    the ubiquitous shingles that drive the all-pairs plan quadratic sit
+    at the END of every ordering and never generate candidates — the
+    stop-shingle skew problem disappears structurally instead of via a
+    max_doc_freq cutoff. Candidates are then verified exactly on the
+    full sets with one sorted-array intersection per pair.
+
+    Shuffles: df-count agg, per-doc rank window, prefix self-join,
+    pair distinct, one verify groupBy, two keyed joins to fetch the
+    full sets. All keyed — no cross join. Candidate count tracks
+    rare-token collisions; verification cost tracks TRUE near-dup
+    pairs (output-bound — irreducible for any exact method).
+    """
+    from pyspark.sql import Window as W
+
+    sh = shingle_sets(df, id_col, text_col, n)
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = sh.join(freq, "sh").withColumn(
+        "__rn",
+        F.row_number().over(
+            W.partitionBy(id_col).orderBy("__df", "sh")
+        ),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    # prefix length: sz - ceil(t*sz) + 1
+    pref = (
+        ranked.join(sizes, id_col)
+        .where(
+            F.col("__rn")
+            <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+        )
+        .select(id_col, "sh")
+    )
+    cand = (
+        pref.select(F.col(id_col).alias("a"), "sh")
+        .join(pref.select(F.col(id_col).alias("b"), "sh"), "sh")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # verify exactly on the full (sorted, distinct) shingle arrays
+    arrs = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("sh")).alias("__arr")
+    )
+    joined = (
+        cand.join(
+            arrs.select(F.col(id_col).alias("a"), F.col("__arr").alias("__arr_a")),
+            "a",
+        )
+        .join(
+            arrs.select(F.col(id_col).alias("b"), F.col("__arr").alias("__arr_b")),
+            "b",
+        )
+        .withColumn("__i", F.size(F.array_intersect("__arr_a", "__arr_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__i")
+                / (F.size("__arr_a") + F.size("__arr_b") - F.col("__i")),
+                6,
+            ),
+        )
+    )
+    return joined.where(F.col("jaccard") >= threshold).select("a", "b", "jaccard")

@@ -3976,3 +3976,33 @@ def _cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _cat(spark, sf_dir).table("events")
     return timeseries.cumulative_reach(ev, "user_id", "ts")
+
+
+# ==========================================================================
+# PPJoin-style prefix-filtered exact Jaccard: same result set as
+# dedup_ngram_jaccard (shared oracle), structurally skew-immune
+# candidates — the exact-dedup scale path when LSH recall isn't enough
+# ==========================================================================
+@register(
+    "dedup_jaccard_prefix",
+    _SHINGLE_CTE
+    + """,
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b,
+           ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON a = sa.doc_id
+    JOIN sz sb ON b = sb.doc_id
+    WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.3
+    """,
+)
+def _dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs_prefix(
+        _cat(spark, sf_dir).table("documents"), "doc_id", "text", n=3,
+        threshold=0.3,
+    )

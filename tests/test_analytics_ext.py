@@ -697,3 +697,26 @@ def test_cumulative_reach_hand_case(spark):
     assert (out["2024-01-01"]["n_active"], out["2024-01-01"]["n_new"], out["2024-01-01"]["cum_reach"]) == (2, 2, 2)
     assert (out["2024-01-02"]["n_active"], out["2024-01-02"]["n_new"], out["2024-01-02"]["cum_reach"]) == (1, 0, 2)
     assert (out["2024-01-03"]["n_active"], out["2024-01-03"]["n_new"], out["2024-01-03"]["cum_reach"]) == (2, 1, 3)
+
+
+def test_prefix_jaccard_matches_allpairs(spark):
+    from etl_io_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " tail"),
+        (3, "completely different words in this document body here now ok"),
+        (4, base.replace("quick", "slow")),
+        (5, "short text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    exact = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.3).collect()
+    }
+    pref = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs_prefix(df, "doc_id", "text", threshold=0.3).collect()
+    }
+    assert exact == pref and len(pref) > 0

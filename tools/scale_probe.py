@@ -36,6 +36,9 @@ PROBE = [
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
+    "containment_pairs",
+    "snm_neardup_docs",
     "dedup_simhash",
     "similarity_topk",
     "text_quality",
@@ -48,6 +51,12 @@ PROBE = [
     "trending_event_types",
     "event_paths",
     "twap_events",
+    "ewma_events",
+    "activity_streaks",
+    "cumulative_reach",
+    "char_entropy_docs",
+    "small_quantity_revenue",
+    "sole_late_suppliers",
     "corpus_curation",
     "bm25_search",
     "winsorize_prices",
