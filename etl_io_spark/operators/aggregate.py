@@ -480,3 +480,69 @@ def ab_test_stats(
         round_pz(F.col("__mb") - F.col("__ma"), round_to).alias("lift"),
         round_pz(z, round_to).alias("z"),
     )
+
+
+def robust_anomaly(
+    df: DataFrame,
+    key_col: str,
+    id_cols: Sequence[str],
+    value_col: str,
+    z_cut: float = 3.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Median/MAD outlier flagging — the robust sibling of the rolling
+    z-score: ``robust_z = 0.6745·(x - median) / MAD`` (the 0.6745 makes
+    MAD consistent with σ under normality), flagged at ``|z| > z_cut``
+    (3.5 is the Iglewicz-Hoaglin convention). Unlike mean/stddev, one
+    huge outlier cannot mask the others.
+
+    Medians are DISCRETE (``quantile_disc`` semantics: the element at
+    1-based rank ``floor((n-1)/2)+1``) — a pure selection with no
+    interpolation arithmetic, so every engine computing it picks the
+    bit-identical double and the differential z agrees exactly; for
+    robust flagging the half-step difference vs the interpolated median
+    is immaterial. Two sort-based selection passes with the tiny per-key
+    medians BROADCAST back; degenerate keys (MAD = 0: over half the
+    values identical) yield NULL z — explicit guard, so IEEE engines
+    agree.
+    """
+
+    def _median_disc(d: DataFrame, col: str, out: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key_col).orderBy(col)
+        part = Window.partitionBy(key_col)
+        target = F.floor((F.count(F.lit(1)).over(part) - 1) / 2) + 1
+        return (
+            d.select(key_col, col)
+            .withColumn("__rn", F.row_number().over(w))
+            .withColumn("__tgt", target)
+            .groupBy(key_col)
+            .agg(
+                F.min(
+                    F.when(F.col("__rn") == F.col("__tgt"), F.col(col))
+                ).alias(out)
+            )
+        )
+
+    med = _median_disc(df, value_col, "__med")
+    dev = df.join(F.broadcast(med), key_col).withColumn(
+        "__absdev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = _median_disc(dev, "__absdev", "__mad")
+    z = F.lit(0.6745) * (F.col(value_col) - F.col("__med")) / F.col("__mad")
+    ok = F.col("__mad") > 0
+    # floor-based half-up rounding in PURE double arithmetic: decimal
+    # ROUND differs across engines exactly when z has a terminating
+    # decimal tail (common here — 2-decimal data over a clean MAD), while
+    # floor(z·10^k + 0.5)/10^k is the same IEEE ops on the same double
+    # everywhere. Half ties go toward +inf on every engine alike.
+    scale = float(10 ** round_to)
+    z_r = F.floor(z * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    return dev.join(F.broadcast(mad), key_col).select(
+        *id_cols,
+        key_col,
+        value_col,
+        F.when(ok, z_r).alias("robust_z"),
+        F.when(ok, F.abs(z) > F.lit(z_cut)).alias("is_anomaly"),
+    )

@@ -4006,3 +4006,40 @@ def _dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cat(spark, sf_dir).table("documents"), "doc_id", "text", n=3,
         threshold=0.3,
     )
+
+
+# ==========================================================================
+# Robust (median/MAD) anomaly flagging per event type — outlier-proof
+# sibling of anomaly_zscore_events; two exact-percentile passes with
+# broadcast join-back (operators/aggregate.py:robust_anomaly)
+# ==========================================================================
+_ROBUST_ANOMALY_SQL = """
+    WITH med AS (
+      SELECT event_type, quantile_disc(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT event_id, e.event_type, value, med,
+             ABS(value - med) AS absdev
+      FROM events e JOIN med ON e.event_type = med.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_disc(absdev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT event_id, d.event_type, value,
+           CASE WHEN mad > 0
+                THEN FLOOR(0.6745 * (value - med) / mad * 10000.0 + 0.5)
+                     / 10000.0 END AS robust_z,
+           CASE WHEN mad > 0
+                THEN ABS(0.6745 * (value - med) / mad) > 3.5 END AS is_anomaly
+    FROM dev d JOIN mad ON d.event_type = mad.event_type
+"""
+
+
+@register("robust_anomaly_events", _ROBUST_ANOMALY_SQL)
+def _robust_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    return agg.robust_anomaly(
+        ev, "event_type", ["event_id"], "value", z_cut=3.5
+    )

@@ -720,3 +720,24 @@ def test_prefix_jaccard_matches_allpairs(spark):
         for r in dedup.jaccard_pairs_prefix(df, "doc_id", "text", threshold=0.3).collect()
     }
     assert exact == pref and len(pref) > 0
+
+
+def test_robust_anomaly_hand_case(spark):
+    from etl_io_spark.operators import aggregate as agg
+
+    # 9 well-behaved points + one wild outlier; mean/std would be dragged,
+    # median/MAD is not
+    vals = [10.0, 10.1, 9.9, 10.2, 9.8, 10.0, 10.1, 9.9, 10.0, 500.0]
+    rows = [(i, "t", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id int, event_type string, value double")
+    out = {r["event_id"]: r for r in agg.robust_anomaly(
+        df, "event_type", ["event_id"], "value").collect()}
+    assert out[9]["is_anomaly"] is True
+    assert all(out[i]["is_anomaly"] is False for i in range(9))
+    # degenerate key: all values identical -> MAD 0 -> NULL flag
+    df2 = spark.createDataFrame(
+        [(1, "k", 5.0), (2, "k", 5.0), (3, "k", 5.0)],
+        "event_id int, event_type string, value double",
+    )
+    out2 = agg.robust_anomaly(df2, "event_type", ["event_id"], "value").collect()
+    assert all(r["robust_z"] is None and r["is_anomaly"] is None for r in out2)
