@@ -452,3 +452,123 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
 """
+
+
+def market_share(
+    cat: TableCatalog,
+    region: str = "ASIA",
+    nation: str = "NATION_9",
+    p_type: str = "PROMO",
+) -> DataFrame:
+    """National market share (TPC-H Q8 shape): of all ``p_type`` revenue
+    sold to customers in ``region``, the fraction supplied by ``nation``,
+    per order year — a conditional aggregate over a seven-table star.
+
+    Every dimension chain (part filter, supplier→nation, customer→nation
+    →region) broadcasts; the only shuffle-scale joins are lineitem⋈orders
+    keyed by orderkey, and the conditional share needs NO self-join: one
+    SUM(CASE) / SUM over the already-joined rows.
+    """
+    part = cat.table("part").where(F.col("p_type") == p_type).select("p_partkey")
+    supp_nat = (
+        cat.table("supplier")
+        .join(
+            cat.table("nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_region = (
+        cat.table("customer")
+        .join(
+            cat.table("nation").withColumnsRenamed(
+                {"n_nationkey": "cn_key", "n_regionkey": "cn_region"}
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .join(
+            cat.table("region").where(F.col("r_name") == region),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cat.table("lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            cat.table("orders"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == nation, rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+MARKET_SHARE_SQL = """
+SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS TIMESTAMP)) AS INT) AS o_year,
+       ROUND(SUM(CASE WHEN n_s.n_name = 'NATION_9'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+JOIN region   ON n_c.n_regionkey = r_regionkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+def customer_order_distribution(
+    cat: TableCatalog, exclude_priority: str = "1-URGENT"
+) -> DataFrame:
+    """Order-count distribution (TPC-H Q13 shape): how many customers
+    placed exactly k qualifying orders — INCLUDING the zero-order
+    customers, which is what forces the LEFT join with the priority
+    filter in the ON clause (a WHERE would silently drop the k=0 bucket).
+
+    One outer join keyed by custkey, then two partial-aggregable
+    groupBys (per customer, then per count). The second shuffle carries
+    at most #distinct-counts rows per partition — nothing at scale.
+    """
+    orders = cat.table("orders").where(
+        F.col("o_orderpriority") != exclude_priority
+    )
+    cust = cat.table("customer").select("c_custkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""

@@ -4043,3 +4043,22 @@ def _robust_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.robust_anomaly(
         ev, "event_type", ["event_id"], "value", z_cut=3.5
     )
+
+
+# ==========================================================================
+# TPC-H Q8 shape: conditional market-share over a seven-table star
+# ==========================================================================
+@register("market_share_nation", pipelines.MARKET_SHARE_SQL)
+def _market_share_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.market_share(_cat(spark, sf_dir))
+
+
+# ==========================================================================
+# TPC-H Q13 shape: zero-inclusive order-count distribution (filter in the
+# LEFT join's ON clause, not WHERE)
+# ==========================================================================
+@register(
+    "customer_order_distribution", pipelines.CUSTOMER_ORDER_DISTRIBUTION_SQL
+)
+def _customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.customer_order_distribution(_cat(spark, sf_dir))

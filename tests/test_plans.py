@@ -191,3 +191,19 @@ def test_q21_no_lineitem_self_join(spark):
     # lineitem scanned once, no semi/anti join against a second scan of it
     assert plan.count("FileScan parquet") == 3  # lineitem, orders, supplier
     assert "ShuffledHashJoin" in plan
+
+
+def test_q8_dims_broadcast_single_fact_join(spark):
+    plan = _plan(spark, "market_share_nation")
+    # part, supplier+nation, customer+nation+region chains all broadcast;
+    # the only shuffle-scale join is lineitem |x| orders
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q13_left_join_keeps_zero_bucket(spark):
+    plan = _plan(spark, "customer_order_distribution")
+    assert "LeftOuter" in plan
+    # priority filter must NOT reach the join as a post-filter on the
+    # stream side (it lives in the ON clause -> pushed to the orders scan)
+    assert "PushedFilters: [IsNotNull(o_orderpriority), Not(EqualTo(o_orderpriority" in plan
