@@ -1015,7 +1015,10 @@ def jaccard_pairs_prefix(
     """
     from pyspark.sql import Window as W
 
-    sh = shingle_sets(df, id_col, text_col, n)
+    # one shingle computation feeds frequency, ranking, sizes AND the
+    # verification arrays — without the cache each reference re-shingles
+    # the corpus (plan audit showed 8 scans)
+    sh = shingle_sets(df, id_col, text_col, n).cache()
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     ranked = sh.join(freq, "sh").withColumn(
         "__rn",
