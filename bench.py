@@ -71,14 +71,16 @@ HEADLINE = [
     "returned_customers",
     "small_quantity_revenue",
     "sole_late_suppliers",
-    "triangle_count_cosuppliers",
+    "market_share_nation",
+    "customer_order_distribution",
     "ewma_events",
     "activity_streaks",
     "cumulative_reach",
     "char_entropy_docs",
     "snm_neardup_docs",
     "containment_pairs",
-    "dedup_jaccard_prefix",
+    "robust_anomaly_events",
+    "bitmap_distinct_rollup",
     "first_last_event",
     "corr_stats_flags",
     "rolling_avg_events",

@@ -546,3 +546,55 @@ def robust_anomaly(
         F.when(ok, z_r).alias("robust_z"),
         F.when(ok, F.abs(z) > F.lit(z_cut)).alias("is_anomaly"),
     )
+
+
+def bitmap_distinct_rollup(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    id_col: str,
+) -> DataFrame:
+    """EXACT re-aggregable distinct counts via bitmap aggregates — the
+    exact counterpart of ``sketch_rollup_distinct`` (HLL): per key,
+    daily distinct IDs and the total distinct, where the total is
+    OR-merged from the daily bitmaps WITHOUT rescanning the fact table.
+    ``sum_daily_distinct ≥ total_distinct`` (IDs active on several days
+    are counted once in the merge) — the gap is the repeat-visitor mass.
+
+    Why it scales: ``bitmap_construct_agg`` packs each 32768-ID bucket
+    of the key space into one binary bitmap, so the merge layer shuffles
+    ``keys × days × (id_range / 32768)`` small blobs instead of raw
+    (key, id) pairs, and any coarser rollup (weekly, all-time, across
+    partitions/files) is an ``bitmap_or_agg`` over already-aggregated
+    state — the same mergeability contract as a sketch, with exact
+    results. One fact-side shuffle total: the first aggregation is
+    persisted and feeds both the daily counts and the OR-merge.
+    """
+    base = df.select(
+        F.col(key_col),
+        F.to_date(F.col(time_col)).alias("__day"),
+        F.bitmap_bucket_number(F.col(id_col)).alias("__bkt"),
+        F.bitmap_bit_position(F.col(id_col)).alias("__pos"),
+    )
+    fine = (
+        base.groupBy(key_col, "__day", "__bkt")
+        .agg(F.bitmap_construct_agg(F.col("__pos")).alias("__bm"))
+        .persist()  # one fact aggregation feeds daily AND merged levels
+    )
+    daily = fine.groupBy(key_col, "__day").agg(
+        F.sum(F.bitmap_count("__bm")).alias("__du")
+    )
+    merged = fine.groupBy(key_col, "__bkt").agg(
+        F.bitmap_or_agg(F.col("__bm")).alias("__bm")
+    )
+    total = merged.groupBy(key_col).agg(
+        F.sum(F.bitmap_count("__bm")).cast("bigint").alias("total_distinct")
+    )
+    return (
+        daily.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("__du").cast("bigint").alias("sum_daily_distinct"),
+        )
+        .join(total, key_col)
+    )

@@ -4062,3 +4062,32 @@ def _market_share_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def _customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.customer_order_distribution(_cat(spark, sf_dir))
+
+
+# ==========================================================================
+# Exact re-aggregable distinct rollup via bitmap aggregates — the exact
+# twin of the HLL sketch rollup: daily bitmaps OR-merge to the total
+# without a fact rescan (operators/aggregate.py:bitmap_distinct_rollup)
+# ==========================================================================
+_BITMAP_ROLLUP_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS du
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS total
+      FROM events GROUP BY 1
+    )
+    SELECT d.event_type, COUNT(*) AS n_days,
+           CAST(SUM(du) AS BIGINT) AS sum_daily_distinct,
+           MIN(total) AS total_distinct
+    FROM daily d JOIN tot ON d.event_type = tot.event_type
+    GROUP BY d.event_type
+"""
+
+
+@register("bitmap_distinct_rollup", _BITMAP_ROLLUP_SQL)
+def _bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    return agg.bitmap_distinct_rollup(ev, "event_type", "ts", "user_id")

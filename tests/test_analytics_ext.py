@@ -741,3 +741,24 @@ def test_robust_anomaly_hand_case(spark):
     )
     out2 = agg.robust_anomaly(df2, "event_type", ["event_id"], "value").collect()
     assert all(r["robust_z"] is None and r["is_anomaly"] is None for r in out2)
+
+
+def test_bitmap_distinct_rollup_hand_case(spark):
+    from etl_io_spark.operators import aggregate as agg
+
+    rows = [
+        # type a: user 1 active on 2 days, user 2 on 1 day
+        ("a", "2024-01-01 01:00:00", 1), ("a", "2024-01-01 02:00:00", 1),
+        ("a", "2024-01-02 01:00:00", 1), ("a", "2024-01-02 03:00:00", 2),
+        # type b: one user, one day; id far into another bitmap bucket
+        ("b", "2024-01-05 00:00:00", 40000),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts string, user_id long").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    out = {r["event_type"]: r for r in agg.bitmap_distinct_rollup(
+        df, "event_type", "ts", "user_id").collect()}
+    a = out["a"]
+    assert (a["n_days"], a["sum_daily_distinct"], a["total_distinct"]) == (2, 3, 2)
+    b = out["b"]
+    assert (b["n_days"], b["sum_daily_distinct"], b["total_distinct"]) == (1, 1, 1)
