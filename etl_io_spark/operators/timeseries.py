@@ -317,3 +317,47 @@ def cumulative_reach(
         .withColumn("cum_reach", F.sum("n_new").over(w).cast("bigint"))
         .select("day", "n_active", "n_new", "cum_reach")
     )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    key_col: str,
+    start_col,
+    end_col,
+) -> DataFrame:
+    """Sweep-line peak concurrency per key: the maximum number of
+    intervals ``[start, end)`` open at one instant, and the earliest
+    instant attaining it — capacity planning / max-parallel-sessions in
+    one pass, no interval self-join (the naive overlap join is quadratic
+    in concurrent load; the sweep is linear in events).
+
+    Shape: each interval emits a (+1 at start, -1 at end) delta map-side;
+    one keyed window (ordered by time with ends before starts, so
+    touching intervals don't overlap) computes the running occupancy;
+    one partial-aggregable groupBy takes the max and its earliest time.
+    Ties within an instant are order-independent: all -1s precede +1s,
+    so the running values within an instant form one monotone run whose
+    endpoint is the occupancy after the instant.
+
+    ``start_col``/``end_col`` are Column expressions (or names) yielding
+    integer microseconds — integer domain end-to-end, so differential
+    engines agree bit-for-bit.
+    """
+    s = F.col(start_col) if isinstance(start_col, str) else start_col
+    e = F.col(end_col) if isinstance(end_col, str) else end_col
+    starts = df.select(
+        F.col(key_col), s.alias("__t"), F.lit(1).alias("__d")
+    )
+    ends = df.select(F.col(key_col), e.alias("__t"), F.lit(-1).alias("__d"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__t", "__d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = starts.unionAll(ends).withColumn("__run", F.sum("__d").over(w))
+    return run.groupBy(key_col).agg(
+        F.max("__run").cast("bigint").alias("peak_concurrent"),
+        F.timestamp_micros(
+            F.expr("min_by(__t, struct(-__run, __t))")
+        ).alias("peak_at"),
+    )

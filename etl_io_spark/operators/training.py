@@ -267,3 +267,68 @@ def curate_corpus(
         F.sum("__nw").alias("total_words"),
         F.round(F.avg("__q"), 4).alias("avg_quality"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    round_to: int = 9,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-Spirakis
+    exponential-key trick: each row draws ``u ∈ (0,1)`` and keeps key
+    ``ln(u)/w`` — the k LARGEST keys are exactly a weight-proportional
+    sample without replacement. The draw is a deterministic hash of the
+    id (not ``rand()``), so the sample is reproducible run-to-run and
+    engine-to-engine, and adding rows never reshuffles the survivors'
+    relative order — the property that makes incremental re-sampling
+    cheap.
+
+    Plan: pure map to compute keys + ONE TakeOrdered top-k — no shuffle
+    beyond the k-row reduction, no per-group state. Rows with
+    non-positive weight are excluded (their inclusion probability is 0).
+    """
+    from etl_io_spark.functions.numeric import round_pz
+
+    h = hash60(F.col(id_col).cast("string"))
+    # u in (0, 1): (h + 0.5) / 2^60 — never 0 or 1, so ln(u) is finite
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(1152921504606846976.0)
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        # keys are <= 0; round_pz normalizes the -0.0 a near-zero key
+        # rounds to (negative-zero parity, see functions/numeric.py)
+        .withColumn("sample_key", round_pz(key, round_to))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def rendezvous_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: every row
+    scores each shard with ``hash(id ':' shard)`` and routes to the
+    argmax. Unlike ``pmod(hash, n)``, resizing from N to N+1 shards
+    remaps ONLY ~1/(N+1) of rows (those whose new shard wins the
+    rendezvous) — the stability property that keeps incremental
+    pipelines, shard-local caches and bucketed layouts valid across
+    resizes.
+
+    Pure map: the per-shard scores live in one in-row array
+    (``transform`` over ``sequence``), reduced with ``array_max`` over
+    (score, shard) structs — no explode, no shuffle, no UDF.
+    """
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(n_shards - 1)),
+        lambda s: F.struct(
+            hash60(
+                F.concat(F.col(id_col).cast("string"), F.lit(":"), s.cast("string"))
+            ).alias("h"),
+            s.alias("shard"),
+        ),
+    )
+    return df.withColumn("shard", F.array_max(scored)["shard"])

@@ -4091,3 +4091,109 @@ _BITMAP_ROLLUP_SQL = """
 def _bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _cat(spark, sf_dir).table("events")
     return agg.bitmap_distinct_rollup(ev, "event_type", "ts", "user_id")
+
+
+# ==========================================================================
+# Sweep-line peak concurrency (no interval self-join): events held open
+# for `value` seconds; per event_type, max simultaneous + earliest peak
+# ==========================================================================
+_PEAK_CONCURRENCY_SQL = """
+    WITH iv AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               + CAST(value * 1000000.0 AS BIGINT) AS e
+      FROM events
+    ),
+    deltas AS (
+      SELECT event_type, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS d FROM iv
+    ),
+    run AS (
+      SELECT event_type, t, d,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                          ROWS UNBOUNDED PRECEDING) AS r
+      FROM deltas
+    ),
+    ranked AS (
+      SELECT event_type, r, t,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY r DESC, t) AS rn
+      FROM run
+    )
+    SELECT event_type, CAST(r AS BIGINT) AS peak_concurrent,
+           make_timestamp(t) AS peak_at
+    FROM ranked WHERE rn = 1
+"""
+
+
+@register("peak_concurrency_events", _PEAK_CONCURRENCY_SQL)
+def _peak_concurrency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.operators import timeseries
+
+    ev = _cat(spark, sf_dir).table("events")
+    us = F.unix_micros(F.col("ts"))
+    iv = ev.select(
+        "event_type",
+        us.alias("__s"),
+        (us + (F.col("value") * 1_000_000.0).cast("bigint")).alias("__e"),
+    )
+    return timeseries.peak_concurrency(iv, "event_type", "__s", "__e")
+
+
+# ==========================================================================
+# Weighted sampling without replacement (Efraimidis-Spirakis hash keys):
+# reproducible weight-proportional top-k, one TakeOrdered, no shuffle
+# ==========================================================================
+_WEIGHTED_SAMPLE_SQL = """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, sample_key
+    FROM (
+      SELECT o_orderkey, o_totalprice,
+             ROUND(LN((CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+                             1, 15)) AS BIGINT) + 0.5)
+                      / 1152921504606846976.0) / o_totalprice, 9) + 0.0 AS sample_key
+      FROM orders WHERE o_totalprice > 0
+    )
+    ORDER BY sample_key DESC, o_orderkey LIMIT 200
+"""
+
+
+@register("weighted_sample_orders", _WEIGHTED_SAMPLE_SQL)
+def _weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.operators import training
+
+    orders = _cat(spark, sf_dir).table("orders")
+    out = training.weighted_sample(orders, "o_orderkey", "o_totalprice", k=200)
+    return out.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "sample_key",
+    )
+
+
+# ==========================================================================
+# Rendezvous (highest-random-weight) sharding: resize-stable routing —
+# pure map, per-shard scores in one in-row array
+# ==========================================================================
+_RENDEZVOUS_SQL = """
+    WITH scored AS (
+      SELECT doc_id, s.shard,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                   CAST(s.shard AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY CAST(('0x' ||
+                   substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                   CAST(s.shard AS VARCHAR)), 1, 15)) AS BIGINT) DESC) AS rn
+      FROM documents, (SELECT UNNEST(range(0, 8)) AS shard) s
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard FROM scored WHERE rn = 1
+"""
+
+
+@register("rendezvous_shards_docs", _RENDEZVOUS_SQL)
+def _rendezvous_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.operators import training
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id")
+    return training.rendezvous_shards(docs, "doc_id", n_shards=8)

@@ -191,3 +191,19 @@ def test_vocab_top_tokens_counts_and_ties(spark):
         ("a", 2, 2),
         ("c", 1, 3),  # tie with 'z' broken lexicographically
     ]
+
+
+def test_peak_concurrency_hand_case(spark):
+    from pyspark.sql import functions as F
+
+    from etl_io_spark.operators import timeseries
+
+    # [0,10) [5,15) [10,20): peak 2, first reached at t=5; the touch at 10
+    # (end before start) must not count as 3
+    rows = [("k", 0, 10), ("k", 5, 15), ("k", 10, 20), ("solo", 100, 101)]
+    df = spark.createDataFrame(rows, "key string, s long, e long")
+    out = {r["key"]: r for r in timeseries.peak_concurrency(df, "key", "s", "e").collect()}
+    k = out["k"]
+    assert k["peak_concurrent"] == 2
+    assert k["peak_at"].microsecond == 5
+    assert out["solo"]["peak_concurrent"] == 1

@@ -188,3 +188,34 @@ def test_group_exclusive_split_never_straddles(spark):
         F.countDistinct("split").alias("nsplits")
     )
     assert all(r["nsplits"] == 1 for r in per_group.collect())
+
+
+def test_weighted_sample_heavy_weight_wins(spark):
+    from pyspark.sql import functions as F
+
+    from etl_io_spark.operators import training
+
+    rows = [(i, 1.0) for i in range(100)] + [(1000, 1e9)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = training.weighted_sample(df, "id", "w", k=10)
+    ids = [r["id"] for r in out.collect()]
+    assert len(ids) == 10 and 1000 in ids
+    # deterministic: same input -> same sample
+    ids2 = [r["id"] for r in training.weighted_sample(df, "id", "w", k=10).collect()]
+    assert ids == ids2
+    # zero/negative weights are excluded outright
+    df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 2.0)], "id long, w double")
+    assert [r["id"] for r in training.weighted_sample(df2, "id", "w", k=5).collect()] == [3]
+
+
+def test_rendezvous_resize_moves_only_new_shard(spark):
+    from etl_io_spark.operators import training
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r["doc_id"]: r["shard"] for r in training.rendezvous_shards(df, "doc_id", 8).collect()}
+    b = {r["doc_id"]: r["shard"] for r in training.rendezvous_shards(df, "doc_id", 9).collect()}
+    moved = {k for k in a if a[k] != b[k]}
+    # every moved row went TO the new shard; nothing shuffled laterally
+    assert all(b[k] == 8 for k in moved)
+    # and roughly 1/9 of rows moved (binomial tolerance)
+    assert 20 <= len(moved) <= 100
