@@ -598,3 +598,45 @@ def bitmap_distinct_rollup(
         )
         .join(total, key_col)
     )
+
+
+def histogram2d(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    nx: int,
+    ny: int,
+    round_to: int = 2,
+) -> DataFrame:
+    """Fixed-width 2-D histogram (heatmap binning) with IN-PLAN bounds —
+    the bivariate sibling of ``histogram``: one single-row min/max
+    aggregate broadcasts into both bucketing expressions (no collect, no
+    second job), then one partial-aggregating groupBy over at most
+    ``nx·ny`` cells. Top edges fold into the last bucket; bucket math is
+    plain double arithmetic, so SQL oracles reproduce it exactly.
+    """
+    bounds = df.agg(
+        F.min(xcol).alias("__xlo"),
+        F.max(xcol).alias("__xhi"),
+        F.min(ycol).alias("__ylo"),
+        F.max(ycol).alias("__yhi"),
+    )
+    xstep = (F.col("__xhi") - F.col("__xlo")) / F.lit(float(nx))
+    ystep = (F.col("__yhi") - F.col("__ylo")) / F.lit(float(ny))
+    bx = F.least(
+        F.floor((F.col(xcol) - F.col("__xlo")) / xstep), F.lit(nx - 1)
+    ).cast("bigint")
+    by = F.least(
+        F.floor((F.col(ycol) - F.col("__ylo")) / ystep), F.lit(ny - 1)
+    ).cast("bigint")
+    return (
+        df.select(xcol, ycol)
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(
+            bx.alias("bx"),
+            by.alias("by"),
+            F.round(F.col("__xlo") + bx * xstep, round_to).alias("x_lo"),
+            F.round(F.col("__ylo") + by * ystep, round_to).alias("y_lo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

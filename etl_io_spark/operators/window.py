@@ -246,3 +246,41 @@ def event_path_ngrams(
         .orderBy(F.col("n_occurrences").desc(), "path")
         .limit(k)
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: for every ordered (from_state → to_state) step, its count
+    and conditional probability ``P(to | from)`` — the behavioral-model
+    summary behind next-event prediction and anomalous-flow detection.
+
+    One keyed window (lead over the entity's timeline — deterministic via
+    the unique tiebreak) emits steps map-side; one partial-aggregable
+    groupBy counts them; the per-from normalization is a window over the
+    COUNTED matrix (states², not events), so the fact is shuffled once.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    steps = (
+        df.withColumn("__next", F.lead(state_col).over(w))
+        .where(F.col("__next").isNotNull())
+        .select(F.col(state_col).alias("from_state"), F.col("__next").alias("to_state"))
+    )
+    counts = steps.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_from = W.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(per_from), round_to).alias("p"),
+    )

@@ -4197,3 +4197,72 @@ def _rendezvous_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _cat(spark, sf_dir).table("documents").select("doc_id")
     return training.rendezvous_shards(docs, "doc_id", n_shards=8)
+
+
+# ==========================================================================
+# First-order Markov transition matrix over per-user event sequences
+# ==========================================================================
+_TRANSITIONS_SQL = """
+    WITH steps AS (
+      SELECT event_type AS from_state,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_state
+      FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   event_type FROM events)
+    ),
+    counts AS (
+      SELECT from_state, to_state, COUNT(*) AS n
+      FROM steps WHERE to_state IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_state), 6) AS p
+    FROM counts
+"""
+
+
+@register("event_transitions", _TRANSITIONS_SQL)
+def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    return win.transition_matrix(ev, "user_id", "ts", "event_type", "event_id")
+
+
+# ==========================================================================
+# 2-D histogram (heatmap binning) with in-plan bounds — value x totalprice
+# density over orders joined to lineitem revenue? Keep one table: orders
+# totalprice vs orderdate-epoch-day density
+# ==========================================================================
+_HIST2D_SQL = """
+    WITH b AS (
+      SELECT MIN(value) AS xlo, MAX(value) AS xhi,
+             MIN(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0) AS ylo,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0) AS yhi
+      FROM events
+    ),
+    pts AS (
+      SELECT value AS x,
+             epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0 AS y
+      FROM events
+    )
+    SELECT CAST(LEAST(FLOOR((x - xlo) / ((xhi - xlo) / 20.0)), 19) AS BIGINT) AS bx,
+           CAST(LEAST(FLOOR((y - ylo) / ((yhi - ylo) / 10.0)), 9) AS BIGINT) AS by,
+           ROUND(xlo + LEAST(FLOOR((x - xlo) / ((xhi - xlo) / 20.0)), 19)
+                 * ((xhi - xlo) / 20.0), 2) AS x_lo,
+           ROUND(ylo + LEAST(FLOOR((y - ylo) / ((yhi - ylo) / 10.0)), 9)
+                 * ((yhi - ylo) / 10.0), 2) AS y_lo,
+           COUNT(*) AS n
+    FROM pts, b
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("histogram2d_events", _HIST2D_SQL)
+def _histogram2d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    pts = ev.select(
+        F.col("value").alias("__x"),
+        (F.unix_micros("ts") / F.lit(1_000_000.0)).alias("__y"),
+    )
+    return agg.histogram2d(pts, "__x", "__y", nx=20, ny=10).withColumnsRenamed(
+        {"__x": "x", "__y": "y"}
+    )

@@ -762,3 +762,32 @@ def test_bitmap_distinct_rollup_hand_case(spark):
     assert (a["n_days"], a["sum_daily_distinct"], a["total_distinct"]) == (2, 3, 2)
     b = out["b"]
     assert (b["n_days"], b["sum_daily_distinct"], b["total_distinct"]) == (1, 1, 1)
+
+
+def test_transition_matrix_hand_case(spark):
+    from etl_io_spark.operators import window as win
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        (2, 5, "a"), (2, 6, "b"),
+    ]
+    df = spark.createDataFrame(rows, "u int, eid int, state string").select(
+        "u", "eid", F.col("eid").cast("timestamp").alias("ts"), "state"
+    )
+    out = {(r["from_state"], r["to_state"]): r for r in win.transition_matrix(
+        df, "u", "ts", "state", "eid").collect()}
+    # a->b three times, b->a once; P(b|a)=1.0, P(a|b)=1.0
+    assert out[("a", "b")]["n"] == 3 and out[("a", "b")]["p"] == 1.0
+    assert out[("b", "a")]["n"] == 1 and out[("b", "a")]["p"] == 1.0
+    assert len(out) == 2  # no self-transitions in this sequence
+
+
+def test_histogram2d_hand_case(spark):
+    from etl_io_spark.operators import aggregate as agg
+
+    # 2x2 grid over [0,10]x[0,10]; max point folds into the last bucket
+    rows = [(0.0, 0.0), (1.0, 9.0), (9.0, 1.0), (10.0, 10.0), (2.0, 2.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = {(r["bx"], r["by"]): r["n"] for r in agg.histogram2d(
+        df, "x", "y", nx=2, ny=2).collect()}
+    assert out == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 1): 1}
