@@ -158,3 +158,60 @@ def key_skew(
         .orderBy(F.desc("cnt"), "key_value")
         .limit(top)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols,
+    compare_cols,
+) -> DataFrame:
+    """Snapshot reconciliation: one full-outer join on the key classifies
+    every row as added / removed / changed / unchanged and returns the
+    four counts in ONE row — the validation step after any CDC apply or
+    backfill (``table_checksum`` says *whether* two snapshots differ;
+    this says *how*).
+
+    Values are compared with null-safe EQUALITY on the native types
+    (never via string rendering, whose float formatting differs across
+    engines); the join is keyed, the classification map-side, and the
+    final count is a four-cell aggregate.
+    """
+    keys = list(key_cols)
+    # presence flags are literal sentinels (compare columns may be
+    # legitimately NULL in a present row)
+    o = old.select(
+        *keys,
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_o"),
+    )
+    n = new.select(
+        *keys,
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_n"),
+    )
+    j = o.join(n, keys, "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(F.col("__in_o").isNull(), F.lit("added"))
+        .when(F.col("__in_n").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(status.alias("__st"))
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("__st") == "added", 1).otherwise(0))
+            .cast("bigint").alias("n_added"),
+            F.sum(F.when(F.col("__st") == "removed", 1).otherwise(0))
+            .cast("bigint").alias("n_removed"),
+            F.sum(F.when(F.col("__st") == "changed", 1).otherwise(0))
+            .cast("bigint").alias("n_changed"),
+            F.sum(F.when(F.col("__st") == "unchanged", 1).otherwise(0))
+            .cast("bigint").alias("n_unchanged"),
+        )
+    )

@@ -332,3 +332,36 @@ def rendezvous_shards(
         ),
     )
     return df.withColumn("shard", F.array_max(scored)["shard"])
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Temperature-based mixture weights (the multilingual-corpus
+    balancing rule): sampling probability ``p_i ∝ n_i^α`` — α=1 keeps
+    the natural distribution, α→0 flattens toward uniform, α≈0.3 is the
+    standard compromise that up-weights low-resource groups without
+    drowning the head. Emits, per group: raw share, temperature share,
+    and the boost factor (temperature ÷ raw — >1 means the group gets
+    upsampled).
+
+    One partial-aggregable groupBy plus a single-row broadcast of the
+    normalizers — the fact is scanned once; no collect.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    powed = F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    tot = counts.agg(
+        F.sum("n_docs").alias("__N"), F.sum(powed).alias("__Z")
+    )
+    p_raw = F.col("n_docs") / F.col("__N")
+    p_temp = powed / F.col("__Z")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        F.round(p_raw, round_to).alias("p_raw"),
+        F.round(p_temp, round_to).alias("p_temp"),
+        F.round(p_temp / p_raw, round_to).alias("boost"),
+    )

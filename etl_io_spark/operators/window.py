@@ -284,3 +284,59 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / F.sum("n").over(per_from), round_to).alias("p"),
     )
+
+
+def funnel_latency(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    within: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Step-latency summary on top of ``funnel_steps``: per transition
+    (step k → step k+1), how many entities converted and the DISCRETE
+    median / p90 seconds they took — where funnels stall, not just where
+    they leak. Discrete quantiles (``quantile_disc`` rank selection over
+    integer microseconds) are pure selections, so differential engines
+    agree bit-for-bit with no interpolation arithmetic.
+
+    Shape: the funnel chain's keyed joins, then one melt (map-side) to
+    (transition, Δt) rows and one window-sort per transition — the
+    quantile input is conversions only, already a sliver of the fact.
+    """
+    from pyspark.sql import Window as W
+
+    fs = funnel_steps(df, user_col, ts_col, type_col, steps, within)
+    parts = []
+    for k in range(1, len(steps)):
+        dt = F.unix_micros(F.col(f"t{k + 1}")) - F.unix_micros(F.col(f"t{k}"))
+        parts.append(
+            fs.where(F.col(f"t{k + 1}").isNotNull()).select(
+                F.lit(f"{steps[k - 1]}->{steps[k]}").alias("transition"),
+                dt.alias("__dt_us"),
+            )
+        )
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionAll(p)
+    w = W.partitionBy("transition").orderBy("__dt_us")
+    part = W.partitionBy("transition")
+    n = F.count(F.lit(1)).over(part)
+    ranked = un.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", n
+    )
+
+    def _disc(q: float, name: str):
+        # DuckDB quantile_disc rank convention: ceil(n·q) (1-based).
+        # Note this equals floor((n-1)·q)+1 at q=0.5 but NOT at q=0.9.
+        tgt = F.ceil(F.col("__n") * F.lit(q))
+        sel = F.min(F.when(F.col("__rn") == tgt, F.col("__dt_us")))
+        return F.round(sel / F.lit(1_000_000.0), round_to).alias(name)
+
+    return ranked.groupBy("transition").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        _disc(0.5, "median_s"),
+        _disc(0.9, "p90_s"),
+    )

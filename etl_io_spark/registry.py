@@ -4266,3 +4266,135 @@ def _histogram2d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.histogram2d(pts, "__x", "__y", nx=20, ny=10).withColumnsRenamed(
         {"__x": "x", "__y": "y"}
     )
+
+
+# ==========================================================================
+# Funnel step-latency summary: discrete median/p90 seconds per transition
+# ==========================================================================
+_FUNNEL_LATENCY_SQL = """
+    WITH s1 AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click'
+        AND CAST(e.ts AS TIMESTAMP) > s1.t1
+        AND CAST(e.ts AS TIMESTAMP) <= s1.t1 + INTERVAL 2 DAY
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND CAST(e.ts AS TIMESTAMP) > s2.t2
+        AND CAST(e.ts AS TIMESTAMP) <= s2.t2 + INTERVAL 2 DAY
+      GROUP BY 1
+    ),
+    dts AS (
+      SELECT 'view->click' AS transition,
+             epoch_us(t2) - epoch_us(t1) AS dt_us
+      FROM s1 JOIN s2 USING (user_id)
+      UNION ALL
+      SELECT 'click->purchase' AS transition,
+             epoch_us(t3) - epoch_us(t2) AS dt_us
+      FROM s2 JOIN s3 USING (user_id)
+    )
+    SELECT transition, COUNT(*) AS n_converted,
+           ROUND(quantile_disc(dt_us, 0.5) / 1000000.0, 6) AS median_s,
+           ROUND(quantile_disc(dt_us, 0.9) / 1000000.0, 6) AS p90_s
+    FROM dts GROUP BY transition
+"""
+
+
+@register("funnel_latency", _FUNNEL_LATENCY_SQL)
+def _funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return win.funnel_latency(
+        _cat(spark, sf_dir).table("events"),
+        "user_id", "ts", "event_type",
+        ("view", "click", "purchase"), within="2 days",
+    )
+
+
+# ==========================================================================
+# Temperature-based corpus mixture weights (p_i ∝ n_i^0.3)
+# ==========================================================================
+_TEMPERATURE_MIX_SQL = """
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT SUM(n_docs) AS N, SUM(POW(n_docs, 0.3)) AS Z FROM counts
+    )
+    SELECT lang, n_docs,
+           ROUND(n_docs / N, 6) AS p_raw,
+           ROUND(POW(n_docs, 0.3) / Z, 6) AS p_temp,
+           ROUND((POW(n_docs, 0.3) / Z) / (n_docs / N), 6) AS boost
+    FROM counts, tot
+"""
+
+
+@register("temperature_mix_langs", _TEMPERATURE_MIX_SQL)
+def _temperature_mix_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.operators import training
+
+    docs = _cat(spark, sf_dir).table("documents")
+    return training.temperature_mix(docs, "lang", alpha=0.3)
+
+
+# ==========================================================================
+# Snapshot reconciliation: added/removed/changed/unchanged in one
+# full-outer pass (native-type null-safe compare — no string rendering)
+# ==========================================================================
+_SNAPSHOT_DIFF_SQL = """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-06-01'
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN ROUND(o_totalprice / 100.0) * 100.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-09-01'
+    )
+    SELECT
+      CAST(SUM(CASE WHEN old.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_added,
+      CAST(SUM(CASE WHEN new.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_removed,
+      CAST(SUM(CASE WHEN old.o_orderkey IS NOT NULL AND new.o_orderkey IS NOT NULL
+                AND NOT (old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice
+                         AND old.o_orderpriority IS NOT DISTINCT FROM new.o_orderpriority)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      CAST(SUM(CASE WHEN old.o_orderkey IS NOT NULL AND new.o_orderkey IS NOT NULL
+                AND old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice
+                AND old.o_orderpriority IS NOT DISTINCT FROM new.o_orderpriority
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+    FROM old FULL JOIN new ON old.o_orderkey = new.o_orderkey
+"""
+
+
+@register("snapshot_diff_orders", _SNAPSHOT_DIFF_SQL)
+def _snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.operators import profile
+
+    orders = _cat(spark, sf_dir).table("orders")
+    old = orders.where(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+    new = orders.where(
+        F.col("o_orderdate") < F.lit("1998-09-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.round(F.col("o_totalprice") / 100.0) * 100.0,
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    return profile.snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderpriority"]
+    )

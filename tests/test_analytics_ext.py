@@ -791,3 +791,51 @@ def test_histogram2d_hand_case(spark):
     out = {(r["bx"], r["by"]): r["n"] for r in agg.histogram2d(
         df, "x", "y", nx=2, ny=2).collect()}
     assert out == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_funnel_latency_hand_case(spark):
+    from etl_io_spark.operators import window as win
+
+    rows = [
+        (1, 0, "view"), (1, 60, "click"), (1, 180, "purchase"),
+        (2, 0, "view"), (2, 120, "click"),
+        (3, 0, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, sec int, event_type string").select(
+        "user_id", F.timestamp_seconds("sec").alias("ts"), "event_type"
+    )
+    out = {r["transition"]: r for r in win.funnel_latency(
+        df, "user_id", "ts", "event_type", ("view", "click", "purchase")).collect()}
+    vc = out["view->click"]
+    # dts 60 and 120: disc median = ceil(2*0.5)=rank 1 -> 60
+    assert vc["n_converted"] == 2 and vc["median_s"] == 60.0 and vc["p90_s"] == 120.0
+    cp = out["click->purchase"]
+    assert cp["n_converted"] == 1 and cp["median_s"] == 120.0
+
+
+def test_temperature_mix_flattens_tail(spark):
+    from etl_io_spark.operators import training
+
+    rows = [("big", i) for i in range(900)] + [("small", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "src string, i int")
+    out = {r["src"]: r for r in training.temperature_mix(df, "src", alpha=0.3).collect()}
+    assert out["small"]["boost"] > 1.0 > out["big"]["boost"]
+    assert abs(out["big"]["p_temp"] + out["small"]["p_temp"] - 1.0) < 1e-6
+    # alpha=1 keeps the natural distribution
+    nat = {r["src"]: r for r in training.temperature_mix(df, "src", alpha=1.0).collect()}
+    assert nat["big"]["boost"] == 1.0 and nat["big"]["p_temp"] == 0.9
+
+
+def test_snapshot_diff_hand_case(spark):
+    from etl_io_spark.operators import profile
+
+    old = spark.createDataFrame(
+        [(1, 10.0, None), (2, 20.0, "x"), (3, 30.0, "y")],
+        "k int, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [(2, 20.0, "x"), (3, 31.0, "y"), (4, 40.0, None)],
+        "k int, v double, s string",
+    )
+    r = profile.snapshot_diff(old, new, ["k"], ["v", "s"]).collect()[0]
+    assert (r["n_added"], r["n_removed"], r["n_changed"], r["n_unchanged"]) == (1, 1, 1, 1)
