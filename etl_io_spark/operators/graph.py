@@ -166,3 +166,45 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             ).alias("clustering_coeff"),
         )
     )
+
+
+def shortest_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Bounded-depth BFS from a source SET: minimum hop count to every
+    node reachable within ``max_depth`` — reachability/blast-radius
+    queries (supply-chain exposure, fraud-ring proximity) without a
+    graph library.
+
+    Frontier expansion, the third iterative-graph shape here next to
+    value propagation (PageRank) and label collapse (connected
+    components): each round joins only the FRONTIER (nodes first seen
+    last round) against the edge list, dedups, and anti-joins the known
+    set — so per-round shuffle volume is |frontier ⋈ edges|, never the
+    whole distance table, and rounds are bounded by ``max_depth``
+    (fixed, so the plan is finite and oracle-reproducible). Frontier and
+    known-set are persisted per round: each is consumed by two ops
+    (expand + anti-join) and the next round's lineage.
+    """
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).persist()
+    known = sources.select(F.col(node).alias("node")).distinct().withColumn(
+        "hops", F.lit(0)
+    ).persist()
+    frontier = known
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(known, "node", "left_anti")
+            .withColumn("hops", F.lit(depth))
+            .persist()
+        )
+        known = known.unionAll(nxt).persist()
+        frontier = nxt
+    return known

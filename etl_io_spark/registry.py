@@ -4398,3 +4398,64 @@ def _snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.snapshot_diff(
         old, new, ["o_orderkey"], ["o_totalprice", "o_orderpriority"]
     )
+
+
+# ==========================================================================
+# Bounded-depth BFS (frontier expansion) over the trade graph: minimum
+# hops from NATION_0's customers to every node within 3 hops
+# ==========================================================================
+_BFS_SQL = """
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cnode,
+             's' || CAST(l_suppkey AS VARCHAR) AS snode
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT cnode AS src, snode AS dst FROM pairs
+      UNION
+      SELECT snode AS src, cnode AS dst FROM pairs
+    ),
+    sources AS (
+      SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name = 'NATION_0'
+    ),
+    walk(node, d) AS (
+      SELECT node, 0 FROM sources
+      UNION
+      SELECT e.dst, w.d + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 3
+    )
+    SELECT node, CAST(MIN(d) AS INT) AS hops FROM walk GROUP BY node
+"""
+
+
+@register("bfs_trade_reach", _BFS_SQL)
+def _bfs_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.operators import graph
+
+    cat = _cat(spark, sf_dir)
+    li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
+    orders = cat.table("orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    sources = (
+        cat.table("customer")
+        .join(
+            cat.table("nation").where(F.col("n_name") == "NATION_0"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+        )
+    )
+    return graph.shortest_hops(
+        graph.symmetrize(pairs), sources, max_depth=3
+    )

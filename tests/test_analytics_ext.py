@@ -839,3 +839,21 @@ def test_snapshot_diff_hand_case(spark):
     )
     r = profile.snapshot_diff(old, new, ["k"], ["v", "s"]).collect()[0]
     assert (r["n_added"], r["n_removed"], r["n_changed"], r["n_unchanged"]) == (1, 1, 1, 1)
+
+
+def test_shortest_hops_hand_case(spark):
+    from etl_io_spark.operators import graph
+
+    # path 1-2-3-4-5 plus island 9; sources = {1}
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (9, 9)]
+    e = spark.createDataFrame(edges, "src int, dst int")
+    s = spark.createDataFrame([(1,)], "node int")
+    out = {r["node"]: r["hops"] for r in graph.shortest_hops(
+        graph.symmetrize(e), s, max_depth=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 beyond depth, 9 unreachable
+
+    # min-hops wins over a longer alternative path
+    e2 = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src int, dst int")
+    out2 = {r["node"]: r["hops"] for r in graph.shortest_hops(
+        graph.symmetrize(e2), s, max_depth=3).collect()}
+    assert out2 == {1: 0, 2: 1, 3: 1}
