@@ -640,3 +640,56 @@ def histogram2d(
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def incremental_agg_update(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    measure: str,
+    op_col: str = "op",
+    round_to: int = 2,
+) -> DataFrame:
+    """Maintain a (SUM, COUNT) rollup from a changelog WITHOUT rescanning
+    history: inserts contribute ``+measure``/+1, deletes ``-measure``/-1;
+    the delta aggregate (tiny — one row per touched key) full-outer-joins
+    the existing rollup and keys whose count reaches zero drop out. This
+    is the partial-aggregate mergeability contract turned into an
+    operator — the difference between O(|batch|) and O(|history|) per
+    refresh, i.e. the only affordable shape for a continuously
+    maintained 100 TB rollup.
+
+    AVG and other algebraic aggregates derive from the maintained
+    (SUM, COUNT) pair; holistic aggregates (exact medians) cannot be
+    maintained this way — re-aggregate those or use sketches.
+    """
+    sgn = F.when(F.col(op_col) == "I", F.lit(1)).otherwise(F.lit(-1))
+    d = delta.groupBy(*keys).agg(
+        F.sum(sgn * F.col(measure)).alias("__dm"),
+        F.sum(sgn).alias("__dn"),
+    )
+    merged = base_agg.join(F.broadcast(d), list(keys), "full_outer")
+    new_sum = F.coalesce(F.col(f"sum_{measure}"), F.lit(0.0)) + F.coalesce(
+        F.col("__dm"), F.lit(0.0)
+    )
+    new_n = F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(
+        F.col("__dn"), F.lit(0)
+    )
+    return (
+        merged.select(
+            *keys,
+            F.round(new_sum, round_to).alias(f"sum_{measure}"),
+            new_n.cast("bigint").alias("n_rows"),
+        )
+        .where(F.col("n_rows") > 0)
+    )
+
+
+def agg_snapshot(
+    df: DataFrame, keys: Sequence[str], measure: str, round_to: int = 2
+) -> DataFrame:
+    """The (SUM, COUNT) rollup shape ``incremental_agg_update`` maintains."""
+    return df.groupBy(*keys).agg(
+        F.round(F.sum(measure), round_to).alias(f"sum_{measure}"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

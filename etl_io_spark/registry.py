@@ -4459,3 +4459,40 @@ def _bfs_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.shortest_hops(
         graph.symmetrize(pairs), sources, max_depth=3
     )
+
+
+# ==========================================================================
+# Incremental rollup maintenance: base aggregate + changelog deltas ==
+# full recompute (oracle recomputes from scratch; Spark merges O(|batch|))
+# ==========================================================================
+_INCR_AGG_SQL = """
+    SELECT o_orderpriority,
+           ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice,
+           COUNT(*) AS n_rows
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1998-09-01'
+      AND NOT (o_orderdate < TIMESTAMP '1998-06-01' AND o_orderstatus = 'P')
+    GROUP BY o_orderpriority
+"""
+
+
+@register("incremental_agg_orders", _INCR_AGG_SQL)
+def _incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _cat(spark, sf_dir).table("orders")
+    cut_lo = F.lit("1998-06-01").cast("timestamp")
+    cut_hi = F.lit("1998-09-01").cast("timestamp")
+    base = agg.agg_snapshot(
+        orders.where(F.col("o_orderdate") < cut_lo),
+        ["o_orderpriority"], "o_totalprice", round_to=9,
+    )
+    inserts = orders.where(
+        (F.col("o_orderdate") >= cut_lo) & (F.col("o_orderdate") < cut_hi)
+    ).select("o_orderpriority", "o_totalprice", F.lit("I").alias("op"))
+    deletes = orders.where(
+        (F.col("o_orderdate") < cut_lo) & (F.col("o_orderstatus") == "P")
+    ).select("o_orderpriority", "o_totalprice", F.lit("D").alias("op"))
+    merged = agg.incremental_agg_update(
+        base, inserts.unionAll(deletes), ["o_orderpriority"], "o_totalprice",
+        round_to=2,
+    )
+    return merged

@@ -857,3 +857,20 @@ def test_shortest_hops_hand_case(spark):
     out2 = {r["node"]: r["hops"] for r in graph.shortest_hops(
         graph.symmetrize(e2), s, max_depth=3).collect()}
     assert out2 == {1: 0, 2: 1, 3: 1}
+
+
+def test_incremental_agg_update_matches_recompute(spark):
+    from etl_io_spark.operators import aggregate as agg
+
+    base_rows = [("a", 10.0), ("a", 20.0), ("b", 5.0)]
+    base_df = spark.createDataFrame(base_rows, "k string, v double")
+    base = agg.agg_snapshot(base_df, ["k"], "v", round_to=9)
+    delta = spark.createDataFrame(
+        [("a", 7.0, "I"), ("b", 5.0, "D"), ("c", 1.0, "I")],
+        "k string, v double, op string",
+    )
+    out = {r["k"]: r for r in agg.incremental_agg_update(
+        base, delta, ["k"], "v").collect()}
+    assert out["a"]["sum_v"] == 37.0 and out["a"]["n_rows"] == 3
+    assert out["c"]["sum_v"] == 1.0 and out["c"]["n_rows"] == 1
+    assert "b" not in out  # count reached zero -> key drops out
