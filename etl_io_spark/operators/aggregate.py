@@ -693,3 +693,84 @@ def agg_snapshot(
         F.round(F.sum(measure), round_to).alias(f"sum_{measure}"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def minmax_normalize(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group min-max feature scaling to [0, 1]: one UNSORTED keyed
+    window computes the group's bounds without collapsing rows (no
+    join-back), the scaling itself is map-side. Degenerate groups (all
+    values equal — zero range) map to 0.5 by explicit convention, so
+    IEEE engines agree instead of producing 0/0.
+
+    The scaled value is rounded with floor-based half-up arithmetic
+    (``floor(x·10^k + 0.5)/10^k``): a ratio of clean decimals routinely
+    TERMINATES at the rounding position, where decimal ROUND diverges
+    across engines (see ``robust_anomaly``).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col)
+    lo = F.min(value_col).over(w)
+    hi = F.max(value_col).over(w)
+    scaled = (F.col(value_col) - lo) / (hi - lo)
+    scale = float(10 ** round_to)
+    rounded = F.floor(scaled * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    return df.withColumn(
+        f"{value_col}_scaled",
+        F.when(hi > lo, rounded).otherwise(F.lit(0.5)),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, plus
+    both marginal entropies — the model-free dependence measure behind
+    feature selection and redundancy pruning. ONE fact-side shuffle (the
+    (x, y) contingency groupBy); every marginal, the total and the MI
+    sum itself are computed over the contingency TABLE (|X|·|Y| rows),
+    so cost is scan + one aggregation regardless of fact size.
+
+    Marginal entropies are folded into the same final aggregate by
+    counting each marginal term once (at its first cell in the other
+    axis) — no second pass over the fact, no separate jobs.
+    """
+    from pyspark.sql import Window as W
+
+    c = df.groupBy(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    mx = c.groupBy("__x").agg(F.sum("__c").alias("__cx"))
+    my = c.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+    j = (
+        c.join(F.broadcast(mx), "__x")
+        .join(F.broadcast(my), "__y")
+        .withColumn("__n", F.sum("__c").over(W.partitionBy()))
+        .withColumn(
+            "__rn_y", F.row_number().over(W.partitionBy("__x").orderBy("__y"))
+        )
+        .withColumn(
+            "__rn_x", F.row_number().over(W.partitionBy("__y").orderBy("__x"))
+        )
+    )
+    mi_term = (F.col("__c") / F.col("__n")) * F.log(
+        (F.col("__c") * F.col("__n")) / (F.col("__cx") * F.col("__cy"))
+    )
+    px = F.col("__cx") / F.col("__n")
+    py = F.col("__cy") / F.col("__n")
+    hx_term = F.when(F.col("__rn_y") == 1, -px * F.log(px)).otherwise(F.lit(0.0))
+    hy_term = F.when(F.col("__rn_x") == 1, -py * F.log(py)).otherwise(F.lit(0.0))
+    return j.agg(
+        F.round(F.sum(mi_term), round_to).alias("mi_nats"),
+        F.round(F.sum(hx_term), round_to).alias("h_x"),
+        F.round(F.sum(hy_term), round_to).alias("h_y"),
+        F.max("__n").cast("bigint").alias("n_rows"),
+    )

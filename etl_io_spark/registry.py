@@ -4496,3 +4496,93 @@ def _incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_to=2,
     )
     return merged
+
+
+# ==========================================================================
+# Per-group min-max feature scaling (unsorted keyed window, map-side
+# scale; floor-rounded — terminating-decimal-proof)
+# ==========================================================================
+_MINMAX_SQL = """
+    SELECT event_id, event_type, value,
+           CASE WHEN hi > lo
+                THEN FLOOR((value - lo) / (hi - lo) * 1000000.0 + 0.5)
+                     / 1000000.0
+                ELSE 0.5 END AS value_scaled
+    FROM (
+      SELECT event_id, event_type, value,
+             MIN(value) OVER (PARTITION BY event_type) AS lo,
+             MAX(value) OVER (PARTITION BY event_type) AS hi
+      FROM events
+    )
+"""
+
+
+@register("minmax_normalize_events", _MINMAX_SQL)
+def _minmax_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    return agg.minmax_normalize(ev, "event_type", "value").select(
+        "event_id", "event_type", "value", "value_scaled"
+    )
+
+
+# ==========================================================================
+# Mutual information between categorical columns (one contingency pass)
+# ==========================================================================
+_MI_SQL = """
+    WITH c AS (
+      SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    t AS (SELECT SUM(c) AS n FROM c),
+    mx AS (SELECT x, SUM(c) AS cx FROM c GROUP BY x),
+    my AS (SELECT y, SUM(c) AS cy FROM c GROUP BY y),
+    j AS (
+      SELECT c.x, c.y, c.c, cx, cy, n,
+             ROW_NUMBER() OVER (PARTITION BY c.x ORDER BY c.y) AS rn_y,
+             ROW_NUMBER() OVER (PARTITION BY c.y ORDER BY c.x) AS rn_x
+      FROM c JOIN mx ON c.x = mx.x JOIN my ON c.y = my.y CROSS JOIN t
+    )
+    SELECT ROUND(SUM((c * 1.0 / n) * LN((c * 1.0 * n) / (cx * 1.0 * cy))), 6)
+             AS mi_nats,
+           ROUND(SUM(CASE WHEN rn_y = 1
+                 THEN -(cx * 1.0 / n) * LN(cx * 1.0 / n) ELSE 0.0 END), 6)
+             AS h_x,
+           ROUND(SUM(CASE WHEN rn_x = 1
+                 THEN -(cy * 1.0 / n) * LN(cy * 1.0 / n) ELSE 0.0 END), 6)
+             AS h_y,
+           CAST(MAX(n) AS BIGINT) AS n_rows
+    FROM j
+"""
+
+
+@register("mutual_information_flags", _MI_SQL)
+def _mutual_information_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _cat(spark, sf_dir).table("lineitem")
+    return agg.mutual_information(li, "l_returnflag", "l_linestatus")
+
+
+# ==========================================================================
+# Language-ID confusion matrix: n-gram-marker predictions vs the labeled
+# lang column — classifier evaluation as a query
+# ==========================================================================
+_LANGID_CONFUSION_SQL = f"""
+    WITH pred AS ({_lang_oracle()})
+    SELECT d.lang AS true_lang, pred.lang_pred AS pred_lang,
+           COUNT(*) AS n
+    FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+    GROUP BY 1, 2
+"""
+
+
+@register("langid_confusion", _LANGID_CONFUSION_SQL)
+def _langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    pred = text.lang_id(docs, "doc_id", "text").select(
+        "doc_id", "lang_pred"
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", F.col("lang_pred").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

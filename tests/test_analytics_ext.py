@@ -874,3 +874,35 @@ def test_incremental_agg_update_matches_recompute(spark):
     assert out["a"]["sum_v"] == 37.0 and out["a"]["n_rows"] == 3
     assert out["c"]["sum_v"] == 1.0 and out["c"]["n_rows"] == 1
     assert "b" not in out  # count reached zero -> key drops out
+
+
+def test_minmax_normalize_hand_case(spark):
+    from etl_io_spark.operators import aggregate as agg
+
+    rows = [("a", 0.0), ("a", 5.0), ("a", 10.0), ("b", 7.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = agg.minmax_normalize(df, "k", "v").collect()
+    a = sorted(r["v_scaled"] for r in out if r["k"] == "a")
+    assert a == [0.0, 0.5, 1.0]
+    # degenerate group (zero range) -> 0.5 by convention
+    assert all(r["v_scaled"] == 0.5 for r in out if r["k"] == "b")
+
+
+def test_mutual_information_extremes(spark):
+    import math
+
+    from etl_io_spark.operators import aggregate as agg
+
+    # perfectly dependent: y == x -> MI == H(X) == ln 2
+    dep = spark.createDataFrame(
+        [("a", "a"), ("b", "b")] * 50, "x string, y string"
+    )
+    r = agg.mutual_information(dep, "x", "y").collect()[0]
+    assert abs(r["mi_nats"] - round(math.log(2), 6)) < 1e-9
+    assert r["h_x"] == r["h_y"] == r["mi_nats"]
+    # independent uniform -> MI == 0
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd"] * 25, "x string, y string"
+    )
+    r2 = agg.mutual_information(ind, "x", "y").collect()[0]
+    assert r2["mi_nats"] == 0.0 and r2["n_rows"] == 100
