@@ -126,3 +126,81 @@ def user_profile_batch(events: DataFrame) -> DataFrame:
         )
         .withColumn("closed", F.lit(False))
     )
+
+
+EWMA_STATE_SCHEMA = "s DOUBLE, t_last BIGINT, n BIGINT"
+EWMA_OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, ewma_score DOUBLE"
+
+
+def _ewma_fold(
+    state: tuple[float, int, int] | None,
+    pdf: "pd.DataFrame",
+    lam: float,
+) -> tuple[float, int, int]:
+    """Sequential EWMA recursion over one (already time-sorted) batch:
+    ``s = v + s·exp(-λ·Δt)``. Pure function so cross-batch state carry is
+    unit-testable without a streaming query."""
+    import math
+
+    s, t_last, n = state if state is not None else (0.0, None, 0)
+    for t, v in zip(pdf["__tm"], pdf["value"]):
+        t = int(t)
+        if t_last is None:
+            s = float(v)
+        else:
+            s = float(v) + s * math.exp(-lam * ((t - t_last) / 1_000_000.0))
+        t_last = t
+        n += 1
+    return s, t_last, n
+
+
+def _ewma_fn(lam: float, round_to: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        cur = state.get if state.exists else None
+        if cur is not None and cur[1] is None:  # never happens post-init
+            cur = None
+        for pdf in pdfs:
+            cur = _ewma_fold(cur, pdf.sort_values(["__tm", "event_id"]), lam)
+        if cur is None:
+            return
+        state.update(cur)
+        s, _t, n = cur
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "ewma_score": round(s, round_to)}]
+        )
+
+    return fn
+
+
+def ewma_stream(
+    events: DataFrame,
+    halflife_seconds: float = 86400.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Streaming twin of ``timeseries.ewma_score``: the per-key decayed
+    activity score maintained INCREMENTALLY — O(1) state per key
+    (score, last-seen µs, count), one update row per key per trigger.
+    The batch twin needs the whole history per key; this needs only the
+    folded state, which is why the recursive form is the streaming one
+    and the prefix-factorized form is the batch one.
+
+    Assumes per-key in-order arrival ACROSS triggers (within a trigger
+    the batch is sorted here); feed from a watermark-ordered source if
+    the transport can reorder."""
+    import math
+
+    lam = math.log(2.0) / float(halflife_seconds)
+    from pyspark.sql import functions as F
+
+    base = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("__tm"), "value"
+    )
+    return base.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn(lam, round_to),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

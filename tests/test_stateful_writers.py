@@ -314,3 +314,50 @@ def test_avro_gated_with_clear_error(spark, tmp_path):
 
     with pytest.raises(Exception, match="avro|Avro"):
         write_avro(spark.range(3).toDF("id"), str(tmp_path / "a.avro"))
+
+
+def test_ewma_stream_matches_batch_twin(spark, event_source):
+    from etl_io_spark.operators import timeseries
+
+    path, cat = event_source
+    stream = cat.table_stream("events", path)
+    name = f"q_{uuid.uuid4().hex[:8]}"
+    q = sw.run_to_memory_sink(
+        stateful.ewma_stream(stream, halflife_seconds=3600.0), name,
+        output_mode="append",
+    )
+    q.stop()
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_score"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["ewma_score"])
+        for r in timeseries.ewma_score(
+            cat.table("events"), "user_id", "ts", "value",
+            halflife_seconds=3600.0,
+        ).collect()
+    }
+    assert got.keys() == want.keys() and len(got) > 0
+    for k in got:
+        assert got[k][0] == want[k][0]
+        # recursive fold vs prefix factorization: same value modulo
+        # float association
+        assert abs(got[k][1] - want[k][1]) < 1e-4
+
+
+def test_ewma_fold_carries_state_across_batches(spark):
+    import math
+
+    import pandas as pd
+
+    lam = math.log(2.0) / 3600.0
+    b1 = pd.DataFrame({"__tm": [0], "value": [1.0]})
+    b2 = pd.DataFrame({"__tm": [3_600_000_000], "value": [2.0]})
+    s1 = stateful._ewma_fold(None, b1, lam)
+    s2 = stateful._ewma_fold(s1, b2, lam)
+    # one halflife later: 2 + 1*0.5
+    assert abs(s2[0] - 2.5) < 1e-12 and s2[2] == 2
+    # identical to folding both rows in one batch
+    both = stateful._ewma_fold(None, pd.concat([b1, b2]), lam)
+    assert both == s2
