@@ -629,3 +629,59 @@ def char_entropy(
             round_to,
         ).alias("entropy_bits"),
     )
+
+
+def quote_spans(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Span-level contamination: WHERE a document quotes the benchmark,
+    not just whether (``contamination`` flags documents; redaction and
+    audit need positions). Every token position whose word n-gram
+    appears in the benchmark set is a hit; consecutive hit positions
+    merge into spans via the gaps-and-islands anchor, yielding
+    ``(doc, span_start, span_end, n_grams)`` in token coordinates
+    (1-based; a span's last covered token is ``span_end + n - 1``).
+
+    Shape: positional n-grams are built in-row (transform over sequence
+    — the struct is finished inside the generator), the benchmark's
+    distinct gram-hash set BROADCASTS into a map-side semi-join, and the
+    only keyed shuffle is the per-doc islands window over HIT positions
+    (a sliver of the corpus by construction).
+    """
+    from pyspark.sql import Window as W
+
+    def _grams(d: DataFrame, with_pos: bool) -> DataFrame:
+        toked = spread(d).select(F.col(id_col), tokens(text_col).alias("__w"))
+        structs = F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("__w") - (n - 1), F.lit(0)),
+            ),
+            lambda s: F.struct(
+                s.alias("pos"),
+                F.array_join(F.slice("__w", s, n), " ").alias("g"),
+            ),
+        )
+        out = toked.where(F.size("__w") >= n).select(
+            F.col(id_col), F.explode(structs).alias("__e")
+        )
+        cols = [F.col("__e.pos").alias("pos")] if with_pos else []
+        return out.select(id_col, *cols, hash60(F.col("__e.g")).alias("gh"))
+
+    bench = _grams(bench_df, with_pos=False).select("gh").distinct()
+    hits = _grams(df, with_pos=True).join(
+        F.broadcast(bench), "gh", "left_semi"
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    anchored = hits.withColumn(
+        "__anchor", F.col("pos") - F.row_number().over(w)
+    )
+    return anchored.groupBy(id_col, "__anchor").agg(
+        F.min("pos").alias("span_start"),
+        F.max("pos").alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).drop("__anchor")

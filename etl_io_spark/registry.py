@@ -4586,3 +4586,91 @@ def _langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", F.col("lang_pred").alias("pred_lang"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ==========================================================================
+# Exact audience-overlap matrix: distinct-user intersections between
+# event types (one dedup + one keyed self-join on the user — the exact
+# small-matrix complement to the HLL overlap estimates)
+# ==========================================================================
+_AUDIENCE_OVERLAP_SQL = """
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_both,
+           MIN(sa.n) AS n_a, MIN(sb.n) AS n_b,
+           ROUND(COUNT(*) * 1.0 / (MIN(sa.n) + MIN(sb.n) - COUNT(*)), 6)
+             AS jaccard
+    FROM tu a
+    JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    JOIN sz sa ON a.event_type = sa.event_type
+    JOIN sz sb ON b.event_type = sb.event_type
+    GROUP BY 1, 2
+"""
+
+
+@register("audience_overlap", _AUDIENCE_OVERLAP_SQL)
+def _audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sz = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.withColumnsRenamed({"event_type": "type_a"})
+    b = tu.withColumnsRenamed({"event_type": "type_b"})
+    inter = (
+        a.join(b, ["user_id"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sz.withColumnsRenamed({"event_type": "type_a", "n": "n_a"})),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sz.withColumnsRenamed({"event_type": "type_b", "n": "n_b"})),
+            "type_b",
+        )
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ==========================================================================
+# Span-level benchmark contamination: WHERE documents quote the
+# benchmark set (positions), not just whether — islands over hit
+# positions of broadcast 5-gram matches
+# ==========================================================================
+@register(
+    "quote_spans_docs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM bench)
+    ),
+    anchored AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS anchor
+      FROM hits
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) AS span_end,
+           COUNT(*) AS n_grams
+    FROM anchored GROUP BY doc_id, anchor
+    """,
+)
+def _quote_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return text.quote_spans(docs, bench, "doc_id", "text", n=5)

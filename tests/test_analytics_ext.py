@@ -906,3 +906,23 @@ def test_mutual_information_extremes(spark):
     )
     r2 = agg.mutual_information(ind, "x", "y").collect()[0]
     assert r2["mi_nats"] == 0.0 and r2["n_rows"] == 100
+
+
+def test_quote_spans_hand_case(spark):
+    from etl_io_spark.operators import text as txt
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    doc = (
+        "x1 x2 x3 alpha beta gamma delta epsilon zeta eta theta y1 y2 "
+        "z1 z2 alpha beta gamma delta epsilon q1"
+    )
+    docs = spark.createDataFrame(
+        [(1, doc), (2, "totally unrelated words only here nothing shared")],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id int, text string")
+    out = txt.quote_spans(docs, bench, "doc_id", "text", n=5).collect()
+    spans = sorted((r["doc_id"], r["span_start"], r["span_end"], r["n_grams"]) for r in out)
+    # first quote: tokens 4-11 -> 5-gram hit positions 4..7 (4 grams);
+    # second quote: tokens 16-20 -> exactly one 5-gram at position 16
+    assert spans == [(1, 4, 7, 4), (1, 16, 16, 1)]
