@@ -774,3 +774,36 @@ def mutual_information(
         F.round(F.sum(hy_term), round_to).alias("h_y"),
         F.max("__n").cast("bigint").alias("n_rows"),
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations of every column pair in ONE pass:
+    each pair is an independent ``corr`` aggregate buffer in the same
+    partial-aggregable job, so the fact is scanned and shuffled once for
+    the whole k·(k-1)/2 matrix — never one job per pair. The single
+    result row unpivots map-side (``stack``) into (col_a, col_b, corr)
+    long form.
+    """
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    row = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            round_pz(F.corr(a, b), round_to).alias(f"__c_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', __c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+        ),
+        F.col("__n").alias("n_rows"),
+    )

@@ -685,3 +685,51 @@ def quote_spans(
         F.max("pos").alias("span_end"),
         F.count(F.lit(1)).alias("n_grams"),
     ).drop("__anchor")
+
+
+def vocab_drift(
+    df: DataFrame,
+    group_col,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Distribution drift between two corpus slices (``group_col`` must
+    be a boolean split): add-1-smoothed unigram distributions over the
+    shared vocabulary, scored with both directed KL divergences and the
+    bounded symmetric Jensen-Shannon divergence — the standard
+    data-drift alarm between crawls/snapshots/domains.
+
+    ONE token-count shuffle produces both distributions (conditional
+    sums in the same aggregate); the divergence fold runs over the
+    VOCABULARY table with single-row totals broadcast in-plan. Returns
+    one row: vocab_size, n_tokens_a/b, kl_ab, kl_ba, js.
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    tok = spread(df).select(
+        g.alias("__a"), F.explode(tokens(text_col)).alias("__t")
+    )
+    counts = tok.groupBy("__t").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(1)).alias("__cb"),
+    )
+    tot = counts.agg(
+        F.sum("__ca").alias("__ta"),
+        F.sum("__cb").alias("__tb"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p = (F.col("__ca") + 1) / (F.col("__ta") + F.col("__v"))
+    q = (F.col("__cb") + 1) / (F.col("__tb") + F.col("__v"))
+    m = (p + q) / 2
+    return j.agg(
+        F.max("__v").cast("bigint").alias("vocab_size"),
+        F.max("__ta").cast("bigint").alias("n_tokens_a"),
+        F.max("__tb").cast("bigint").alias("n_tokens_b"),
+        F.round(F.sum(p * F.log(p / q)), round_to).alias("kl_ab"),
+        F.round(F.sum(q * F.log(q / p)), round_to).alias("kl_ba"),
+        F.round(
+            F.lit(0.5) * F.sum(p * F.log(p / m))
+            + F.lit(0.5) * F.sum(q * F.log(q / m)),
+            round_to,
+        ).alias("js"),
+    )

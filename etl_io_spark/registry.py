@@ -4674,3 +4674,81 @@ def _quote_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _cat(spark, sf_dir).table("documents")
     bench = docs.where(F.col("doc_id") % 50 == 0)
     return text.quote_spans(docs, bench, "doc_id", "text", n=5)
+
+
+# ==========================================================================
+# Vocabulary drift between corpus halves (KL both ways + Jensen-Shannon)
+# ==========================================================================
+_VOCAB_DRIFT_SQL = """
+    WITH tok AS (
+      SELECT (CAST(substring(source, 4) AS INT) % 2 = 0) AS a,
+             UNNEST(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    counts AS (
+      SELECT t, SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+      FROM tok GROUP BY t
+    ),
+    tot AS (
+      SELECT SUM(ca) AS ta, SUM(cb) AS tb, COUNT(*) AS v FROM counts
+    )
+    SELECT CAST(MAX(v) AS BIGINT) AS vocab_size,
+           CAST(MAX(ta) AS BIGINT) AS n_tokens_a,
+           CAST(MAX(tb) AS BIGINT) AS n_tokens_b,
+           ROUND(SUM(((ca + 1.0) / (ta + v)) *
+                 LN(((ca + 1.0) / (ta + v)) / ((cb + 1.0) / (tb + v)))), 6)
+             AS kl_ab,
+           ROUND(SUM(((cb + 1.0) / (tb + v)) *
+                 LN(((cb + 1.0) / (tb + v)) / ((ca + 1.0) / (ta + v)))), 6)
+             AS kl_ba,
+           ROUND(0.5 * SUM(((ca + 1.0) / (ta + v)) *
+                   LN(((ca + 1.0) / (ta + v)) /
+                      ((((ca + 1.0) / (ta + v)) + ((cb + 1.0) / (tb + v))) / 2)))
+               + 0.5 * SUM(((cb + 1.0) / (tb + v)) *
+                   LN(((cb + 1.0) / (tb + v)) /
+                      ((((ca + 1.0) / (ta + v)) + ((cb + 1.0) / (tb + v))) / 2))),
+                 6) AS js
+    FROM counts, tot
+"""
+
+
+@register("vocab_drift_sources", _VOCAB_DRIFT_SQL)
+def _vocab_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    split = F.substring("source", 4, 10).cast("int") % 2 == 0
+    return text.vocab_drift(docs, split, "text")
+
+
+# ==========================================================================
+# One-pass pairwise correlation matrix over lineitem measures
+# ==========================================================================
+_CORR_MATRIX_SQL = """
+    WITH r AS (
+      SELECT COUNT(*) AS n,
+             ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0 AS c0,
+             ROUND(corr(l_quantity, l_discount), 6) + 0.0 AS c1,
+             ROUND(corr(l_quantity, l_tax), 6) + 0.0 AS c2,
+             ROUND(corr(l_extendedprice, l_discount), 6) + 0.0 AS c3,
+             ROUND(corr(l_extendedprice, l_tax), 6) + 0.0 AS c4,
+             ROUND(corr(l_discount, l_tax), 6) + 0.0 AS c5
+      FROM lineitem
+    )
+    SELECT col_a, col_b, corr, n AS n_rows FROM (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, c0 AS corr, n FROM r
+      UNION ALL SELECT 'l_quantity', 'l_discount', c1, n FROM r
+      UNION ALL SELECT 'l_quantity', 'l_tax', c2, n FROM r
+      UNION ALL SELECT 'l_extendedprice', 'l_discount', c3, n FROM r
+      UNION ALL SELECT 'l_extendedprice', 'l_tax', c4, n FROM r
+      UNION ALL SELECT 'l_discount', 'l_tax', c5, n FROM r
+    )
+"""
+
+
+@register("corr_matrix_lineitem", _CORR_MATRIX_SQL)
+def _corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _cat(spark, sf_dir).table("lineitem")
+    return agg.corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )

@@ -926,3 +926,34 @@ def test_quote_spans_hand_case(spark):
     # first quote: tokens 4-11 -> 5-gram hit positions 4..7 (4 grams);
     # second quote: tokens 16-20 -> exactly one 5-gram at position 16
     assert spans == [(1, 4, 7, 4), (1, 16, 16, 1)]
+
+
+def test_vocab_drift_extremes(spark):
+    from etl_io_spark.operators import text as txt
+
+    # identical halves -> all divergences 0
+    same = spark.createDataFrame(
+        [(True, "x y z x"), (False, "x y z x")], "a boolean, text string"
+    )
+    r = txt.vocab_drift(same, "a", "text").collect()[0]
+    assert r["kl_ab"] == r["kl_ba"] == r["js"] == 0.0
+    assert r["vocab_size"] == 3
+    # disjoint vocabularies -> strictly positive, js bounded by ln 2
+    import math
+
+    diff = spark.createDataFrame(
+        [(True, "aa bb cc"), (False, "dd ee ff")], "a boolean, text string"
+    )
+    r2 = txt.vocab_drift(diff, "a", "text").collect()[0]
+    assert r2["kl_ab"] > 0 and r2["kl_ba"] > 0
+    assert 0 < r2["js"] <= math.log(2) + 1e-9
+
+
+def test_corr_matrix_single_pass_values(spark):
+    from etl_io_spark.operators import aggregate as agg
+
+    rows = [(float(i), 2.0 * i, float(-i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r["col_a"], r["col_b"]): r["corr"] for r in agg.corr_matrix(
+        df, ["x", "y", "z"]).collect()}
+    assert out[("x", "y")] == 1.0 and out[("x", "z")] == -1.0 and out[("y", "z")] == -1.0
