@@ -4752,3 +4752,177 @@ def _corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.corr_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
+
+
+# ==========================================================================
+# RFM segmentation: recency/frequency/monetary quintiles per user (the
+# classic CRM scoring); global NTILE here — at 100 TB swap the scoring
+# windows for approx_percentile bucket edges (same output contract)
+# ==========================================================================
+_RFM_SQL = """
+    WITH base AS (
+      SELECT user_id,
+             DATE_DIFF('day', CAST(MAX(ts) AS DATE),
+                       (SELECT CAST(MAX(ts) AS DATE) FROM events))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             ROUND(SUM(value), 2) AS monetary
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(recency_days AS INT) AS recency_days,
+           frequency, monetary,
+           CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS INT)
+             AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS INT)
+             AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary, user_id) AS INT)
+             AS m_score
+    FROM base
+"""
+
+
+@register("rfm_segments", _RFM_SQL)
+def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _cat(spark, sf_dir).table("events")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("__anchor"))
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("__anchor", "__last").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return base.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        F.ntile(5).over(
+            W.orderBy(F.col("recency_days").desc(), "user_id")
+        ).alias("r_score"),
+        F.ntile(5).over(W.orderBy("frequency", "user_id")).alias("f_score"),
+        F.ntile(5).over(W.orderBy("monetary", "user_id")).alias("m_score"),
+    )
+
+
+# ==========================================================================
+# Top-N + OTHER rollup: the reporting staple (full breakdown for the
+# head, one aggregated bucket for the tail) in two small shuffles
+# ==========================================================================
+_TOPN_OTHER_SQL = """
+    WITH rev AS (
+      SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+               AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+    ),
+    ranked AS (
+      SELECT n_name, revenue,
+             ROW_NUMBER() OVER (ORDER BY revenue DESC, n_name) AS rn
+      FROM rev
+    )
+    SELECT CASE WHEN rn <= 5 THEN n_name ELSE 'OTHER' END AS nation,
+           ROUND(SUM(revenue), 2) AS revenue,
+           COUNT(*) AS n_nations
+    FROM ranked
+    GROUP BY 1
+"""
+
+
+@register("topn_other_nations", _TOPN_OTHER_SQL)
+def _topn_other_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cat = _cat(spark, sf_dir)
+    rev = (
+        cat.table("lineitem")
+        .join(
+            F.broadcast(cat.table("supplier").select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(cat.table("nation").select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    ranked = rev.withColumn(
+        "__rn",
+        F.row_number().over(W.orderBy(F.col("revenue").desc(), "n_name")),
+    )
+    return (
+        ranked.groupBy(
+            F.when(F.col("__rn") <= 5, F.col("n_name"))
+            .otherwise(F.lit("OTHER"))
+            .alias("nation")
+        )
+        .agg(
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+# ==========================================================================
+# Inter-arrival gap statistics per event type (lag over each user's
+# per-type timeline; discrete quantiles — ceil(n·q) parity)
+# ==========================================================================
+_INTERARRIVAL_SQL = """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_gaps,
+           ROUND(AVG(gap_us) / 1000000.0, 6) AS mean_s,
+           ROUND(quantile_disc(gap_us, 0.5) / 1000000.0, 6) AS p50_s,
+           ROUND(quantile_disc(gap_us, 0.9) / 1000000.0, 6) AS p90_s
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+@register("interarrival_stats", _INTERARRIVAL_SQL)
+def _interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _cat(spark, sf_dir).table("events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    tm = F.unix_micros("ts")
+    gaps = ev.withColumn("__gap", tm - F.lag(tm).over(w)).where(
+        F.col("__gap").isNotNull()
+    )
+    ws = W.partitionBy("event_type").orderBy("__gap")
+    wp = W.partitionBy("event_type")
+    ranked = gaps.select("event_type", "__gap").withColumn(
+        "__rn", F.row_number().over(ws)
+    ).withColumn("__n", F.count(F.lit(1)).over(wp))
+
+    def _disc(q: float, name: str):
+        tgt = F.ceil(F.col("__n") * F.lit(q))
+        sel = F.min(F.when(F.col("__rn") == tgt, F.col("__gap")))
+        return F.round(sel / F.lit(1_000_000.0), 6).alias(name)
+
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("__gap") / F.lit(1_000_000.0), 6).alias("mean_s"),
+        _disc(0.5, "p50_s"),
+        _disc(0.9, "p90_s"),
+    )
