@@ -4926,3 +4926,103 @@ def _interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _disc(0.5, "p50_s"),
         _disc(0.9, "p90_s"),
     )
+
+
+# ==========================================================================
+# Retention half-life: exponential-decay fit over each cohort's curve
+# (regr_slope on ln(active) — one pass over the tiny retention matrix)
+# ==========================================================================
+_RETENTION_HALFLIFE_SQL = """
+    WITH cohort AS (
+      SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, c.cohort_day,
+             DATE_DIFF('day', c.cohort_day,
+                       CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) AS day_offset
+      FROM events e JOIN cohort c ON e.user_id = c.user_id
+    ),
+    curve AS (
+      SELECT cohort_day, day_offset, COUNT(*) AS n_active
+      FROM act GROUP BY 1, 2
+    )
+    SELECT cohort_day, COUNT(*) AS n_points,
+           ROUND(regr_slope(LN(n_active), day_offset), 6) + 0.0 AS slope,
+           CASE WHEN regr_slope(LN(n_active), day_offset) < 0
+                THEN ROUND(-0.6931471805599453
+                           / regr_slope(LN(n_active), day_offset), 4)
+           END AS halflife_days
+    FROM curve GROUP BY cohort_day
+"""
+
+
+@register("retention_halflife", _RETENTION_HALFLIFE_SQL)
+def _retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.functions.numeric import round_pz
+
+    ev = _cat(spark, sf_dir).table("events")
+    curve = agg.cohort_retention(ev, "user_id", "ts")
+    slope = F.regr_slope(F.log("active_users"), F.col("day_offset"))
+    return curve.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        round_pz(slope, 6).alias("slope"),
+        F.when(
+            slope < 0, F.round(F.lit(-0.6931471805599453) / slope, 4)
+        ).alias("halflife_days"),
+    )
+
+
+# ==========================================================================
+# Embedding norm audit: per-label L2-norm distribution + outlier count
+# (vector-quality gate before similarity/clustering pipelines)
+# ==========================================================================
+_EMB_NORM_SQL = """
+    WITH norms AS (
+      SELECT label, vec_id,
+             SQRT(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT label, AVG(nrm) AS mu, STDDEV_SAMP(nrm) AS sd
+      FROM norms GROUP BY label
+    )
+    SELECT n.label, COUNT(*) AS n_vectors,
+           ROUND(MIN(mu), 6) AS mean_norm,
+           ROUND(MIN(sd), 6) AS std_norm,
+           CAST(SUM(CASE WHEN sd > 0 AND ABS((nrm - mu) / sd) > 3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM norms n JOIN stats s ON n.label = s.label
+    GROUP BY n.label
+"""
+
+
+@register("embedding_norm_audit", _EMB_NORM_SQL)
+def _embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = _cat(spark, sf_dir).table("embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    norms = emb.select("label", "vec_id", nrm.alias("__nrm"))
+    w = W.partitionBy("label")
+    scored = norms.withColumn("__mu", F.avg("__nrm").over(w)).withColumn(
+        "__sd", F.stddev_samp("__nrm").over(w)
+    )
+    outlier = (F.col("__sd") > 0) & (
+        F.abs((F.col("__nrm") - F.col("__mu")) / F.col("__sd")) > 3
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.min("__mu"), 6).alias("mean_norm"),
+        F.round(F.min("__sd"), 6).alias("std_norm"),
+        F.sum(F.when(outlier, 1).otherwise(0)).cast("bigint").alias(
+            "n_outliers"
+        ),
+    )
