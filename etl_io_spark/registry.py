@@ -5026,3 +5026,115 @@ def _embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers"
         ),
     )
+
+
+# ==========================================================================
+# Session-level summary: per user, sessions / events-per-session /
+# bounce share + median session duration (built on win.sessionize)
+# ==========================================================================
+_SESSION_STATS_SQL = """
+    WITH ordered AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+               AS prev_ts
+      FROM events
+    ),
+    assigned AS (
+      SELECT event_id, user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                        OR ts > prev_ts + INTERVAL '30 minutes'
+                       THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+      FROM assigned GROUP BY 1, 2
+    )
+    SELECT user_id, COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           ROUND(AVG(n_events), 6) AS avg_events_per_session,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           ROUND(quantile_disc(dur_us, 0.5) / 1000000.0, 6)
+             AS median_session_s
+    FROM sessions GROUP BY user_id
+"""
+
+
+@register("session_stats", _SESSION_STATS_SQL)
+def _session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _cat(spark, sf_dir).table("events")
+    assigned = win.sessionize(ev, "user_id", "ts", gap="30 minutes")
+    sess = assigned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("__ne"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "__dur"
+        ),
+    )
+    ws = W.partitionBy("user_id").orderBy("__dur")
+    wp = W.partitionBy("user_id")
+    ranked = sess.withColumn("__rn", F.row_number().over(ws)).withColumn(
+        "__n", F.count(F.lit(1)).over(wp)
+    )
+    med_sel = F.min(
+        F.when(F.col("__rn") == F.ceil(F.col("__n") * F.lit(0.5)), F.col("__dur"))
+    )
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("__ne").cast("bigint").alias("n_events"),
+        F.round(F.avg("__ne"), 6).alias("avg_events_per_session"),
+        F.sum(F.when(F.col("__ne") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+        F.round(med_sel / F.lit(1_000_000.0), 6).alias("median_session_s"),
+    )
+
+
+# ==========================================================================
+# Gini coefficient of revenue concentration across customers (Lorenz
+# rank formula over the aggregated per-customer revenue — one window)
+# ==========================================================================
+_GINI_SQL = """
+    WITH rev AS (
+      SELECT o_custkey, SUM(o_totalprice) AS r FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS i,
+             COUNT(*) OVER () AS n, SUM(r) OVER () AS tot
+      FROM rev
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           ROUND(MAX(tot), 2) AS total_revenue,
+           ROUND(2.0 * SUM(i * r) / (MAX(n) * MAX(tot))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+    FROM ranked
+"""
+
+
+@register("revenue_gini", _GINI_SQL)
+def _revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = _cat(spark, sf_dir).table("orders")
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("__r"))
+    ranked = rev.select(
+        "__r",
+        F.row_number().over(W.orderBy("__r", "o_custkey")).alias("__i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("__n"),
+        F.sum("__r").over(W.partitionBy()).alias("__tot"),
+    )
+    return ranked.agg(
+        F.max("__n").cast("bigint").alias("n_customers"),
+        F.round(F.max("__tot"), 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("__i") * F.col("__r"))
+            / (F.max("__n") * F.max("__tot"))
+            - (F.max("__n") + F.lit(1.0)) / F.max("__n"),
+            6,
+        ).alias("gini"),
+    )
