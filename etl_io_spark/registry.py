@@ -5138,3 +5138,173 @@ def _revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ==========================================================================
+# Lead/lag cross-correlation between two daily event series (does 'view'
+# activity predict 'purchase' activity k days later?)
+# ==========================================================================
+_LEADLAG_SQL = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      FROM events GROUP BY 1
+    ),
+    lags AS (
+      SELECT l.lag,
+             corr(d.a, f.b) AS c,
+             COUNT(*) AS n_days
+      FROM (SELECT UNNEST(range(-3, 4)) AS lag) l
+      JOIN daily d ON TRUE
+      JOIN daily f ON f.day = d.day + CAST(l.lag AS INT)
+      GROUP BY l.lag
+    )
+    SELECT CAST(lag AS INT) AS lag_days,
+           ROUND(c, 6) + 0.0 AS correlation, n_days
+    FROM lags
+"""
+
+
+@register("leadlag_correlation", _LEADLAG_SQL)
+def _leadlag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.functions.numeric import round_pz
+
+    ev = _cat(spark, sf_dir).table("events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("b"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag_days"))
+    shifted = (
+        F.broadcast(lags)
+        .crossJoin(daily.select("day", "a"))
+        .join(
+            daily.select(F.col("day").alias("fday"), "b"),
+            F.expr("fday = date_add(day, lag_days)"),
+        )
+    )
+    return shifted.groupBy("lag_days").agg(
+        round_pz(F.corr("a", "b"), 6).alias("correlation"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+# ==========================================================================
+# Readability scoring (Flesch-style with a vowel-group syllable proxy) —
+# pure codegen regex counts, zero shuffles
+# ==========================================================================
+_READABILITY_SQL = """
+    WITH f AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '')) AS n_words,
+             len(regexp_extract_all(text, '[.!?]')) AS n_sents,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sents, n_syll,
+           CASE WHEN n_words > 0 AND n_sents > 0 THEN
+             ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sents)
+                           - 84.6 * (n_syll * 1.0 / n_words), 4)
+           END AS flesch_score
+    FROM f
+"""
+
+
+@register("readability_docs", _READABILITY_SQL)
+def _readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    n_words = F.size(text.tokens("text"))
+    n_sents = F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]"), F.lit(0)))
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    ok = (n_words > 0) & (n_sents > 0)
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words * F.lit(1.0) / n_sents)
+        - F.lit(84.6) * (n_syll * F.lit(1.0) / n_words)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+        F.when(ok, F.round(score, 4)).alias("flesch_score"),
+    )
+
+
+# ==========================================================================
+# Per-class precision / recall / F1 of the language classifier (built on
+# the same predictions as langid_confusion)
+# ==========================================================================
+_LANGID_PRF_SQL = f"""
+    WITH pred AS ({_lang_oracle()}),
+    j AS (
+      SELECT d.lang AS t, pred.lang_pred AS p
+      FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+    ),
+    langs AS (
+      SELECT t AS lang FROM j UNION SELECT p FROM j
+    ),
+    s AS (
+      SELECT l.lang,
+             (SELECT COUNT(*) FROM j WHERE j.t = l.lang AND j.p = l.lang) AS tp,
+             (SELECT COUNT(*) FROM j WHERE j.p = l.lang) AS pred_n,
+             (SELECT COUNT(*) FROM j WHERE j.t = l.lang) AS true_n
+      FROM langs l
+    )
+    SELECT lang, CAST(tp AS BIGINT) AS tp,
+           CAST(pred_n AS BIGINT) AS pred_n, CAST(true_n AS BIGINT) AS true_n,
+           CASE WHEN pred_n > 0 THEN ROUND(tp * 1.0 / pred_n, 6) END AS precision,
+           CASE WHEN true_n > 0 THEN ROUND(tp * 1.0 / true_n, 6) END AS recall,
+           CASE WHEN pred_n > 0 AND true_n > 0 AND tp > 0
+                THEN ROUND(2.0 * tp / (pred_n + true_n), 6) END AS f1
+    FROM s
+"""
+
+
+@register("langid_prf", _LANGID_PRF_SQL)
+def _langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    j = (
+        docs.select("doc_id", F.col("lang").alias("t"))
+        .join(
+            text.lang_id(docs, "doc_id", "text").select("doc_id", "lang_pred"),
+            "doc_id",
+        )
+        .select("t", F.col("lang_pred").alias("p"))
+    )
+    langs = j.select(F.col("t").alias("lang")).union(
+        j.select(F.col("p").alias("lang"))
+    ).distinct()
+    tp = j.where(F.col("t") == F.col("p")).groupBy(
+        F.col("t").alias("lang")
+    ).agg(F.count(F.lit(1)).alias("tp"))
+    pn = j.groupBy(F.col("p").alias("lang")).agg(
+        F.count(F.lit(1)).alias("pred_n")
+    )
+    tn = j.groupBy(F.col("t").alias("lang")).agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    s = (
+        langs.join(tp, "lang", "left")
+        .join(pn, "lang", "left")
+        .join(tn, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce("pred_n", F.lit(0)).cast("bigint").alias("pred_n"),
+            F.coalesce("true_n", F.lit(0)).cast("bigint").alias("true_n"),
+        )
+    )
+    return s.select(
+        "lang", "tp", "pred_n", "true_n",
+        F.when(F.col("pred_n") > 0, F.round(F.col("tp") / F.col("pred_n"), 6)).alias("precision"),
+        F.when(F.col("true_n") > 0, F.round(F.col("tp") / F.col("true_n"), 6)).alias("recall"),
+        F.when(
+            (F.col("pred_n") > 0) & (F.col("true_n") > 0) & (F.col("tp") > 0),
+            F.round(F.lit(2.0) * F.col("tp") / (F.col("pred_n") + F.col("true_n")), 6),
+        ).alias("f1"),
+    )
