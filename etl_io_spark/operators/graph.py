@@ -131,7 +131,7 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).persist()  # consumed by both wedge sides and the closure semi-join
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(
         e2,

@@ -308,7 +308,9 @@ def funnel_latency(
     """
     from pyspark.sql import Window as W
 
-    fs = funnel_steps(df, user_col, ts_col, type_col, steps, within)
+    # the chain feeds one melt branch per transition — cache it so the
+    # step joins run once, not once per transition
+    fs = funnel_steps(df, user_col, ts_col, type_col, steps, within).cache()
     parts = []
     for k in range(1, len(steps)):
         dt = F.unix_micros(F.col(f"t{k + 1}")) - F.unix_micros(F.col(f"t{k}"))

@@ -66,6 +66,22 @@ PROBE = [
     "merge_upsert_customer",
     "zorder_code_orders",
     "embedding_quantize",
+    # round-2 additions
+    "robust_anomaly_events",
+    "bitmap_distinct_rollup",
+    "peak_concurrency_events",
+    "event_transitions",
+    "histogram2d_events",
+    "snapshot_diff_orders",
+    "weighted_sample_orders",
+    "quote_spans_docs",
+    "minmax_normalize_events",
+    "session_stats",
+    "interarrival_stats",
+    "funnel_latency",
+    "bfs_trade_reach",
+    "audience_overlap",
+    "mutual_information_flags",
 ]
 
 #: per-table (key columns to offset, timestamp column to shift, text column)
