@@ -5308,3 +5308,78 @@ def _langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(2.0) * F.col("tp") / (F.col("pred_n") + F.col("true_n")), 6),
         ).alias("f1"),
     )
+
+
+# ==========================================================================
+# Chi-square independence statistic over a month × priority contingency
+# (the categorical independence test as one contingency pass)
+# ==========================================================================
+_CHISQ_SQL = """
+    WITH c AS (
+      SELECT CAST(EXTRACT(month FROM CAST(o_orderdate AS TIMESTAMP)) AS INT)
+               AS m,
+             o_orderpriority AS p, COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    mm AS (SELECT m, SUM(c) AS cm FROM c GROUP BY m),
+    pp AS (SELECT p, SUM(c) AS cp FROM c GROUP BY p),
+    t AS (SELECT SUM(c) AS n FROM c)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM(POW(c - (cm * 1.0 * cp / n), 2)
+                     / (cm * 1.0 * cp / n)), 6) AS chi_square
+    FROM c JOIN mm USING (m) JOIN pp USING (p) CROSS JOIN t
+"""
+
+
+@register("chisq_priority_month", _CHISQ_SQL)
+def _chisq_priority_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _cat(spark, sf_dir).table("orders")
+    c = orders.groupBy(
+        F.month("o_orderdate").alias("m"),
+        F.col("o_orderpriority").alias("p"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mm = c.groupBy("m").agg(F.sum("c").alias("cm"))
+    pp = c.groupBy("p").agg(F.sum("c").alias("cp"))
+    from pyspark.sql import Window as W
+
+    j = (
+        c.join(F.broadcast(mm), "m")
+        .join(F.broadcast(pp), "p")
+        .withColumn("n", F.sum("c").over(W.partitionBy()))
+    )
+    exp = F.col("cm") * F.lit(1.0) * F.col("cp") / F.col("n")
+    return j.agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum(F.pow(F.col("c") - exp, 2) / exp), 6).alias(
+            "chi_square"
+        ),
+    )
+
+
+# ==========================================================================
+# Dedup yield report: duplicate-cluster size distribution + kept/total
+# accounting from the exact-dedup pass
+# ==========================================================================
+_DEDUP_YIELD_SQL = """
+    WITH groups AS (
+      SELECT text, COUNT(*) AS sz FROM documents GROUP BY text
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_removed
+    FROM groups GROUP BY sz
+"""
+
+
+@register("dedup_yield", _DEDUP_YIELD_SQL)
+def _dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    groups = docs.groupBy("text").agg(F.count(F.lit(1)).alias("sz"))
+    return groups.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        F.sum(F.col("sz") - 1).cast("bigint").alias("n_removed"),
+    )
