@@ -5383,3 +5383,121 @@ def _dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz").cast("bigint").alias("n_docs"),
         F.sum(F.col("sz") - 1).cast("bigint").alias("n_removed"),
     )
+
+
+# ==========================================================================
+# 2-D skyline (Pareto front): suppliers not dominated on
+# (account balance, realized revenue) — sort one axis, running-max the
+# other; no pairwise dominance join
+# ==========================================================================
+_PARETO_SQL = """
+    WITH rev AS (
+      SELECT s_suppkey, s_name, ROUND(MIN(s_acctbal), 2) AS acctbal,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM supplier JOIN lineitem ON l_suppkey = s_suppkey
+      GROUP BY s_suppkey, s_name
+    ),
+    ranked AS (
+      SELECT *,
+             MAX(revenue) OVER (ORDER BY acctbal DESC, s_suppkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS best_rev_above
+      FROM rev
+    )
+    SELECT s_suppkey, s_name, acctbal, revenue
+    FROM ranked
+    WHERE best_rev_above IS NULL OR revenue > best_rev_above
+"""
+
+
+@register("pareto_suppliers", _PARETO_SQL)
+def _pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline without the quadratic dominance self-join: sort by one
+    objective, keep rows whose OTHER objective beats every earlier row's
+    (running max over the sorted order). The sort runs over the
+    supplier-level AGGREGATE, not the fact."""
+    from pyspark.sql import Window as W
+
+    cat = _cat(spark, sf_dir)
+    rev = (
+        cat.table("supplier")
+        .join(
+            cat.table("lineitem"), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.round(F.min("s_acctbal"), 2).alias("acctbal"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+    w = (
+        W.orderBy(F.col("acctbal").desc(), "s_suppkey")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = rev.withColumn("__best", F.max("revenue").over(w))
+    return ranked.where(
+        F.col("__best").isNull() | (F.col("revenue") > F.col("__best"))
+    ).select("s_suppkey", "s_name", "acctbal", "revenue")
+
+
+# ==========================================================================
+# Month-over-month revenue growth per nation (LAG over the aggregated
+# series — the fact is shuffled once into the monthly rollup)
+# ==========================================================================
+_MOM_SQL = """
+    WITH monthly AS (
+      SELECT n_name,
+             CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+                  AS DATE) AS month,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, month, revenue,
+           ROUND(LAG(revenue) OVER w, 2) AS prev_revenue,
+           CASE WHEN LAG(revenue) OVER w > 0 THEN
+             FLOOR((revenue / LAG(revenue) OVER w - 1.0) * 1000000.0 + 0.5)
+               / 1000000.0
+           END AS mom_growth
+    FROM monthly
+    WINDOW w AS (PARTITION BY n_name ORDER BY month)
+"""
+
+
+@register("mom_revenue_growth", _MOM_SQL)
+def _mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cat = _cat(spark, sf_dir)
+    monthly = (
+        cat.table("orders")
+        .join(
+            F.broadcast(cat.table("customer").select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(cat.table("nation").select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = W.partitionBy("n_name").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    # growth is a ratio of 2-decimal sums: floor-based rounding (see
+    # robust_anomaly) — decimal ROUND diverges on terminating tails
+    growth = F.floor(
+        (F.col("revenue") / prev - 1.0) * F.lit(1_000_000.0) + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    return monthly.select(
+        "n_name", "month", "revenue",
+        F.round(prev, 2).alias("prev_revenue"),
+        F.when(prev > 0, growth).alias("mom_growth"),
+    )

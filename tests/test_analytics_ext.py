@@ -957,3 +957,19 @@ def test_corr_matrix_single_pass_values(spark):
     out = {(r["col_a"], r["col_b"]): r["corr"] for r in agg.corr_matrix(
         df, ["x", "y", "z"]).collect()}
     assert out[("x", "y")] == 1.0 and out[("x", "z")] == -1.0 and out[("y", "z")] == -1.0
+
+
+def test_pareto_skyline_hand_case(spark):
+    import __spark_entry__ as entry
+
+    # sanity: every returned supplier must be non-dominated in the output
+    rows = entry.queries()["pareto_suppliers"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert not any(
+            (o["acctbal"] >= r["acctbal"] and o["revenue"] > r["revenue"])
+            or (o["acctbal"] > r["acctbal"] and o["revenue"] >= r["revenue"])
+            for o in rows
+        )
