@@ -5501,3 +5501,199 @@ def _mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prev, 2).alias("prev_revenue"),
         F.when(prev > 0, growth).alias("mom_growth"),
     )
+
+
+# ==========================================================================
+# Vocabulary coverage curve: how many distinct tokens cover 50/90/99% of
+# the corpus (tokenizer-budget planning); one wordcount + one tiny sort
+# ==========================================================================
+_VOCAB_COVERAGE_SQL = """
+    WITH counts AS (
+      SELECT t.token, COUNT(*) AS cnt
+      FROM (SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '') AS w FROM documents) toks,
+           UNNEST(w) AS t(token)
+      GROUP BY t.token
+    ),
+    ranked AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+             SUM(cnt) OVER (ORDER BY cnt DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS tot
+      FROM counts
+    )
+    SELECT CAST(MAX(rank) AS BIGINT) AS vocab_size,
+           CAST(MAX(tot) AS BIGINT) AS total_tokens,
+           CAST(MIN(CASE WHEN cum >= 0.50 * tot THEN rank END) AS BIGINT)
+             AS r50,
+           CAST(MIN(CASE WHEN cum >= 0.90 * tot THEN rank END) AS BIGINT)
+             AS r90,
+           CAST(MIN(CASE WHEN cum >= 0.99 * tot THEN rank END) AS BIGINT)
+             AS r99
+    FROM ranked
+"""
+
+
+@register("vocab_coverage", _VOCAB_COVERAGE_SQL)
+def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _cat(spark, sf_dir).table("documents")
+    counts = (
+        spread(docs)
+        .select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wo = W.orderBy(F.col("cnt").desc(), "token")
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(wo).alias("rank"),
+        F.sum("cnt").over(wo.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("rank").cast("bigint").alias("vocab_size"),
+        F.max("tot").cast("bigint").alias("total_tokens"),
+        F.min(F.when(F.col("cum") >= 0.50 * F.col("tot"), F.col("rank")))
+        .cast("bigint").alias("r50"),
+        F.min(F.when(F.col("cum") >= 0.90 * F.col("tot"), F.col("rank")))
+        .cast("bigint").alias("r90"),
+        F.min(F.when(F.col("cum") >= 0.99 * F.col("tot"), F.col("rank")))
+        .cast("bigint").alias("r99"),
+    )
+
+
+# ==========================================================================
+# Zipf exponent: slope of ln(freq) vs ln(rank) over the token counts
+# ==========================================================================
+_ZIPF_SQL = """
+    WITH counts AS (
+      SELECT t.token, COUNT(*) AS cnt
+      FROM (SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '') AS w FROM documents) toks,
+           UNNEST(w) AS t(token)
+      GROUP BY t.token
+    ),
+    ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+      FROM counts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           ROUND(regr_slope(LN(cnt), LN(rank)), 6) + 0.0 AS zipf_slope,
+           ROUND(regr_r2(LN(cnt), LN(rank)), 6) AS r2
+    FROM ranked
+"""
+
+
+@register("zipf_exponent", _ZIPF_SQL)
+def _zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.functions.numeric import round_pz
+    from pyspark.sql import Window as W
+
+    docs = _cat(spark, sf_dir).table("documents")
+    counts = (
+        spread(docs)
+        .select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(W.orderBy(F.col("cnt").desc(), "token")).alias("rank"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        round_pz(F.regr_slope(F.log("cnt"), F.log("rank")), 6).alias(
+            "zipf_slope"
+        ),
+        F.round(F.regr_r2(F.log("cnt"), F.log("rank")), 6).alias("r2"),
+    )
+
+
+# ==========================================================================
+# Cross-source duplicate report: identical content appearing in >= 2
+# sources (training-data leakage across domains)
+# ==========================================================================
+_CROSS_SOURCE_SQL = """
+    SELECT substring(LOWER(REGEXP_REPLACE(text, '[^a-zA-Z0-9]', '', 'g')),
+                     1, 64) AS content_key,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(DISTINCT source) >= 2
+"""
+
+
+@register("cross_source_dups", _CROSS_SOURCE_SQL)
+def _cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    # exact text rarely collides across sources; a 64-char normalized
+    # prefix catches the near-dup copies (same trade as blocked SNM)
+    key = F.substring(
+        F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", "")), 1, 64
+    )
+    return (
+        docs.groupBy(key.alias("content_key"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .where(F.col("n_sources") >= 2)
+    )
+
+
+# ==========================================================================
+# Two-sample Kolmogorov-Smirnov statistic between two event types'
+# value distributions (union trick: one sort over distinct values)
+# ==========================================================================
+_KS_SQL = """
+    WITH vals AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY value
+    ),
+    run AS (
+      SELECT SUM(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ra,
+             SUM(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS rb,
+             SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+      FROM vals
+    )
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+           ROUND(MAX(ABS(ra * 1.0 / na - rb * 1.0 / nb)), 6) AS ks_stat
+    FROM run
+"""
+
+
+@register("ks_test_values", _KS_SQL)
+def _ks_test_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _cat(spark, sf_dir).table("events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    vals = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("cb"),
+    )
+    wo = W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    run = vals.select(
+        F.sum("ca").over(wo).alias("ra"),
+        F.sum("cb").over(wo).alias("rb"),
+        F.sum("ca").over(W.partitionBy()).alias("na"),
+        F.sum("cb").over(W.partitionBy()).alias("nb"),
+    )
+    return run.agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.round(
+            F.max(F.abs(F.col("ra") / F.col("na") - F.col("rb") / F.col("nb"))),
+            6,
+        ).alias("ks_stat"),
+    )
