@@ -5697,3 +5697,182 @@ def _ks_test_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_stat"),
     )
+
+
+# ==========================================================================
+# LSH quality evaluation: MinHash band candidates vs exact Jaccard >= 0.3
+# ground truth — precision/recall of the sub-quadratic path, as a query
+# ==========================================================================
+def _lsh_eval_oracle(num_perm: int = 16, bands: int = 4) -> str:
+    rpb = num_perm // bands
+    p = dedup.MINHASH_P
+    a = ", ".join(str(dedup._perm_a(j)) for j in range(num_perm))
+    b = ", ".join(str(dedup._perm_b(j)) for j in range(num_perm))
+    return (
+        _SHINGLE_CTE
+        + f""",
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT a, b FROM inter
+      JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+      WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.3
+    ),
+    perms AS (SELECT UNNEST(generate_series(0, {num_perm - 1})) AS j),
+    sig AS (
+      SELECT doc_id, j,
+             MIN((([{a}][j+1]) * (sh % {p}) + ([{b}][j+1])) % {p}) AS minhash
+      FROM sh, perms GROUP BY doc_id, j
+    ),
+    bkeys AS (
+      SELECT doc_id, CAST(j // {rpb} AS INT) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j)) AS bkey
+      FROM sig GROUP BY doc_id, CAST(j // {rpb} AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bkeys x JOIN bkeys y ON x.band = y.band AND x.bkey = y.bkey
+      WHERE x.doc_id < y.doc_id
+    ),
+    common AS (
+      SELECT cand.a, cand.b FROM cand JOIN exact
+        ON cand.a = exact.a AND cand.b = exact.b
+    )
+    SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM common) AS n_common,
+           ROUND((SELECT COUNT(*) FROM common) * 1.0
+                 / (SELECT COUNT(*) FROM cand), 6) AS precision,
+           ROUND((SELECT COUNT(*) FROM common) * 1.0
+                 / (SELECT COUNT(*) FROM exact), 6) AS recall
+    """
+    )
+
+
+@register("lsh_eval", _lsh_eval_oracle())
+def _lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).select("a", "b")
+    cand = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_perm=16, bands=4
+    ).select("a", "b")
+    common = cand.join(exact, ["a", "b"])
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nm = common.agg(F.count(F.lit(1)).alias("n_common"))
+    return (
+        ne.crossJoin(nc)
+        .crossJoin(nm)
+        .select(
+            "n_exact", "n_candidates", "n_common",
+            F.round(F.col("n_common") / F.col("n_candidates"), 6).alias(
+                "precision"
+            ),
+            F.round(F.col("n_common") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
+# ==========================================================================
+# Herfindahl-Hirschman concentration index of supplier revenue per nation
+# ==========================================================================
+_HHI_SQL = """
+    WITH rev AS (
+      SELECT n_name, s_suppkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS r
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    , tot AS (SELECT n_name, SUM(r) AS t FROM rev GROUP BY n_name)
+    SELECT rev.n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(POW(r / t, 2)), 6) AS hhi
+    FROM rev JOIN tot ON rev.n_name = tot.n_name
+    GROUP BY rev.n_name
+"""
+
+
+@register("supplier_hhi", _HHI_SQL)
+def _supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cat = _cat(spark, sf_dir)
+    rev = (
+        cat.table("lineitem")
+        .join(
+            F.broadcast(cat.table("supplier").select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(cat.table("nation").select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+        )
+    )
+    share = F.col("r") / F.sum("r").over(W.partitionBy("n_name"))
+    return rev.select("n_name", share.alias("__s")).groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.round(F.sum(F.pow(F.col("__s"), 2)), 6).alias("hhi"),
+    )
+
+
+# ==========================================================================
+# Sequence-packing efficiency report (on training.pack_sequences output)
+# ==========================================================================
+_PACKING_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '')) AS n_tokens,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 32 AS shard
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (
+               PARTITION BY shard
+               ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT), doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT)
+               AS local_bin
+      FROM toks
+    ),
+    bins AS (
+      SELECT shard, local_bin, SUM(n_tokens) AS fill
+      FROM packed GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(fill) AS BIGINT) AS total_tokens,
+           ROUND(AVG(LEAST(fill, 512) / 512.0), 6) AS mean_fill_ratio,
+           CAST(SUM(CASE WHEN fill > 512 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overflow_bins
+    FROM bins
+"""
+
+
+@register("packing_efficiency", _PACKING_SQL)
+def _packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.operators import training
+
+    docs = _cat(spark, sf_dir).table("documents")
+    packed = training.pack_sequences(docs, "doc_id", "text", ctx_tokens=512, n_shards=32)
+    bins = packed.groupBy("bin_id").agg(F.sum("n_tokens").alias("fill"))
+    return bins.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("fill").cast("bigint").alias("total_tokens"),
+        F.round(F.avg(F.least(F.col("fill"), F.lit(512)) / F.lit(512.0)), 6).alias(
+            "mean_fill_ratio"
+        ),
+        F.sum(F.when(F.col("fill") > 512, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_overflow_bins"),
+    )
