@@ -5876,3 +5876,105 @@ def _packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_overflow_bins"),
     )
+
+
+# ==========================================================================
+# Index of dispersion (Fano factor) of daily event counts per type —
+# burstiness vs Poisson baseline (variance/mean of the daily series)
+# ==========================================================================
+_DISPERSION_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(c), 6) AS mean_daily,
+           ROUND(var_samp(c), 6) AS var_daily,
+           CASE WHEN AVG(c) > 0
+                THEN ROUND(var_samp(c) / AVG(c), 6) END AS dispersion
+    FROM daily GROUP BY event_type
+"""
+
+
+@register("dispersion_events", _DISPERSION_SQL)
+def _dispersion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).table("events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mean = F.avg("c")
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(F.var_samp("c"), 6).alias("var_daily"),
+        F.when(mean > 0, F.round(F.var_samp("c") / mean, 6)).alias(
+            "dispersion"
+        ),
+    )
+
+
+# ==========================================================================
+# Charset profile per source: ASCII share, digit share, whitespace share
+# (multilingual data-quality triage; pure codegen regex, zero shuffles
+# past the per-source aggregate)
+# ==========================================================================
+_CHARSET_SQL = """
+    WITH f AS (
+      SELECT source, length(text) AS n,
+             length(REGEXP_REPLACE(text, '[ -~]', '', 'g')) AS non_ascii,
+             length(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS digits,
+             length(REGEXP_REPLACE(text, '\\S', '', 'g')) AS ws
+      FROM documents
+    )
+    SELECT source, CAST(SUM(n) AS BIGINT) AS n_chars,
+           ROUND(SUM(non_ascii) * 1.0 / SUM(n), 6) AS non_ascii_ratio,
+           ROUND(SUM(digits) * 1.0 / SUM(n), 6) AS digit_ratio,
+           ROUND(SUM(ws) * 1.0 / SUM(n), 6) AS ws_ratio
+    FROM f GROUP BY source
+"""
+
+
+@register("charset_profile", _CHARSET_SQL)
+def _charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    n = F.length("text")
+    non_ascii = F.length(F.regexp_replace("text", "[ -~]", ""))
+    digits = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    ws = F.length(F.regexp_replace("text", r"\S", ""))
+    f = docs.select(
+        "source", n.alias("__n"), non_ascii.alias("__na"),
+        digits.alias("__d"), ws.alias("__w"),
+    )
+    return f.groupBy("source").agg(
+        F.sum("__n").cast("bigint").alias("n_chars"),
+        F.round(F.sum("__na") / F.sum("__n"), 6).alias("non_ascii_ratio"),
+        F.round(F.sum("__d") / F.sum("__n"), 6).alias("digit_ratio"),
+        F.round(F.sum("__w") / F.sum("__n"), 6).alias("ws_ratio"),
+    )
+
+
+# ==========================================================================
+# Tail-heaviness ratio per group: p99 / p50 of price (exact percentiles)
+# ==========================================================================
+_TAIL_RATIO_SQL = """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+           ROUND(ROUND(quantile_cont(l_extendedprice, 0.99), 2)
+                 / ROUND(quantile_cont(l_extendedprice, 0.50), 2), 6)
+             AS tail_ratio
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("tail_ratio_prices", _TAIL_RATIO_SQL)
+def _tail_ratio_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _cat(spark, sf_dir).table("lineitem")
+    pct = agg.exact_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", (0.50, 0.99), round_to=2
+    )
+    return pct.select(
+        "l_returnflag", "p50", "p99",
+        F.round(F.col("p99") / F.col("p50"), 6).alias("tail_ratio"),
+    )
