@@ -5978,3 +5978,59 @@ def _tail_ratio_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "p50", "p99",
         F.round(F.col("p99") / F.col("p50"), 6).alias("tail_ratio"),
     )
+
+
+# ==========================================================================
+# Revenue decile lift table: NTILE(10) over per-customer revenue —
+# n / total / share / cumulative share per decile (the reporting
+# companion of the Gini scalar)
+# ==========================================================================
+_DECILES_SQL = """
+    WITH rev AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS r
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT r, NTILE(10) OVER (ORDER BY r DESC, o_custkey) AS decile
+      FROM rev
+    ),
+    g AS (
+      SELECT decile, COUNT(*) AS n_customers, ROUND(SUM(r), 2) AS revenue
+      FROM d GROUP BY decile
+    )
+    SELECT CAST(decile AS INT) AS decile, n_customers, revenue,
+           ROUND(revenue / SUM(revenue) OVER (), 6) AS share,
+           ROUND(SUM(revenue) OVER (ORDER BY decile
+                                    ROWS UNBOUNDED PRECEDING)
+                 / SUM(revenue) OVER (), 6) AS cum_share
+    FROM g
+"""
+
+
+@register("revenue_deciles", _DECILES_SQL)
+def _revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = _cat(spark, sf_dir).table("orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("r")
+    )
+    d = rev.select(
+        "r",
+        F.ntile(10).over(W.orderBy(F.col("r").desc(), "o_custkey")).alias(
+            "decile"
+        ),
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("r"), 2).alias("revenue"),
+    )
+    tot = F.sum("revenue").over(W.partitionBy())
+    cum = F.sum("revenue").over(
+        W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return g.select(
+        "decile", "n_customers", "revenue",
+        F.round(F.col("revenue") / tot, 6).alias("share"),
+        F.round(cum / tot, 6).alias("cum_share"),
+    )
