@@ -19,6 +19,22 @@ from pyspark.sql import Column, DataFrame, functions as F
 from etl_io_spark.functions.numeric import round_pz
 from etl_io_spark.partitioning import spread
 
+#: compressed-bytes-per-partition floor for text maps. Parquet zstd
+#: compresses prose ~5-10x AND the regex/shingle maps here cost ~100x the
+#: scan per byte, so the generic 8 MiB floor (partitioning.py) leaves
+#: text scans single-task until ~tens of MiB compressed — measured 2.8 s
+#: -> 0.6 s on the sf0.1 langid confusion query once spread engages. At
+#: cluster scale the scan already has >= core-count splits and spread
+#: stays a no-op (it never shrinks).
+TEXT_MIN_BYTES_PER_PARTITION = 32 * 1024
+
+
+def spread_text(df: DataFrame) -> DataFrame:
+    """``spread`` tuned for CPU-heavy text maps (regex, shingling, md5):
+    engages at ~32 KiB compressed per partition instead of 8 MiB."""
+    return spread(df, min_bytes_per_partition=TEXT_MIN_BYTES_PER_PARTITION)
+
+
 #: 60-bit md5-derived hash (SQL text, shared by dedup/similarity oracles)
 HASH60_SPARK = "CAST(CONV(SUBSTRING(md5({s}),1,15),16,10) AS BIGINT)"
 HASH60_DUCK = "CAST(('0x' || substring(md5({s}),1,15)) AS BIGINT)"
@@ -141,10 +157,12 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Marker-word voting language ID: score per language = marker-word
-    hits / token count; prediction = argmax with deterministic
-    lexicographic tiebreak, 'und' (undetermined) when no marker hits.
+def lang_id_exprs(text_col: str) -> tuple[Column, Column]:
+    """Column expressions ``(lang_score, lang_pred)`` of the marker-word
+    voting classifier over ``text_col`` — the composable core of
+    :func:`lang_id`, so evaluation queries (confusion matrix, P/R/F1) can
+    attach the prediction inline in the SAME select as other columns:
+    one scan of the corpus, zero self-joins.
 
     Hits are found with ONE ``regexp_extract_all`` pass over the text — a
     word-boundary alternation of every marker across every language (the
@@ -175,12 +193,22 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for lang in sorted(LANG_MARKERS, reverse=True):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("und"))
-    # no spread(): since the single-pass rewrite this op is one regex scan —
-    # the repartition costs more than the parallelism buys (0.94s vs 1.26s
-    # at sf0.1); heavier text ops (fingerprint, quality) keep it
-    return df.select(
+    return F.round(best, 4), pred
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word voting language ID: score per language = marker-word
+    hits / token count; prediction = argmax with deterministic
+    lexicographic tiebreak, 'und' (undetermined) when no marker hits.
+    See :func:`lang_id_exprs` for the single-regex-pass mechanics."""
+    score, pred = lang_id_exprs(text_col)
+    # spread_text, not bare spread: the regex alternation costs ~0.5 ms/doc
+    # single-task; the round-2 "repartition costs more" measurement was an
+    # artifact of re-collecting the same DataFrame (shuffle-stage reuse).
+    # Fresh-plan wall at sf0.1: 2.8 s single-task -> 0.6 s spread.
+    return spread_text(df).select(
         F.col(id_col),
-        F.round(best, 4).alias("lang_score"),
+        score.alias("lang_score"),
         pred.alias("lang_pred"),
     )
 
@@ -198,7 +226,7 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: (acc * 31 + x) % F.lit(ROLLING_MOD),
     )
-    return spread(df).select(
+    return spread_text(df).select(
         F.col(id_col),
         F.md5(text_col).alias("md5_hex"),
         F.expr(HASH60_SPARK.format(s=text_col)).alias("hash60"),
@@ -392,7 +420,7 @@ def repetition_features(
     # doc length — measured 14x slower at sf0.1). Catalyst keeps the
     # stages separate because the aliases are non-cheap and multiply
     # referenced.
-    toked = spread(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    toked = spread_text(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
     grams = toked.withColumn(
         "__bi", word_ngrams(F.col("__toks"), 2)
     ).withColumn("__tri", word_ngrams(F.col("__toks"), 3))
@@ -435,7 +463,7 @@ def pmi_collocations(
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     bg = (
-        spread(df)
+        spread_text(df)
         # tokenize once into a column: the bigram expression references the
         # token array four times (two slices + two sizes)
         .select(tokens(text_col).alias("__toks"))
@@ -655,7 +683,7 @@ def quote_spans(
     from pyspark.sql import Window as W
 
     def _grams(d: DataFrame, with_pos: bool) -> DataFrame:
-        toked = spread(d).select(F.col(id_col), tokens(text_col).alias("__w"))
+        toked = spread_text(d).select(F.col(id_col), tokens(text_col).alias("__w"))
         structs = F.transform(
             F.sequence(
                 F.lit(1),

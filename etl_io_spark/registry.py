@@ -4576,14 +4576,18 @@ _LANGID_CONFUSION_SQL = f"""
 
 @register("langid_confusion", _LANGID_CONFUSION_SQL)
 def _langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lang_pred is attached INLINE in the same select as the true label —
+    # one FileScan of documents, one tiny groupBy shuffle; no doc_id
+    # self-join (the round-2 shape paid two scans + a join for a derived
+    # column of the same row).
     docs = _cat(spark, sf_dir).table("documents")
-    pred = text.lang_id(docs, "doc_id", "text").select(
-        "doc_id", "lang_pred"
-    )
+    _, pred = text.lang_id_exprs("text")
     return (
-        docs.select("doc_id", F.col("lang").alias("true_lang"))
-        .join(pred, "doc_id")
-        .groupBy("true_lang", F.col("lang_pred").alias("pred_lang"))
+        text.spread_text(docs)
+        .select(
+            F.col("lang").alias("true_lang"), pred.alias("pred_lang")
+        )
+        .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -5267,37 +5271,44 @@ _LANGID_PRF_SQL = f"""
 
 @register("langid_prf", _LANGID_PRF_SQL)
 def _langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single lineage: inline lang_pred → tiny confusion matrix (langs²
+    # rows) → each cell (t, p, n) exploded into its two per-class
+    # contributions (n to true_n[t] + tp[t] when t = p; n to pred_n[p])
+    # → one groupBy(lang) over the exploded cells. Exactly ONE FileScan
+    # of documents and one data-proportional shuffle; the round-2 shape
+    # re-ran the regex scan four times (langs/tp/pred_n/true_n branches
+    # of the unpersisted join).
     docs = _cat(spark, sf_dir).table("documents")
-    j = (
-        docs.select("doc_id", F.col("lang").alias("t"))
-        .join(
-            text.lang_id(docs, "doc_id", "text").select("doc_id", "lang_pred"),
-            "doc_id",
-        )
-        .select("t", F.col("lang_pred").alias("p"))
+    _, pred = text.lang_id_exprs("text")
+    cells = (
+        text.spread_text(docs)
+        .select(F.col("lang").alias("t"), pred.alias("p"))
+        .groupBy("t", "p")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    langs = j.select(F.col("t").alias("lang")).union(
-        j.select(F.col("p").alias("lang"))
-    ).distinct()
-    tp = j.where(F.col("t") == F.col("p")).groupBy(
-        F.col("t").alias("lang")
-    ).agg(F.count(F.lit(1)).alias("tp"))
-    pn = j.groupBy(F.col("p").alias("lang")).agg(
-        F.count(F.lit(1)).alias("pred_n")
-    )
-    tn = j.groupBy(F.col("t").alias("lang")).agg(
-        F.count(F.lit(1)).alias("true_n")
-    )
-    s = (
-        langs.join(tp, "lang", "left")
-        .join(pn, "lang", "left")
-        .join(tn, "lang", "left")
-        .select(
-            "lang",
-            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
-            F.coalesce("pred_n", F.lit(0)).cast("bigint").alias("pred_n"),
-            F.coalesce("true_n", F.lit(0)).cast("bigint").alias("true_n"),
-        )
+    contrib = cells.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("t").alias("lang"),
+                    F.when(F.col("t") == F.col("p"), F.col("n"))
+                    .otherwise(F.lit(0)).alias("tp"),
+                    F.lit(0).cast("bigint").alias("pred_n"),
+                    F.col("n").alias("true_n"),
+                ),
+                F.struct(
+                    F.col("p").alias("lang"),
+                    F.lit(0).cast("bigint").alias("tp"),
+                    F.col("n").alias("pred_n"),
+                    F.lit(0).cast("bigint").alias("true_n"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    s = contrib.groupBy("lang").agg(
+        F.sum("tp").cast("bigint").alias("tp"),
+        F.sum("pred_n").cast("bigint").alias("pred_n"),
+        F.sum("true_n").cast("bigint").alias("true_n"),
     )
     return s.select(
         "lang", "tp", "pred_n", "true_n",
