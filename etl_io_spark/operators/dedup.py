@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from etl_io_spark.operators.text import hash60, tokens, word_ngrams
+from etl_io_spark.operators.text import hash60, spread_text, tokens, word_ngrams
 from etl_io_spark.partitioning import spread
 
 #: MinHash permutation parameters: h_j(x) = (A_j * x + B_j) mod P.
@@ -83,7 +83,7 @@ def shingle_sets(
     # string n-gram assembly stays inside the lambda.
     # spread(): shingling + md5 is the expensive map of every dedup plan;
     # a single-row-group input would otherwise run it on one core.
-    toked = spread(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    toked = spread_text(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
     sh = toked.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(F.col("__toks"), n))).alias("__s"),
@@ -113,7 +113,7 @@ def ngram_jaccard_pairs(
     shingle hash and by (a, b) pair — no cross join anywhere, so cost
     tracks shared-shingle pairs, not n².
     """
-    toked = spread(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    toked = spread_text(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
     toked = toked.select(
         F.col(id_col),
         F.array_distinct(word_ngrams(F.col("__toks"), n)).alias("__arr"),
@@ -268,7 +268,7 @@ def simhash(
     ONE aggregate pass (no per-bit explode): the shuffle carries ``bits``
     ints per doc. Near-dup docs differ in few bits (small Hamming distance).
     """
-    tok = spread(df).select(
+    tok = spread_text(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("t")
     ).withColumn("h", hash60(F.col("t")))
     votes = tok.groupBy(id_col).agg(
@@ -695,7 +695,7 @@ def segment_dedup(
         F.ceil(F.size(toks) / F.lit(float(seg_tokens))), F.lit(1)
     ).cast("int")
     segs = (
-        spread(docs.select(id_col, text_col))
+        spread_text(docs.select(id_col, text_col))
         .withColumn("__toks", toks)
         .withColumn("__nseg", nseg)
         .select(
@@ -934,7 +934,7 @@ def containment_pairs(
     pair; no cross join) — only the final scoring differs, so the same
     stop-shingle caveats and LSH scale guidance apply.
     """
-    toked = spread(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    toked = spread_text(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
     toked = toked.select(
         F.col(id_col),
         F.array_distinct(word_ngrams(F.col("__toks"), n)).alias("__arr"),
@@ -993,57 +993,147 @@ def jaccard_pairs_prefix(
     n: int = 3,
     threshold: float = 0.3,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs ≥ ``threshold`` via PREFIX FILTERING
-    (the PPJoin/AllPairs candidate rule) — identical output to
-    ``ngram_jaccard_pairs``, asymptotically cheaper candidates.
+    """Exact n-gram Jaccard pairs ≥ ``threshold`` via PPJoin-style PREFIX
+    FILTERING — same output as ``ngram_jaccard_pairs`` (up to the 60-bit
+    shingle-hash caveat below), asymptotically cheaper candidates.
 
-    Rule: order every doc's shingles by global rarity (document
-    frequency asc, hash as tie-break); two docs with jaccard ≥ t MUST
-    share a shingle within each one's first ``|A| - ⌈t·|A|⌉ + 1``
-    shingles. So the inverted-index self-join runs over PREFIXES only:
-    the ubiquitous shingles that drive the all-pairs plan quadratic sit
-    at the END of every ordering and never generate candidates — the
-    stop-shingle skew problem disappears structurally instead of via a
-    max_doc_freq cutoff. Candidates are then verified exactly on the
-    full sets with one sorted-array intersection per pair.
+    Rule: order every doc's shingles by global rarity (document frequency
+    asc, shingle hash as tie-break); two docs with jaccard ≥ t MUST share
+    a shingle inside their prefixes. The inverted-index join is
+    ASYMMETRIC (Xiao et al., PPJoin): orienting each pair so the
+    (size, id)-smaller doc is the INDEX side, the index prefix only needs
+    ``|B| - ceil(2t/(1+t)·|B|) + 1`` entries (its partners are at least
+    as large, so overlap ≥ 2t/(1+t)·|B|) while the probe side keeps the
+    full ``|A| - ceil(t·|A|) + 1`` prefix — a ~25% candidate cut at
+    t=0.3 on top of the symmetric rule. Ubiquitous stop-shingles sit at
+    the END of every ordering and never generate candidates, so the
+    stop-shingle skew problem disappears structurally.
 
-    Shuffles: df-count agg, per-doc rank window, prefix self-join,
-    pair distinct, one verify groupBy, two keyed joins to fetch the
-    full sets. All keyed — no cross join. Candidate count tracks
-    rare-token collisions; verification cost tracks TRUE near-dup
-    pairs (output-bound — irreducible for any exact method).
+    Candidate pruning before verification (all filters sound):
+      * length filter — J ≥ t forces t·|A| ≤ |B|;
+      * positional filter — the globally-first common shingle c of a
+        pair has the MINIMUM rank among common shingles in BOTH docs
+        (the rarity order is total and identical in every doc) and lands
+        inside both prefixes whenever J ≥ t; every other common shingle
+        sits after c in both arrays, so
+          overlap ≤ 1 + min(|A| - rn_a(c), |B| - rn_b(c)),
+        with rn(c) recovered as min(rn) over the pair's shared prefix
+        occurrences. Prune when the bound misses the equivalent overlap
+        threshold ceil(t·(|A|+|B|)/(1+t)).
+
+    Verification intersects per-doc sorted arrays of the 60-bit md5
+    shingle hashes ``shingle_sets`` already emits (longs — cheap merge,
+    compact shuffle payload); exact up to the same md5-60-bit collision
+    caveat as every shingle consumer, and equality to the all-pairs plan
+    is regression-tested.
+
+    Shuffles: df-count agg, per-doc rank window, prefix probe×index
+    join, pair groupBy, two keyed joins to fetch the hash arrays. All
+    keyed — no cross join. Verification cost tracks TRUE near-dup pairs
+    (output-bound — irreducible for any exact method).
     """
     from pyspark.sql import Window as W
 
     # one shingle computation feeds frequency, ranking, sizes AND the
     # verification arrays — without the cache each reference re-shingles
-    # the corpus (plan audit showed 8 scans)
+    # the corpus (plan audit showed 8 scans). Shingles are 60-bit hashed
+    # immediately; every downstream op touches only longs.
     sh = shingle_sets(df, id_col, text_col, n).cache()
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-    ranked = sh.join(freq, "sh").withColumn(
-        "__rn",
-        F.row_number().over(
-            W.partitionBy(id_col).orderBy("__df", "sh")
-        ),
+    # rank AND set size from the SAME per-doc window partition — the
+    # unordered count() rides the rank's exchange, replacing a separate
+    # sizes groupBy + join (two fewer stages in every run)
+    ranked = sh.join(freq, "sh").select(
+        F.col(id_col),
+        "sh",
+        F.row_number()
+        .over(W.partitionBy(id_col).orderBy("__df", "sh"))
+        .alias("__rn"),
+        F.count(F.lit(1)).over(W.partitionBy(id_col)).alias("__sz"),
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
-    # prefix length: sz - ceil(t*sz) + 1
-    pref = (
-        ranked.join(sizes, id_col)
-        .where(
-            F.col("__rn")
-            <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
-        )
-        .select(id_col, "sh")
+    t = float(threshold)
+    # -1e-9 inside every ceil: if the product floats epsilon ABOVE an
+    # exact integer the ceil grows by 1 and the prefix SHRINKS — which
+    # would silently drop true pairs. Epsilon only ever lengthens a
+    # prefix by one entry (sound, marginally more candidates).
+    probe_len = (
+        F.col("__sz")
+        - F.ceil(F.lit(t) * F.col("__sz") - F.lit(1e-9))
+        + 1
+    )
+    index_len = (
+        F.col("__sz")
+        - F.ceil(F.lit(2.0 * t / (1.0 + t)) * F.col("__sz") - F.lit(1e-9))
+        + 1
+    )
+    probe = ranked.where(F.col("__rn") <= probe_len).select(
+        F.col(id_col).alias("a"), "sh",
+        F.col("__rn").alias("__ra"), F.col("__sz").alias("__sa"),
+    )
+    index = ranked.where(F.col("__rn") <= index_len).select(
+        F.col(id_col).alias("b"), "sh",
+        F.col("__rn").alias("__rb"), F.col("__sz").alias("__sb"),
+    )
+    smaller_b = (F.col("__sb") < F.col("__sa")) | (
+        (F.col("__sb") == F.col("__sa")) & (F.col("b") < F.col("a"))
     )
     cand = (
-        pref.select(F.col(id_col).alias("a"), "sh")
-        .join(pref.select(F.col(id_col).alias("b"), "sh"), "sh")
-        .where(F.col("a") < F.col("b"))
+        probe.join(index, "sh")
+        .where(
+            smaller_b
+            & (F.col("__sb") * F.lit(1.0) >= F.lit(t) * F.col("__sa"))
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.min("__ra").alias("__ia"),
+            F.min("__rb").alias("__ib"),
+            F.max("__ra").alias("__xa"),
+            F.max("__rb").alias("__xb"),
+            F.count(F.lit(1)).alias("__cp"),
+            F.first("__sa").alias("__sa"),
+            F.first("__sb").alias("__sb"),
+        )
+        # Two sound overlap upper bounds, both against the equivalent
+        # overlap threshold ceil(t·(|A|+|B|)/(1+t)); -1e-9 keeps the ceil
+        # from over-pruning on exact-integer products (t=0.3, sa+sb=26 →
+        # 6.000000000000001):
+        #  (1) first-common bound: 1 + min remaining after the globally
+        #      first common shingle;
+        #  (2) last-occurrence bound: every common shingle globally
+        #      before the LAST shared prefix occurrence is itself a
+        #      shared prefix occurrence (identical order + both inside
+        #      the prefixes), so overlap ≤ c_pref + min remaining after
+        #      the last occurrence — much tighter for pairs that share
+        #      only a few early rare shingles.
+        .withColumn(
+            "__alpha",
+            F.ceil(
+                F.lit(t / (1.0 + t))
+                * (F.col("__sa") + F.col("__sb"))
+                - F.lit(1e-9)
+            ),
+        )
+        .where(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("__sa") - F.col("__ia"),
+                    F.col("__sb") - F.col("__ib"),
+                )
+                >= F.col("__alpha")
+            )
+            & (
+                F.col("__cp")
+                + F.least(
+                    F.col("__sa") - F.col("__xa"),
+                    F.col("__sb") - F.col("__xb"),
+                )
+                >= F.col("__alpha")
+            )
+        )
         .select("a", "b")
-        .distinct()
     )
-    # verify exactly on the full (sorted, distinct) shingle arrays
+    # verify exactly on the full sorted 60-bit-hash arrays
     arrs = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_list("sh")).alias("__arr")
     )
@@ -1065,5 +1155,12 @@ def jaccard_pairs_prefix(
                 6,
             ),
         )
+        .where(F.col("jaccard") >= threshold)
     )
-    return joined.where(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+    # restore id-ordered pair orientation (probe/index orientation is by
+    # (size, id), not id)
+    return joined.select(
+        F.least("a", "b").alias("a"),
+        F.greatest("a", "b").alias("b"),
+        "jaccard",
+    )
