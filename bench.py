@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_lsh_exact",
     "dedup_simhash",
     "similarity_topk",
     "similarity_ann_lsh",

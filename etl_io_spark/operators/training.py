@@ -288,6 +288,15 @@ def weighted_sample(
     Plan: pure map to compute keys + ONE TakeOrdered top-k — no shuffle
     beyond the k-row reduction, no per-group state. Rows with
     non-positive weight are excluded (their inclusion probability is 0).
+
+    The ranking uses the UNROUNDED key: |key| ~ 1/w, so rounding the
+    ranking column to ``round_to`` decimals would collapse keys into ties
+    (broken by id ascending — no longer weight-proportional) once weights
+    exceed ~10^(round_to-3). Only the EMITTED ``sample_key`` column is
+    rounded, for cross-engine value parity; order parity holds because
+    both engines compute the key with identical IEEE ops on identical
+    doubles (ln is the one library call — a last-ulp ln divergence would
+    need two keys within ~1e-16 relative to flip the order).
     """
     from etl_io_spark.functions.numeric import round_pz
 
@@ -297,11 +306,13 @@ def weighted_sample(
     key = F.log(u) / F.col(weight_col)
     return (
         df.where(F.col(weight_col) > 0)
+        .withColumn("__rank_key", key)
         # keys are <= 0; round_pz normalizes the -0.0 a near-zero key
         # rounds to (negative-zero parity, see functions/numeric.py)
         .withColumn("sample_key", round_pz(key, round_to))
-        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .orderBy(F.col("__rank_key").desc(), F.col(id_col))
         .limit(k)
+        .drop("__rank_key")
     )
 
 

@@ -51,9 +51,12 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "melt_unpivot", "window_topk_per_group", "window_running_sum",
     "set_union_counts", "normalize_codes", "json_extract_events",
     "events_tumbling_window", "top_k_orders",
-    # dedup family (each a distinct algorithm)
+    # dedup family (each a distinct algorithm). dedup_lsh_exact entered in
+    # round 3 (VERDICT r2 ask #5: grade the LSH-prefilter → exact-verify
+    # composition); pack_sequences rotated out to hold the window at 50 —
+    # it stays green under tools/check.py + pytest.
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
-    "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_minhash_lsh", "dedup_lsh_exact", "dedup_simhash",
     # similarity search
     "similarity_topk", "similarity_ann_lsh", "embedding_neardup",
     # text analysis
@@ -66,7 +69,7 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "quant_pivot_pipeline", "qual_onehot_pipeline",
     # raw-SQL passthrough (S4) + extension joins / CDC / training ops
     "sql_passthrough", "asof_join_events", "scd2_customer_merge",
-    "corpus_curation", "pack_sequences",
+    "corpus_curation",
 )
 
 
@@ -4009,6 +4012,65 @@ def _dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# Two-stage exact-at-scale dedup: MinHash-LSH band candidates → EXACT
+# Jaccard verification on candidates only (operators/dedup.py:
+# lsh_exact_pairs) — the composed 100 TB recipe as one graded plan. The
+# oracle reproduces BOTH stages: the md5 band keys (deterministic in any
+# engine) and the exact intersection over the candidate pairs.
+# ==========================================================================
+def _lsh_exact_oracle(
+    num_perm: int = 16, bands: int = 4, threshold: float = 0.3
+) -> str:
+    rpb = num_perm // bands
+    p = dedup.MINHASH_P
+    a = ", ".join(str(dedup._perm_a(j)) for j in range(num_perm))
+    b = ", ".join(str(dedup._perm_b(j)) for j in range(num_perm))
+    return (
+        _SHINGLE_CTE
+        + f""",
+    perms AS (SELECT UNNEST(generate_series(0, {num_perm - 1})) AS j),
+    sig AS (
+      SELECT doc_id, j,
+             MIN((([{a}][j+1]) * (sh % {p}) + ([{b}][j+1])) % {p}) AS minhash
+      FROM sh, perms GROUP BY doc_id, j
+    ),
+    bkeys AS (
+      SELECT doc_id, CAST(j // {rpb} AS INT) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j)) AS bkey
+      FROM sig GROUP BY doc_id, CAST(j // {rpb} AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bkeys x JOIN bkeys y ON x.band = y.band AND x.bkey = y.bkey
+      WHERE x.doc_id < y.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    ix AS (
+      SELECT c.a, c.b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.a
+      JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+      GROUP BY 1, 2
+    )
+    SELECT ix.a, ix.b,
+           ROUND(ix.i * 1.0 / (sa.sz + sb.sz - ix.i), 6) AS jaccard
+    FROM ix
+    JOIN sz sa ON sa.doc_id = ix.a
+    JOIN sz sb ON sb.doc_id = ix.b
+    WHERE ROUND(ix.i * 1.0 / (sa.sz + sb.sz - ix.i), 6) >= {threshold}
+    """
+    )
+
+
+@register("dedup_lsh_exact", _lsh_exact_oracle())
+def _dedup_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_exact_pairs(
+        _cat(spark, sf_dir).table("documents"), "doc_id", "text",
+        num_perm=16, bands=4, n=3, threshold=0.3,
+    )
+
+
+# ==========================================================================
 # Robust (median/MAD) anomaly flagging per event type — outlier-proof
 # sibling of anomaly_zscore_events; two exact-percentile passes with
 # broadcast join-back (operators/aggregate.py:robust_anomaly)
@@ -4147,15 +4209,16 @@ def _peak_concurrency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reproducible weight-proportional top-k, one TakeOrdered, no shuffle
 # ==========================================================================
 _WEIGHTED_SAMPLE_SQL = """
-    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, sample_key
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+           ROUND(rank_key, 9) + 0.0 AS sample_key
     FROM (
       SELECT o_orderkey, o_totalprice,
-             ROUND(LN((CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
-                             1, 15)) AS BIGINT) + 0.5)
-                      / 1152921504606846976.0) / o_totalprice, 9) + 0.0 AS sample_key
+             LN((CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+                       1, 15)) AS BIGINT) + 0.5)
+                / 1152921504606846976.0) / o_totalprice AS rank_key
       FROM orders WHERE o_totalprice > 0
     )
-    ORDER BY sample_key DESC, o_orderkey LIMIT 200
+    ORDER BY rank_key DESC, o_orderkey LIMIT 200
 """
 
 

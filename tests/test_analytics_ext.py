@@ -722,6 +722,36 @@ def test_prefix_jaccard_matches_allpairs(spark):
     assert exact == pref and len(pref) > 0
 
 
+def test_lsh_exact_pairs_subset_with_exact_scores(spark):
+    """Two-stage LSH→exact: every reported pair carries the TRUE jaccard
+    (identical to the all-pairs value) and the pair set is a subset of
+    all-pairs; on near-identical docs (J≈0.9) banding must catch the pair."""
+    from etl_io_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " tail"),
+        (3, "completely different words in this document body here now ok"),
+        (4, base.replace("quick", "slow")),
+        (5, "short text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    exact = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.3).collect()
+    }
+    two_stage = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.lsh_exact_pairs(df, "doc_id", "text", threshold=0.3).collect()
+    }
+    assert set(two_stage) <= set(exact)
+    for pair, j in two_stage.items():
+        assert j == exact[pair]
+    # (1,2) are near-identical — high-J recall is the banding guarantee
+    assert (1, 2) in two_stage
+
+
 def test_robust_anomaly_hand_case(spark):
     from etl_io_spark.operators import aggregate as agg
 
@@ -791,6 +821,23 @@ def test_histogram2d_hand_case(spark):
     out = {(r["bx"], r["by"]): r["n"] for r in agg.histogram2d(
         df, "x", "y", nx=2, ny=2).collect()}
     assert out == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_histogram2d_constant_axis(spark):
+    """ADVICE r3: a constant column (hi == lo) must map every row to
+    bucket 0 on that axis, not produce NULL/NaN buckets."""
+    from etl_io_spark.operators import aggregate as agg
+
+    rows = [(5.0, 0.0), (5.0, 9.0), (5.0, 10.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = {(r["bx"], r["by"]): r["n"] for r in agg.histogram2d(
+        df, "x", "y", nx=2, ny=2).collect()}
+    assert out == {(0, 0): 1, (0, 1): 2}
+    # both axes constant: one (0, 0) cell holding every row
+    df2 = spark.createDataFrame([(5.0, 7.0)] * 4, "x double, y double")
+    r = agg.histogram2d(df2, "x", "y", nx=3, ny=3).collect()
+    assert len(r) == 1 and (r[0]["bx"], r[0]["by"], r[0]["n"]) == (0, 0, 4)
+    assert r[0]["x_lo"] == 5.0 and r[0]["y_lo"] == 7.0
 
 
 def test_funnel_latency_hand_case(spark):
@@ -875,6 +922,16 @@ def test_incremental_agg_update_matches_recompute(spark):
     assert out["c"]["sum_v"] == 1.0 and out["c"]["n_rows"] == 1
     assert "b" not in out  # count reached zero -> key drops out
 
+    # ADVICE r3: malformed changelog rows (NULL / unknown op) are dropped,
+    # not treated as deletes
+    bad = spark.createDataFrame(
+        [("a", 7.0, "I"), ("a", 99.0, None), ("a", 99.0, "U")],
+        "k string, v double, op string",
+    )
+    out2 = {r["k"]: r for r in agg.incremental_agg_update(
+        base, bad, ["k"], "v").collect()}
+    assert out2["a"]["sum_v"] == 37.0 and out2["a"]["n_rows"] == 3
+
 
 def test_minmax_normalize_hand_case(spark):
     from etl_io_spark.operators import aggregate as agg
@@ -906,6 +963,15 @@ def test_mutual_information_extremes(spark):
     )
     r2 = agg.mutual_information(ind, "x", "y").collect()[0]
     assert r2["mi_nats"] == 0.0 and r2["n_rows"] == 100
+
+    # ADVICE r3: NULL categories are kept (sentinel-coalesced), so n_rows
+    # counts every row and a NULL-valued category still contributes
+    withnull = spark.createDataFrame(
+        [("a", "a"), (None, None)] * 50, "x string, y string"
+    )
+    r3 = agg.mutual_information(withnull, "x", "y").collect()[0]
+    assert r3["n_rows"] == 100
+    assert abs(r3["mi_nats"] - round(math.log(2), 6)) < 1e-9
 
 
 def test_quote_spans_hand_case(spark):
@@ -973,3 +1039,24 @@ def test_pareto_skyline_hand_case(spark):
             or (o["acctbal"] > r["acctbal"] and o["revenue"] >= r["revenue"])
             for o in rows
         )
+
+
+def test_connected_components_cleans_supplied_checkpoint_dir(spark, tmp_path):
+    """With a user-supplied (cluster-visible) checkpoint_dir, prior-round
+    label checkpoints are deleted as the loop advances — only the final
+    round's files (backing the returned DataFrame) remain."""
+    import os
+
+    from etl_io_spark.operators import dedup
+
+    # chain graph: 0-1-2-3-4-5 needs several pointer-jumping rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "a bigint, b bigint"
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    out = dedup.connected_components(pairs, "a", "b", checkpoint_dir=ckpt)
+    rows = out.collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    tags = sorted(os.listdir(ckpt))
+    # exactly one round dir left (the one backing the returned DataFrame)
+    assert len(tags) == 1, tags

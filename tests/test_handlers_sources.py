@@ -275,3 +275,36 @@ def test_union_evolved_fills_missing_columns(spark):
     assert out[0]["score"] is None   # old generation: new column nulled
     assert out[1]["score"] == 9.5
     assert set(union_evolved([v2, v1]).columns) == {"id", "x", "score"}
+
+
+def test_union_evolved_empty_input_raises(spark):
+    from etl_io_spark.sources.readers import union_evolved
+
+    with pytest.raises(ValueError):
+        union_evolved([])
+
+
+def test_nanos_cols_partitioned_layout(spark, tmp_path):
+    """partitionBy layouts (part files under key=value subdirs) are walked
+    recursively; a ns-typed column is found from the nested footer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_io_spark.catalog import TableCatalog
+
+    part_dir = tmp_path / "t.parquet" / "k=1"
+    part_dir.mkdir(parents=True)
+    tbl = pa.table(
+        {
+            "ts": pa.array([1, 2, 3], type=pa.timestamp("ns")),
+            "v": pa.array([1.0, 2.0, 3.0]),
+        }
+    )
+    pq.write_table(tbl, part_dir / "part-00000.parquet")
+    cols = TableCatalog._nanos_cols(str(tmp_path / "t.parquet"))
+    assert cols == ["ts"]
+    # empty directory: loud error instead of silently skipping conversion
+    empty = tmp_path / "empty.parquet"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        TableCatalog._nanos_cols(str(empty))

@@ -208,6 +208,34 @@ def test_weighted_sample_heavy_weight_wins(spark):
     assert [r["id"] for r in training.weighted_sample(df2, "id", "w", k=5).collect()] == [3]
 
 
+def test_weighted_sample_large_weights_stay_hash_driven(spark):
+    """ADVICE r3: with weights ~1e8 the 9-decimal ROUNDED key collapses to
+    ties broken by ascending id (sample == first k ids — not a sample at
+    all). Ranking on the unrounded key must keep the selection hash-driven
+    and match the exact Efraimidis-Spirakis top-k computed in Python."""
+    import hashlib
+
+    from etl_io_spark.operators import training
+
+    n, k = 100, 20
+    rows = [(i, 1e8 * (1 + (i % 7))) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    ids = [r["id"] for r in training.weighted_sample(df, "id", "w", k=k).collect()]
+    assert ids != list(range(k)), "rounded-key tie collapse regressed"
+
+    import math
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / 1152921504606846976.0
+        return math.log(u) / w
+
+    expected = [
+        i for i, _w in sorted(rows, key=lambda r: (-key(r[0], r[1]), r[0]))
+    ][:k]
+    assert ids == expected
+
+
 def test_rendezvous_resize_moves_only_new_shard(spark):
     from etl_io_spark.operators import training
 

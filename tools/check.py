@@ -74,6 +74,12 @@ def run_check(sf_dir: str, only: list[str] | None = None) -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            # several operators cache/persist intermediates for the
+            # duration of their action (shingle sets, graph frontiers);
+            # across a 184-query session those would pile up in the block
+            # manager — drop them once the query has materialized.
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ok*   {name}: rows={len(srows)} (rows-only; no oracle) "
                   f"[{time.time()-t0:.1f}s]")

@@ -35,6 +35,7 @@ PROBE = [
     "market_basket_pairs",
     "dedup_exact_hash",
     "dedup_minhash_lsh",
+    "dedup_lsh_exact",
     "dedup_ngram_jaccard",
     "dedup_jaccard_prefix",
     "containment_pairs",
