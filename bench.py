@@ -78,6 +78,7 @@ HEADLINE = [
     "activity_streaks",
     "cumulative_reach",
     "char_entropy_docs",
+    "lm_cross_entropy_docs",
     "snm_neardup_docs",
     "containment_pairs",
     "robust_anomaly_events",
@@ -90,6 +91,7 @@ HEADLINE = [
     "market_basket_pairs",
     "trending_event_types",
     "winsorize_prices",
+    "winsorize_prices_approx",
     "incremental_dedup",
     "sketch_rollup_users",
     "profile_lineitem",

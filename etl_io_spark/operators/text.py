@@ -761,3 +761,64 @@ def vocab_drift(
             round_to,
         ).alias("js"),
     )
+
+
+def lm_cross_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document cross-entropy (nats/token) under an interpolated
+    bigram language model trained on the corpus itself — the classic
+    perplexity-proxy quality filter (KenLM-style gating without the
+    external model): boilerplate and templated text score LOW (their
+    bigrams are corpus-frequent), keyboard mash and OCR noise score HIGH.
+
+      p(w2 | w1) = alpha * c(w1 w2) / c1(w1) + (1 - alpha) * c2(w2) / N
+
+    with c1 counted over LEFT bigram slots and c2 over RIGHT slots, so
+    both terms are proper conditionals over the same event space and the
+    mixture never hits log(0) for in-corpus bigrams. Docs with < 2
+    tokens have no bigrams and are absent from the output.
+
+    Plan: one map-side bigram explode (zip_with over the token array and
+    its tail — no self-join), one groupBy to count bigrams; unigram slot
+    counts and the total reuse those bigram counts (vocabulary-sized
+    input). The per-doc pass joins each bigram occurrence to its counts
+    — the corpus-proportional cost is the bigram explode + one keyed
+    join, exactly the scan-shaped work any corpus LM scorer must do.
+    Mirrors pmi_collocations' shared-denominator construction.
+    """
+    toks = F.col("__toks")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    occ = (
+        spread_text(df)
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(F.col(id_col), F.explode(bigrams).alias("__b"))
+        .select(id_col, F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    )
+    bg = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).cache()
+    c1 = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    total = bg.agg(F.sum("c12").alias("__N"))
+    p = (
+        F.lit(alpha) * F.col("c12") / F.col("c1")
+        + F.lit(1.0 - alpha) * F.col("c2") / F.col("__N")
+    )
+    scored = (
+        occ.join(bg, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), (-F.log(p)).alias("__nll"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("__nll"), round_to).alias("cross_entropy"),
+    )

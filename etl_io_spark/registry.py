@@ -2778,6 +2778,22 @@ def _winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "l_extendedprice_wins")
 
 
+# Rows-only twin on the KLL-style approx_percentile bounds — the 100 TB
+# scale path (partial-aggregable sketch, no per-group sort). The sketch's
+# merge order is engine-internal, so no SQL oracle can reproduce the
+# bounds bit-for-bit; accuracy is asserted in pytest against the exact
+# path instead (clip bounds within the sketch's rank-error tolerance).
+@register("winsorize_prices_approx")
+def _winsorize_prices_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _cat(spark, sf_dir).table("lineitem")
+    return agg.winsorize(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        approx=True,
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice_wins")
+
+
 # ==========================================================================
 # Mergeable-sketch rollup: daily HLL sketches unioned to monthly distinct
 # users WITHOUT rescanning the fact table (no SQL oracle: sketch estimate;
@@ -3803,6 +3819,44 @@ def _ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.ewma_score(
         ev, "user_id", "ts", "value", halflife_seconds=86400.0
     )
+
+
+# ==========================================================================
+# Bigram-LM cross-entropy per document (perplexity-proxy quality filter;
+# operators/text.py:lm_cross_entropy). The oracle retrains the same
+# interpolated LM: identical count CTEs, identical mixture arithmetic.
+# ==========================================================================
+_LM_XENT_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id,
+             UNNEST([l[i] for i in generate_series(1, len(l) - 1)]) AS w1,
+             UNNEST([l[i+1] for i in generate_series(1, len(l) - 1)]) AS w2
+      FROM toks
+    ),
+    c AS (SELECT w1, w2, COUNT(*) AS c12 FROM occ GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c GROUP BY 1),
+    c2 AS (SELECT w2, SUM(c12) AS c2 FROM c GROUP BY 1),
+    t AS (SELECT SUM(c12) AS n FROM c)
+    SELECT occ.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-LN(0.4 * c.c12 / c1.c1 + 0.6 * c2.c2 / t.n)), 6)
+             AS cross_entropy
+    FROM occ
+    JOIN c USING (w1, w2)
+    JOIN c1 USING (w1)
+    JOIN c2 USING (w2)
+    CROSS JOIN t
+    GROUP BY occ.doc_id
+"""
+
+
+@register("lm_cross_entropy_docs", _LM_XENT_SQL)
+def _lm_cross_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    return text.lm_cross_entropy(docs, "doc_id", "text", alpha=0.4)
 
 
 # ==========================================================================

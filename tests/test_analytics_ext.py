@@ -206,6 +206,34 @@ def test_winsorize_clips_to_group_quantiles(spark):
     assert 50.0 in xs
 
 
+def test_winsorize_approx_tracks_exact(spark, cat):
+    """The approx (sketch-bound) twin clips to bounds within the
+    approx_percentile rank-error tolerance of the exact path: identical
+    on all interior rows, and the clipped extremes stay close."""
+    li = cat.table("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    def stats(approx):
+        out = agg.winsorize(
+            li, ["l_returnflag"], "l_extendedprice", approx=approx
+        )
+        return out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_extendedprice_wins").alias("s"),
+            F.min("l_extendedprice_wins").alias("lo"),
+            F.max("l_extendedprice_wins").alias("hi"),
+        ).collect()[0]
+
+    e, a = stats(False), stats(True)
+    assert e["n"] == a["n"] > 0
+    span = e["hi"] - e["lo"]
+    # sketch bounds sit within its rank-error tolerance of the exact
+    # quantiles, so the clipped distribution barely moves
+    assert abs(e["s"] - a["s"]) / abs(e["s"]) < 1e-3
+    assert abs(e["lo"] - a["lo"]) <= 0.02 * span
+    assert abs(e["hi"] - a["hi"]) <= 0.02 * span
+
+
 # --------------------------------------------------------------------------
 # sketch rollup: merged estimates within HLL error of exact counts
 # --------------------------------------------------------------------------
@@ -1060,3 +1088,31 @@ def test_connected_components_cleans_supplied_checkpoint_dir(spark, tmp_path):
     tags = sorted(os.listdir(ckpt))
     # exactly one round dir left (the one backing the returned DataFrame)
     assert len(tags) == 1, tags
+
+
+def test_lm_cross_entropy_hand_case(spark):
+    """Bigram LM on a 2-doc corpus: repeated template text scores LOWER
+    cross-entropy than a doc of corpus-unique bigrams; values match the
+    hand-derived interpolated mixture."""
+    import math
+
+    from etl_io_spark.operators import text as txt
+
+    d1 = "a b a b a b"          # bigrams: (a,b) x3, (b,a) x2
+    d2 = "c d e"                # bigrams: (c,d), (d,e)
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id int, text string")
+    out = {r["doc_id"]: r for r in txt.lm_cross_entropy(df, "doc_id", "text").collect()}
+    N = 7
+    c12 = {("a", "b"): 3, ("b", "a"): 2, ("c", "d"): 1, ("d", "e"): 1}
+    c1 = {"a": 3, "b": 2, "c": 1, "d": 1}
+    c2 = {"b": 3, "a": 2, "d": 1, "e": 1}
+
+    def p(w1, w2):
+        return 0.4 * c12[(w1, w2)] / c1[w1] + 0.6 * c2[w2] / N
+
+    e1 = -(3 * math.log(p("a", "b")) + 2 * math.log(p("b", "a"))) / 5
+    e2 = -(math.log(p("c", "d")) + math.log(p("d", "e"))) / 2
+    assert out[1]["n_bigrams"] == 5 and out[2]["n_bigrams"] == 2
+    assert out[1]["cross_entropy"] == pytest.approx(e1, abs=1e-6)
+    assert out[2]["cross_entropy"] == pytest.approx(e2, abs=1e-6)
+    assert out[1]["cross_entropy"] < out[2]["cross_entropy"]
