@@ -283,7 +283,7 @@ def simhash(
     ONE aggregate pass (no per-bit explode): the shuffle carries ``bits``
     ints per doc. Near-dup docs differ in few bits (small Hamming distance).
     """
-    tok = spread_text(df).select(
+    tok = spread(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("t")
     ).withColumn("h", hash60(F.col("t")))
     votes = tok.groupBy(id_col).agg(

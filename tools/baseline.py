@@ -33,7 +33,14 @@ ORACLE_TIMEOUT_S = float(os.environ.get("BASELINE_ORACLE_TIMEOUT", "300"))
 
 def _warm(fn, runs: int = 3) -> float:
     """Median of up to ``runs`` executions; stop early once a single run
-    exceeds SLOW_CUTOFF_S (long runs self-amortize warmup noise)."""
+    exceeds SLOW_CUTOFF_S (long runs self-amortize warmup noise).
+
+    ``fn`` must build a FRESH plan per call: re-executing one DataFrame
+    object reuses its shuffle-stage outputs and skips whole stages —
+    the round-2 baseline understated several Spark times this way (and
+    mis-ranked a repartition as a regression). DuckDB re-runs the full
+    SQL each time, so fresh-plan timing is the like-for-like protocol.
+    """
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -83,8 +90,13 @@ def main() -> None:
     print("|---|---|---|---|---|", flush=True)
     total_d = total_s = 0.0
     for name, fn in qs.items():
-        df = fn(spark, SF_DIR)
-        ts = _warm(lambda: df.write.format("noop").mode("overwrite").save())
+        ts = _warm(
+            lambda: fn(spark, SF_DIR)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        spark.catalog.clearCache()
         timed_out = False
         if name in oracles:
             td, timed_out = _warm_oracle(con, oracles[name])
