@@ -59,31 +59,52 @@ def pagerank(
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
         .distinct()
-        .persist()  # joined against every iteration
+        .persist()  # the final no-in-edge backfill joins against it
     )
     n = nodes.count()
     outdeg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__outdeg"))
     # loop-invariant: each edge annotated with its source's out-degree
     fan = e.join(outdeg, "__src").persist()
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
-    for i in range(iterations):
-        contribs = (
-            fan.join(ranks, fan["__src"] == ranks["node"])
-            .groupBy("__dst")
-            .agg(F.sum(F.col("rank") / F.col("__outdeg")).alias("__c"))
+    # Fused iteration: the rank table is never materialized inside the
+    # loop.  rank_i(u) = base + d·contrib_i(u) is folded INTO iteration
+    # i+1's contribution sum (coalesce handles sources with no in-edges,
+    # whose rank is exactly ``base``), so each iteration is ONE fan-side
+    # join + ONE partial-agg shuffle of |V| rows — not the textbook
+    # two-joins-per-iteration plan.  Iteration 1 needs no join at all
+    # (uniform ranks fold into a constant).  The contribution table is
+    # |V|-sized, so AQE converts the per-iteration join to broadcast on
+    # moderate graphs and exchange-reuse dedups the fan shuffle when it
+    # must sort-merge.
+    contribs = fan.groupBy("__dst").agg(
+        F.sum(F.lit(1.0 / n) / F.col("__outdeg")).alias("__c")
+    )
+    for i in range(1, iterations):
+        prev = contribs.select(
+            F.col("__dst").alias("__node"),
+            (F.lit(base) + F.lit(damping) * F.col("__c")).alias("__r"),
         )
-        ranks = nodes.join(
-            contribs, nodes["node"] == contribs["__dst"], "left"
-        ).select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce(F.col("__c"), F.lit(0.0))
-            ).alias("rank"),
+        contribs = (
+            fan.join(prev, fan["__src"] == prev["__node"], "left")
+            .groupBy("__dst")
+            .agg(
+                F.sum(
+                    F.coalesce(F.col("__r"), F.lit(base)) / F.col("__outdeg")
+                ).alias("__c")
+            )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            contribs = contribs.localCheckpoint(eager=True)
+    # single node-set join at the END: nodes with no in-edges anywhere
+    # keep rank = base.
+    ranks = nodes.join(
+        contribs, nodes["node"] == contribs["__dst"], "left"
+    ).select(
+        "node",
+        (
+            F.lit(base) + F.lit(damping) * F.coalesce(F.col("__c"), F.lit(0.0))
+        ).alias("rank"),
+    )
     # NOTE: ``e``/``nodes``/``fan`` stay persisted — the returned plan is
     # lazy and still references them every iteration; callers can
     # unpersist after their action (blockManager eviction reclaims them

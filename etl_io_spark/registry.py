@@ -3319,7 +3319,11 @@ def _pagerank_oracle(iterations: int = 5) -> str:
 def _pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the undirected customer↔supplier graph (edge =
     'traded at least once', from lineitem⋈orders). 5 fixed iterations;
-    each is one contribution shuffle + one node join (operators/graph.py)."""
+    each is one fused contribution join + shuffle (operators/graph.py).
+    Node ids stay BIGINT through every iteration (custkey→2k even,
+    suppkey→2k+1 odd) — int64 join/sort keys, not strings — and the
+    'c…'/'s…' labels the oracle uses are reconstructed once at the end;
+    rank values are key-representation-independent."""
     from etl_io_spark.operators import graph
 
     cat = _cat(spark, sf_dir)
@@ -3328,16 +3332,23 @@ def _pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
-    return graph.pagerank(graph.symmetrize(pairs), iterations=5)
+    ranks = graph.pagerank(graph.symmetrize(pairs), iterations=5)
+    return ranks.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), F.expr("node DIV 2").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), F.expr("node DIV 2").cast("string"))
+        )
+        .alias("node"),
+        "rank",
+    )
 
 
 # ==========================================================================
