@@ -830,3 +830,57 @@ def corr_matrix(
         ),
         F.col("__n").alias("n_rows"),
     )
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution of a positive measure vs
+    Benford's law — the classic forensic data-quality screen (fabricated
+    or clamped numeric columns flunk it; naturally multiplicative ones
+    follow it). Returns nine rows ``(digit, n, observed_p, benford_p,
+    chi2)`` where ``chi2`` is the (identical-per-row) Pearson statistic
+    Σ (n_d − N·p_d)² / (N·p_d) over the nine digits.
+
+    Rows with ``value < 1`` are excluded: the digit is extracted from
+    the INTEGER part via integer→string conversion, which both engines
+    print identically — deliberately NOT ``floor(x / 10^floor(log10 x))``,
+    whose ulp wobble near powers of ten can flip the digit between
+    engines. The Benford probabilities are injected as Python double
+    literals into engine and oracle alike, so no runtime ``log10`` has
+    to agree either. Shape: one map + one 9-group partial agg + one
+    9-row window; nothing shuffles more than nine rows.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    digit = F.substring(
+        F.floor(F.col(value_col)).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    probs = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+    p_expr = F.lit(None).cast("double")
+    for d, p in probs.items():
+        p_expr = F.when(F.col("digit") == d, F.lit(p)).otherwise(p_expr)
+    counts = (
+        df.where(F.col(value_col) >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("benford_p", p_expr)
+    )
+    everything = Window.partitionBy()
+    n_total = F.sum("n").over(everything)
+    # (delta * delta), not pow(delta, 2): Math.pow is allowed 1 ulp of
+    # slack, an explicit product is the same IEEE multiply everywhere
+    delta = F.col("n") - n_total * F.col("benford_p")
+    chi2_term = delta * delta / (n_total * F.col("benford_p"))
+    return counts.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / n_total, round_to).alias("observed_p"),
+        F.round("benford_p", round_to).alias("benford_p"),
+        F.round(F.sum(chi2_term).over(everything), round_to).alias("chi2"),
+    )

@@ -29,7 +29,7 @@ eviction bounds the cost.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def pagerank(
@@ -238,3 +238,147 @@ def shortest_hops(
         known = known.unionAll(nxt).persist()
         frontier = nxt
     return known
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection over a
+    (symmetrized) edge list: every node starts labeled with its own id;
+    each round, every node adopts the most frequent label among its
+    out-neighbors, ties broken by the SMALLEST label — the deterministic
+    variant, so a fixed round count is exactly reproducible (and SQL
+    oracles can unroll it as chained CTEs). Returns ``(node, label)``
+    after ``rounds`` synchronous updates.
+
+    Pass a symmetrized edge list for undirected LPA — a node with no
+    out-edges has nobody to vote and drops out of the label table.
+
+    Scale design: per round, ONE |E|-row join routing each neighbor's
+    current label + ONE (node, label) partial-agg count + ONE per-node
+    top-1 window (row_number over count DESC, label ASC — no global
+    sort). The label table is |V| rows, so AQE broadcasts the join side
+    on moderate graphs; the edge list is persisted once and reused every
+    round. Rounds are fixed — the plan is finite, lineage grows
+    linearly, nothing iterates to a data-dependent fixpoint.
+    """
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).persist()
+    labels = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    top1 = Window.partitionBy("__s").orderBy(
+        F.desc("__c"), F.asc("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            e.join(labels, e["__d"] == labels["node"])
+            .groupBy("__s", "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(top1))
+            .where(F.col("__rn") == 1)
+            .select(F.col("__s").alias("node"), "label")
+        )
+    return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Iterative degree pruning toward the k-core of a (symmetrized)
+    edge list: each round drops every node whose current degree is
+    below ``k`` plus all its edges, which lowers its neighbors' degrees
+    for the next round. A fixed ``rounds`` count keeps the plan finite
+    and oracle-unrollable; once a round removes nothing the result IS
+    the exact k-core (the cascade has converged). Returns the surviving
+    ``(node, degree)`` table.
+
+    Scale design: per round ONE degree aggregation plus TWO left-semi
+    joins against the keep-set — the keep-set only shrinks, so AQE
+    broadcasts it on moderate graphs and the |E|-row side is never
+    shuffled twice. ``localCheckpoint`` every round truncates the
+    otherwise-multiplicative semi-join lineage.
+    """
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    for r in range(rounds):
+        keep = (
+            e.groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .where(F.col("__deg") >= k)
+            .select("__s")
+        )
+        e = (
+            e.join(keep, "__s", "left_semi")
+            .join(keep.withColumnRenamed("__s", "__d"), "__d", "left_semi")
+            .select("__s", "__d")
+            .localCheckpoint(eager=False)
+        )
+    return e.groupBy("__s").agg(F.count(F.lit(1)).alias("degree")).select(
+        F.col("__s").alias("node"), "degree"
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst", round_to: int = 6
+) -> DataFrame:
+    """One-row degree summary of the undirected simple graph: node/edge
+    counts, mean degree, and the degree-assortativity coefficient —
+    Pearson correlation of (deg(u), deg(v)) across directed edge
+    endpoints, the standard 'do hubs attach to hubs?' diagnostic
+    (negative on hub-and-spoke graphs, positive on social graphs).
+
+    Shape: canonical-edge distinct, one degree agg, two broadcastable
+    degree joins, one global 1-row reduce. Pearson r is invariant to the
+    sample/population variance convention, so Spark's ``corr`` and SQL
+    ``CORR`` agree to float noise; the output is rounded with negative
+    zero normalized (assortativity can legitimately round to ±0).
+    """
+    from etl_io_spark.functions.numeric import round_pz
+
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = canon.select("a", "b").unionAll(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()  # consumed by the degree agg AND the endpoint joins
+    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    joined = (
+        both.join(deg.withColumnsRenamed({"a": "a", "d": "da"}), "a")
+        .join(deg.withColumnsRenamed({"a": "b", "d": "db"}), "b")
+    )
+    return joined.agg(
+        (F.count(F.lit(1)) / F.lit(2)).cast("bigint").alias("n_edges"),
+        F.count_distinct(F.col("a")).alias("n_nodes"),
+        # mean degree over NODES = 2|E|/|V| = directed-endpoint rows / |V|.
+        # Floor-form rounding in pure double arithmetic: an int/int ratio
+        # TERMINATES in decimal whenever |V| = 2^a·5^b, and engines break
+        # the resulting exact tie differently under ROUND (see
+        # robust_anomaly); floor(x·10^k + 0.5)/10^k is identical IEEE ops
+        # everywhere.
+        (
+            F.floor(
+                F.count(F.lit(1))
+                / F.count_distinct(F.col("a"))
+                * F.lit(10.0**round_to)
+                + F.lit(0.5)
+            )
+            / F.lit(10.0**round_to)
+        ).alias("mean_degree"),
+        round_pz(F.corr("da", "db"), round_to).alias("assortativity"),
+    ).select("n_nodes", "n_edges", "mean_degree", "assortativity")

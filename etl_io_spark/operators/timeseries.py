@@ -361,3 +361,100 @@ def peak_concurrency(
             F.expr("min_by(__t, struct(-__run, __t))")
         ).alias("peak_at"),
     )
+
+
+def time_decayed_stats(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_s: float = 86400.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exponentially time-decayed count and sum per key, anchored at the
+    corpus-wide max timestamp: each row contributes
+    ``w = 2^(-(t_max - t) / half_life)``. The freshness-weighted rollup
+    behind trending scores and decayed popularity counters — a batch twin
+    of the streaming EWMA (``ewma_score``) that needs no per-key ordering
+    at all.
+
+    Shape: one 1-row global max (broadcast back via cross join — never a
+    driver collect), one partial-aggregable groupBy. Timestamp deltas are
+    computed in exact integer MICROSECONDS (``unix_micros``) before the
+    single float ``pow``, so engines agree on every weight to the ulp.
+    """
+    tmax = df.agg(F.max(F.unix_micros(F.col(ts_col))).alias("__tmax"))
+    age_s = (F.col("__tmax") - F.unix_micros(F.col(ts_col))) / F.lit(1e6)
+    w = F.pow(F.lit(0.5), age_s / F.lit(half_life_s))
+    return (
+        df.crossJoin(F.broadcast(tmax))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(w), round_to).alias("decayed_n"),
+            F.round(F.sum(w * F.col(value_col)), round_to).alias(
+                "decayed_sum"
+            ),
+        )
+    )
+
+
+def seasonality_strength(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> DataFrame:
+    """Hour-of-day seasonality strength per key: bucket events into
+    hourly counts, then compare the variance of the 24 hour-of-day mean
+    counts against the variance of the full hourly series —
+    ``strength = var(hod_means) / var(hourly)`` approaches 1 when the
+    daily cycle explains the series and 0 when counts are flat/noisy
+    (both are ``var_samp`` with their own n−1 denominators — 23 vs
+    n_hours−1 — so a perfectly cyclic series can land slightly ABOVE 1;
+    it is a screen, not a bounded R²).
+    The classic variance-decomposition screen for "does this metric
+    breathe daily?" before fitting anything seasonal. Hours with zero
+    events carry no row (the variance is over OBSERVED hours) — dense
+    grids belong to ``resample_ffill`` upstream when that matters.
+
+    Shape: two stacked partial-aggregable groupBys (hourly counts →
+    hour-of-day means) and one per-key variance join — no windows, no
+    ordering. ``var_samp`` on both engines; output rounded, NULL when
+    the hourly variance is zero (constant series — strength undefined).
+    """
+    hourly = (
+        df.groupBy(
+            F.col(key_col),
+            F.date_trunc("hour", F.col(ts_col)).alias("__h"),
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_key = hourly.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.var_samp(F.col("__n").cast("double")).alias("__var_tot"),
+    )
+    hod_means = (
+        hourly.groupBy(
+            F.col(key_col), F.hour(F.col("__h")).alias("__hod")
+        )
+        .agg(F.avg(F.col("__n").cast("double")).alias("__m"))
+        .groupBy(key_col)
+        .agg(F.var_samp("__m").alias("__var_hod"))
+    )
+    return (
+        per_key.join(hod_means, key_col)
+        .select(
+            key_col,
+            "n_hours",
+            F.round("__var_tot", round_to).alias("var_hourly"),
+            F.round("__var_hod", round_to).alias("var_hod_means"),
+            F.round(
+                F.when(
+                    F.col("__var_tot") > 0,
+                    F.col("__var_hod") / F.col("__var_tot"),
+                ),
+                round_to,
+            ).alias("strength"),
+        )
+    )

@@ -3352,6 +3352,236 @@ def _pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# Community / core-structure graph suite (operators/graph.py): synchronous
+# label propagation, iterative k-core pruning, degree assortativity — all
+# over the bipartite customer↔supplier trade graph on BIGINT node keys
+# (custkey*2 even, suppkey*2+1 odd); oracles unroll the fixed rounds as
+# chained CTEs exactly like the PageRank oracle above
+# ==========================================================================
+_TRADE_EDGES_SQL = """base AS (
+      SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT b.s AS s, b.d AS d FROM base b
+              UNION SELECT b.d AS s, b.s AS d FROM base b)"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized trade graph on integer keys, shared by the graph suite."""
+    from etl_io_spark.operators import graph
+
+    cat = _cat(spark, sf_dir)
+    li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
+    orders = cat.table("orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.symmetrize(pairs)
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    head = f"""
+    WITH {_TRADE_EDGES_SQL},
+    l0 AS (SELECT DISTINCT s AS node, s AS label FROM edges)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+    l{i} AS (
+      SELECT s AS node, label FROM (
+        SELECT e.s, l.label, COUNT(*) AS c,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.s ORDER BY COUNT(*) DESC, l.label ASC
+               ) AS rn
+        FROM edges e JOIN l{i - 1} l ON l.node = e.d
+        GROUP BY e.s, l.label
+      ) WHERE rn = 1
+    )""")
+    return head + "".join(steps) + f"""
+    SELECT node, label FROM l{rounds}
+    """
+
+
+@register("lpa_communities_trade", _lpa_oracle())
+def _lpa_communities_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (graph.py
+    label_propagation): 3 deterministic rounds — per round one |E|-row
+    label-routing join, one (node, label) partial-agg count, one per-node
+    top-1 window; ties break to the smallest label so the fixed round
+    count is exactly SQL-reproducible."""
+    from etl_io_spark.operators import graph
+
+    return graph.label_propagation(_trade_edges(spark, sf_dir), rounds=3)
+
+
+def _kcore_oracle(k: int = 40, rounds: int = 3) -> str:
+    head = f"""
+    WITH {_TRADE_EDGES_SQL},
+    e0 AS (SELECT s, d FROM edges)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+    k{i} AS (SELECT s FROM (
+        SELECT s, COUNT(*) AS deg FROM e{i - 1} GROUP BY s
+      ) WHERE deg >= {k}),
+    e{i} AS (SELECT e.s, e.d FROM e{i - 1} e
+             JOIN k{i} a ON e.s = a.s JOIN k{i} b ON e.d = b.s)""")
+    return head + "".join(steps) + f"""
+    SELECT s AS node, COUNT(*) AS degree FROM e{rounds} GROUP BY s
+    """
+
+
+@register("kcore_trade_graph", _kcore_oracle())
+def _kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-core pruning (graph.py k_core, k=40, 3 fixed rounds):
+    each round one degree agg + two broadcastable semi-joins against the
+    shrinking keep-set; the low-degree customer tail and its edges fall
+    out, cascading degree drops to the next round."""
+    from etl_io_spark.operators import graph
+
+    return graph.k_core(_trade_edges(spark, sf_dir), k=40, rounds=3)
+
+
+@register(
+    "assortativity_trade",
+    f"""
+    WITH {_TRADE_EDGES_SQL},
+    deg AS (SELECT s AS node, COUNT(*) AS dg FROM edges GROUP BY s),
+    j AS (SELECT da.dg AS da, db.dg AS db FROM edges e
+          JOIN deg da ON e.s = da.node JOIN deg db ON e.d = db.node)
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM j) / 2 AS BIGINT) AS n_edges,
+           FLOOR((SELECT COUNT(*) FROM j) * 1.0
+                 / (SELECT COUNT(*) FROM deg) * 1000000 + 0.5) / 1000000
+             AS mean_degree,
+           ROUND(CORR(da, db), 6) + 0.0 AS assortativity
+    FROM j
+    """,
+)
+def _assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the trade graph (graph.py
+    degree_assortativity): strongly negative by construction — the
+    bipartite graph wires low-degree customers to high-degree suppliers.
+    mean_degree uses floor-form rounding (2|E|/|V| terminates in decimal
+    when |V| is 2^a·5^b, e.g. 16000 at sf0.1 — ROUND would tie-break
+    differently per engine)."""
+    from etl_io_spark.operators import graph
+
+    return graph.degree_assortativity(_trade_edges(spark, sf_dir))
+
+
+# ==========================================================================
+# Benford first-digit screen (operators/aggregate.py benford_profile):
+# digit via integer->string (engine-exact, no log10 ulp wobble), Benford
+# probabilities injected as identical Python double literals both sides
+# ==========================================================================
+def _benford_oracle() -> str:
+    import math
+
+    # CAST to DOUBLE: DuckDB parses a bare decimal literal as DECIMAL,
+    # whose ROUND renders '0.096910' where a double renders '0.09691'
+    cases = " ".join(
+        f"WHEN digit = {d} THEN CAST({math.log10(1.0 + 1.0 / d)!r} AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    return f"""
+    WITH c AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit,
+             COUNT(*) AS n
+      FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS DOUBLE) AS nt FROM c),
+    d AS (SELECT digit, n, CASE {cases} END AS p FROM c),
+    x AS (SELECT SUM((n - (SELECT nt FROM t) * p)
+                     * (n - (SELECT nt FROM t) * p)
+                     / ((SELECT nt FROM t) * p)) AS chi2 FROM d)
+    SELECT digit, n,
+           ROUND(n / (SELECT nt FROM t), 6) AS observed_p,
+           ROUND(p, 6) AS benford_p,
+           ROUND((SELECT chi2 FROM x), 6) AS chi2
+    FROM d
+    """
+
+
+@register("benford_totalprice", _benford_oracle())
+def _benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford screen over order totals (aggregate.py
+    benford_profile): one map + one 9-group partial agg + 9-row windows.
+    TPC-H-ish uniform prices flunk Benford loudly — the point of the
+    screen is the chi2 column saying so."""
+    from etl_io_spark.operators import aggregate as agg
+
+    cat = _cat(spark, sf_dir)
+    return agg.benford_profile(cat.table("orders"), "o_totalprice")
+
+
+# ==========================================================================
+# Time-decayed rollup + hour-of-day seasonality (operators/timeseries.py)
+# ==========================================================================
+@register(
+    "decayed_counts_events",
+    """
+    WITH t AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS tmax
+               FROM events)
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(POWER(0.5,
+             (((SELECT tmax FROM t) - epoch_us(CAST(ts AS TIMESTAMP)))
+              / 1000000.0) / 86400.0)), 6) AS decayed_n,
+           ROUND(SUM(POWER(0.5,
+             (((SELECT tmax FROM t) - epoch_us(CAST(ts AS TIMESTAMP)))
+              / 1000000.0) / 86400.0) * value), 6) AS decayed_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def _decayed_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially decayed count/sum per event type, 1-day half-life
+    (timeseries.py time_decayed_stats): one broadcast 1-row max + one
+    partial-agg groupBy; deltas in exact integer microseconds before the
+    single float pow."""
+    from etl_io_spark.operators import timeseries as ts
+
+    cat = _cat(spark, sf_dir)
+    return ts.time_decayed_stats(
+        cat.table("events"), half_life_s=86400.0
+    )
+
+
+@register(
+    "seasonality_events",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hh,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    pk AS (SELECT event_type, COUNT(*) AS n_hours,
+                  VAR_SAMP(CAST(n AS DOUBLE)) AS vt FROM h GROUP BY 1),
+    hm AS (SELECT event_type, EXTRACT(HOUR FROM hh) AS hod,
+                  AVG(CAST(n AS DOUBLE)) AS m FROM h GROUP BY 1, 2),
+    hv AS (SELECT event_type, VAR_SAMP(m) AS vh FROM hm GROUP BY 1)
+    SELECT pk.event_type AS event_type, n_hours,
+           ROUND(vt, 6) AS var_hourly,
+           ROUND(vh, 6) AS var_hod_means,
+           ROUND(CASE WHEN vt > 0 THEN vh / vt END, 6) AS strength
+    FROM pk JOIN hv ON pk.event_type = hv.event_type
+    """,
+)
+def _seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality strength per event type (timeseries.py
+    seasonality_strength): two stacked partial-agg groupBys + one per-key
+    variance join — var(hod means) / var(hourly counts)."""
+    from etl_io_spark.operators import timeseries as ts
+
+    cat = _cat(spark, sf_dir)
+    return ts.seasonality_strength(cat.table("events"))
+
+
+# ==========================================================================
 # Per-label embedding centroids (operators/similarity.py): element-wise
 # vector mean via posexplode + one partial-agg shuffle, long form
 # ==========================================================================

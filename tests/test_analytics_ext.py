@@ -1116,3 +1116,111 @@ def test_lm_cross_entropy_hand_case(spark):
     assert out[1]["cross_entropy"] == pytest.approx(e1, abs=1e-6)
     assert out[2]["cross_entropy"] == pytest.approx(e2, abs=1e-6)
     assert out[1]["cross_entropy"] < out[2]["cross_entropy"]
+
+
+def test_label_propagation_two_cliques(spark):
+    from etl_io_spark.operators import graph
+
+    # two disconnected triangles: sync LPA with min-label ties collapses
+    # each to its smallest member id within 3 rounds
+    tri = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)]
+    edges = graph.symmetrize(
+        spark.createDataFrame(tri, "src bigint, dst bigint")
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(edges, rounds=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_k_core_cascading_prune(spark):
+    from etl_io_spark.operators import graph
+
+    # path 1-2-3-4 (endpoints degree 1) + triangle 7,8,9 (all degree 2):
+    # k=2 peels the path end-in, two rounds deep; the triangle survives
+    e = [(1, 2), (2, 3), (3, 4), (7, 8), (8, 9), (7, 9)]
+    edges = graph.symmetrize(
+        spark.createDataFrame(e, "src bigint, dst bigint")
+    )
+    got = {
+        r["node"]: r["degree"]
+        for r in graph.k_core(edges, k=2, rounds=3).collect()
+    }
+    assert got == {7: 2, 8: 2, 9: 2}
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    from etl_io_spark.operators import graph
+
+    # star: every edge joins degree 3 to degree 1 -> assortativity -1
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "src bigint, dst bigint"
+    )
+    row = graph.degree_assortativity(star).collect()[0]
+    assert row["n_nodes"] == 4 and row["n_edges"] == 3
+    assert row["mean_degree"] == 1.5
+    assert row["assortativity"] == -1.0
+
+
+def test_benford_profile_digits_and_probs(spark):
+    import math
+
+    from etl_io_spark.operators import aggregate as agg
+
+    df = spark.createDataFrame(
+        [(10.0,), (19.5,), (25.0,), (3.7,), (0.5,)], "v double"
+    )
+    rows = {r["digit"]: r for r in agg.benford_profile(df, "v").collect()}
+    # 0.5 excluded (< 1); integer-part first digits: 1,1,2,3
+    assert {d: rows[d]["n"] for d in rows} == {1: 2, 2: 1, 3: 1}
+    assert rows[1]["observed_p"] == 0.5
+    assert rows[2]["benford_p"] == round(math.log10(1.5), 6)
+    # chi2 identical on every row
+    assert len({r["chi2"] for r in rows.values()}) == 1
+
+
+def test_time_decayed_stats_half_life(spark):
+    import datetime as dtm
+
+    from etl_io_spark.operators import timeseries as ts
+
+    t0 = dtm.datetime(2024, 1, 2, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            ("a", t0, 10.0),
+            ("a", t0 - dtm.timedelta(days=1), 4.0),
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    row = ts.time_decayed_stats(df, half_life_s=86400.0).collect()[0]
+    # newest weighs 1, one-half-life-old weighs exactly 0.5
+    assert row["n"] == 2
+    assert row["decayed_n"] == 1.5
+    assert row["decayed_sum"] == 12.0
+
+
+def test_seasonality_strength_flat_vs_cyclic(spark):
+    import datetime as dtm
+
+    from etl_io_spark.operators import timeseries as ts
+
+    base = dtm.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for h in range(48):
+        t = base + dtm.timedelta(hours=h, minutes=5)
+        rows.append(("flat", t))  # 1/hour, zero variance
+        rows.append(("cyc", t))
+        if h % 24 == 0:  # midnight spike -> hour-of-day cycle
+            rows.append(("cyc", t))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        r["event_type"]: r
+        for r in ts.seasonality_strength(df).collect()
+    }
+    assert got["flat"]["strength"] is None  # var 0 -> undefined
+    assert got["flat"]["var_hourly"] == 0.0
+    # near-perfectly cyclic: strength ~1 (can top 1 slightly — the two
+    # var_samp denominators differ; see the operator docstring)
+    assert 0.9 < got["cyc"]["strength"] < 1.1
+    assert got["cyc"]["n_hours"] == 48
