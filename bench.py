@@ -116,6 +116,15 @@ HEADLINE = [
     "skew_lineitem_suppkey",
     "hard_negatives",
     "group_exclusive_split",
+    # round 3 additions
+    "lpa_communities_trade",
+    "kcore_trade_graph",
+    "assortativity_trade",
+    "benford_totalprice",
+    "decayed_counts_events",
+    "seasonality_events",
+    "fuzzy_dedup_keep_best",
+    "dsir_weights_docs",
 ]
 
 

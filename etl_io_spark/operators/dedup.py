@@ -1248,3 +1248,50 @@ def lsh_exact_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def keep_best_of_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col: str,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Turn a near-dup PAIR list into a retention decision that keeps the
+    BEST member of every duplicate cluster — the last step of the
+    standard fuzzy-dedup pipeline (LSH candidates → clusters → keep one):
+    connected components label each document with its cluster, then a
+    per-cluster window marks the single highest-``quality_col`` member
+    (ties to the smallest id) as ``keep``. Documents in no pair form
+    singleton clusters and are always kept. Returns one row per input
+    document: ``(id, cluster_id, cluster_size, keep)``.
+
+    Contrast with the min-id canonical of ``connected_components`` alone:
+    curation wants the longest / highest-quality survivor, not the
+    numerically smallest id. Shape: the CC rounds (O(log n), parquet-
+    severed) + one left join + one per-cluster window — cluster sizes are
+    dup-cluster sizes, so the window partitions are small by construction.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, a_col, b_col)
+    lab = (
+        df.select(F.col(id_col), F.col(quality_col))
+        .join(comp, F.col(id_col) == comp["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(comp["cluster_id"], F.col(id_col)).alias("cluster_id"),
+            F.col(quality_col),
+        )
+    )
+    best = Window.partitionBy("cluster_id").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    size = Window.partitionBy("cluster_id")
+    return lab.select(
+        id_col,
+        "cluster_id",
+        F.count(F.lit(1)).over(size).alias("cluster_size"),
+        (F.row_number().over(best) == 1).alias("keep"),
+    )

@@ -376,3 +376,86 @@ def temperature_mix(
         F.round(p_temp, round_to).alias("p_temp"),
         F.round(p_temp / p_raw, round_to).alias("boost"),
     )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    buckets: int = 256,
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR-style importance weight per document (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): hash
+    unigram+bigram features into ``buckets`` buckets, fit add-one-smoothed
+    bucket distributions for the TARGET slice (rows where ``target_pred``)
+    and the RAW corpus (all rows), and score every document by the mean
+    log-likelihood ratio of its features:
+
+        weight(d) = avg_{f in d} ln( p_target(bucket(f)) / p_raw(bucket(f)) )
+
+    High scores mean "looks like the target domain" — the standard recipe
+    for up-sampling quality/domain-matched data before training. Returns
+    ``(id, n_features, dsir_logratio)``; docs with no tokens are absent.
+
+    Shape: one map-side feature explode (tokens + zip_with bigrams — no
+    self-join), two bucket-count partial aggs whose outputs are
+    ``buckets``-sized, a broadcast ratio join back onto the feature
+    stream, one per-doc partial agg. Everything after the explode is
+    bounded by the bucket count, not the corpus; the feature hash is the
+    md5-derived ``hash60`` so the DuckDB oracle reproduces every bucket
+    exactly.
+    """
+    toks = tokens(text_col)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = spread(df).select(
+        F.col(id_col), target_pred.alias("__tgt"), toks.alias("__u"), bigrams.alias("__b")
+    )
+    feats = base.select(
+        id_col,
+        "__tgt",
+        F.explode(F.concat(F.col("__u"), F.col("__b"))).alias("__f"),
+    ).select(
+        id_col, "__tgt", (hash60(F.col("__f")) % buckets).alias("__bk")
+    )
+    rawc = feats.groupBy("__bk").agg(F.count(F.lit(1)).alias("__cr"))
+    tgtc = (
+        feats.where(F.col("__tgt"))
+        .groupBy("__bk")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    n_raw = rawc.agg(F.sum("__cr").alias("__nr"))
+    n_tgt = tgtc.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__nt"))
+    ratio = (
+        rawc.join(tgtc, "__bk", "left")
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .select(
+            "__bk",
+            F.log(
+                (
+                    (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("__nt") + F.lit(float(buckets)))
+                )
+                / (
+                    (F.col("__cr") + F.lit(1.0))
+                    / (F.col("__nr") + F.lit(float(buckets)))
+                )
+            ).alias("__lr"),
+        )
+    )
+    from etl_io_spark.functions.numeric import round_pz
+
+    return (
+        feats.join(F.broadcast(ratio), "__bk")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            round_pz(F.avg("__lr"), round_to).alias("dsir_logratio"),
+        )
+    )

@@ -834,6 +834,82 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# end-to-end fuzzy-dedup curation: LSH band candidates → similarity gate →
+# connected components → keep the BEST-quality member of every cluster
+# (dedup.py keep_best_of_clusters) — the full NeMo-curator-style pipeline
+# as ONE graded plan; the oracle walks the same graph recursively.
+def _fuzzy_keep_oracle(
+    num_perm: int = 16, bands: int = 4, thr: float = 0.5
+) -> str:
+    rpb = num_perm // bands
+    p = dedup.MINHASH_P
+    a = ", ".join(str(dedup._perm_a(j)) for j in range(num_perm))
+    b = ", ".join(str(dedup._perm_b(j)) for j in range(num_perm))
+    return (
+        _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f""",
+    perms AS (SELECT UNNEST(generate_series(0, {num_perm - 1})) AS j),
+    sig AS (
+      SELECT doc_id, j,
+             MIN((([{a}][j+1]) * (sh % {p}) + ([{b}][j+1])) % {p}) AS minhash
+      FROM sh, perms GROUP BY doc_id, j
+    ),
+    bkeys AS (
+      SELECT doc_id, CAST(j // {rpb} AS INT) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j)) AS bkey
+      FROM sig GROUP BY doc_id, CAST(j // {rpb} AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bkeys x JOIN bkeys y ON x.band = y.band AND x.bkey = y.bkey
+      WHERE x.doc_id < y.doc_id
+    ),
+    est AS (
+      SELECT a, b FROM (
+        SELECT a, b,
+               ROUND(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) AS ej
+        FROM cand
+        JOIN sig sa ON sa.doc_id = a
+        JOIN sig sb ON sb.doc_id = b AND sb.j = sa.j
+        GROUP BY a, b
+      ) WHERE ej >= {thr}
+    ),
+    cedges AS (SELECT a AS src, b AS dst FROM est
+               UNION ALL SELECT b AS src, a AS dst FROM est),
+    reach AS (
+      SELECT src AS id, src AS r FROM cedges
+      UNION
+      SELECT e.dst AS id, reach.r FROM reach JOIN cedges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    lab AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                   d.n_chars
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id ASC) = 1 AS keep
+    FROM lab
+    """
+    )
+
+
+@register("fuzzy_dedup_keep_best", _fuzzy_keep_oracle())
+def _fuzzy_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fuzzy-dedup curation in one plan (dedup.py
+    minhash_lsh_candidates → est_jaccard ≥ 0.5 gate →
+    keep_best_of_clusters): banded LSH candidates only (never all-pairs),
+    O(log n) parquet-severed component rounds, then a per-cluster window
+    keeps the longest member. The 100 TB default answer to "dedup this
+    corpus and keep the best copy"."""
+    docs = _cat(spark, sf_dir).table("documents")
+    pairs = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_perm=16, bands=4
+    ).where(F.col("est_jaccard") >= 0.5)
+    return dedup.keep_best_of_clusters(docs, pairs, "doc_id", "n_chars")
+
+
 def _incremental_gate_oracle(num_perm: int = 16, bands: int = 4) -> str:
     """DuckDB replica of dedup.incremental_neardup_gate: signatures/bands
     over all documents, corpus = doc_id % 10 <> 0, batch = % 10 = 0."""
@@ -2095,6 +2171,53 @@ def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_index").cast("long").alias("chunk_index"),
         "chunk_text",
         F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+# DSIR importance weights (training.py dsir_logratio): hashed
+# unigram+bigram bucket distributions, add-one smoothing, per-doc mean
+# log-likelihood ratio vs the 'src0' target slice
+@register(
+    "dsir_weights_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS l
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, source, UNNEST(l) AS f FROM toks),
+    bi AS (SELECT doc_id, source,
+                  UNNEST([l[i] || ' ' || l[i+1]
+                          for i in generate_series(1, len(l) - 1)]) AS f
+           FROM toks),
+    feats AS (
+      SELECT doc_id, source, {_H.format(s='f')} % 256 AS bk
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ),
+    rawc AS (SELECT bk, COUNT(*) AS cr FROM feats GROUP BY bk),
+    tgtc AS (SELECT bk, COUNT(*) AS ct FROM feats
+             WHERE source = 'src0' GROUP BY bk),
+    nr AS (SELECT SUM(cr) AS n FROM rawc),
+    nt AS (SELECT COALESCE(SUM(ct), 0) AS n FROM tgtc),
+    ratio AS (
+      SELECT r.bk,
+             LN(((COALESCE(t.ct, 0) + 1.0) / ((SELECT n FROM nt) + 256.0))
+                / ((r.cr + 1.0) / ((SELECT n FROM nr) + 256.0))) AS lr
+      FROM rawc r LEFT JOIN tgtc t ON r.bk = t.bk
+    )
+    SELECT f.doc_id, COUNT(*) AS n_features,
+           ROUND(AVG(lr), 6) + 0.0 AS dsir_logratio
+    FROM feats f JOIN ratio ON f.bk = ratio.bk
+    GROUP BY f.doc_id
+    """,
+)
+def _dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style domain-match weights (training.py dsir_logratio):
+    map-side unigram+bigram feature explode, two 256-bucket partial aggs,
+    a broadcast ratio join, one per-doc agg — the importance-resampling
+    scorer that decides what to up-sample before training."""
+    docs = _cat(spark, sf_dir).table("documents")
+    return training.dsir_logratio(
+        docs, "doc_id", "text", F.col("source") == "src0", buckets=256
     )
 
 

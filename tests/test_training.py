@@ -247,3 +247,50 @@ def test_rendezvous_resize_moves_only_new_shard(spark):
     assert all(b[k] == 8 for k in moved)
     # and roughly 1/9 of rows moved (binomial tolerance)
     assert 20 <= len(moved) <= 100
+
+
+def test_keep_best_of_clusters_picks_quality_not_min_id(spark):
+    from etl_io_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 7), (4, 1), (5, 2)], "doc_id bigint, q bigint"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a bigint, b bigint")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["keep"])
+        for r in dedup.keep_best_of_clusters(
+            docs, pairs, "doc_id", "q"
+        ).collect()
+    }
+    # cluster {1,2,3} labeled by min id 1; survivor is id 2 (quality 9)
+    assert got[1] == (1, 3, False)
+    assert got[2] == (1, 3, True)
+    assert got[3] == (1, 3, False)
+    # singletons always keep themselves
+    assert got[4] == (4, 1, True)
+    assert got[5] == (5, 1, True)
+
+
+def test_dsir_logratio_scores_target_like_docs_higher(spark):
+    from pyspark.sql import functions as F
+
+    from etl_io_spark.operators import training
+
+    rows = [
+        (1, "foo foo foo", "tgt"),
+        (2, "foo foo foo", "tgt"),
+        (3, "foo foo foo", "raw"),   # looks like target
+        (4, "bar bar bar", "raw"),   # does not
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, src string")
+    out = {
+        r["doc_id"]: r
+        for r in training.dsir_logratio(
+            df, "doc_id", "text", F.col("src") == "tgt", buckets=64
+        ).collect()
+    }
+    # 3 unigrams + 2 bigrams per doc
+    assert all(out[i]["n_features"] == 5 for i in out)
+    assert out[3]["dsir_logratio"] > out[4]["dsir_logratio"]
+    # identical text scores identically regardless of slice membership
+    assert out[1]["dsir_logratio"] == out[3]["dsir_logratio"]
