@@ -259,8 +259,9 @@ def label_propagation(
 
     Scale design: per round, ONE |E|-row join routing each neighbor's
     current label + ONE (node, label) partial-agg count + ONE per-node
-    top-1 window (row_number over count DESC, label ASC — no global
-    sort). The label table is |V| rows, so AQE broadcasts the join side
+    top-1 reduction (``min_by`` over (−count, label) — highest count,
+    smallest label; merges map-side, so no per-node window SORT ever
+    runs). The label table is |V| rows, so AQE broadcasts the join side
     on moderate graphs; the edge list is persisted once and reused every
     round. Rounds are fixed — the plan is finite, lineage grows
     linearly, nothing iterates to a data-dependent fixpoint.
@@ -272,20 +273,20 @@ def label_propagation(
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
-    top1 = Window.partitionBy("__s").orderBy(
-        F.desc("__c"), F.asc("label")
-    )
     for _ in range(rounds):
         votes = (
             e.join(labels, e["__d"] == labels["node"])
             .groupBy("__s", "label")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
-        labels = (
-            votes.withColumn("__rn", F.row_number().over(top1))
-            .where(F.col("__rn") == 1)
-            .select(F.col("__s").alias("node"), "label")
-        )
+        # top-1 via min_by over (-count, label): highest count, then
+        # smallest label — a partial-aggregable reduction instead of a
+        # per-node window SORT (min_by merges map-side; row_number can't)
+        labels = votes.groupBy("__s").agg(
+            F.min_by(
+                "label", F.struct((-F.col("__c")).alias("nc"), F.col("label"))
+            ).alias("label")
+        ).select(F.col("__s").alias("node"), "label")
     return labels
 
 

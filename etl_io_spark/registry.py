@@ -48,19 +48,21 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "semi_join_filter", "anti_join", "translate_crosswalk",
     "explode_list_column", "group_count", "count_distinct_group",
     "group_product", "rollup_geo", "pivot_returnflag", "one_hot_priority",
-    "melt_unpivot", "window_topk_per_group", "window_running_sum",
+    "lpa_communities_trade", "window_topk_per_group", "window_running_sum",
     "set_union_counts", "normalize_codes", "json_extract_events",
     "events_tumbling_window", "top_k_orders",
     # dedup family (each a distinct algorithm). dedup_lsh_exact entered in
-    # round 3 (VERDICT r2 ask #5: grade the LSH-prefilter → exact-verify
-    # composition); pack_sequences rotated out to hold the window at 50 —
-    # it stays green under tools/check.py + pytest.
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
+    # round 3 (VERDICT r2 ask #5); fuzzy_dedup_keep_best, dsir_weights_docs
+    # and lpa_communities_trade entered late round 3 (end-to-end curation,
+    # DSIR weights, graph communities) — melt_unpivot, dedup_clusters and
+    # token_count rotated out to hold the window at 50; all rotated-out
+    # keys stay green under tools/check.py + pytest.
+    "dedup_exact", "dedup_ngram_jaccard", "fuzzy_dedup_keep_best",
     "dedup_minhash_lsh", "dedup_lsh_exact", "dedup_simhash",
     # similarity search
     "similarity_topk", "similarity_ann_lsh", "embedding_neardup",
-    # text analysis
-    "text_quality", "token_count", "lang_id", "doc_fingerprint",
+    # text analysis + data-selection
+    "text_quality", "dsir_weights_docs", "lang_id", "doc_fingerprint",
     "tfidf_top_terms",
     # streaming-parity + multimodal
     "events_session_window", "media_metadata", "media_frame_sample",
@@ -3452,14 +3454,11 @@ def _pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = _cat(spark, sf_dir)
     li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
     orders = cat.table("orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            (F.col("o_custkey").cast("long") * 2).alias("src"),
-            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
-        )
-        .distinct()
+    pairs = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        (F.col("o_custkey").cast("long") * 2).alias("src"),
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
     )
+    # symmetrize()'s distinct dedups the unioned directions in ONE shuffle
     ranks = graph.pagerank(graph.symmetrize(pairs), iterations=5)
     return ranks.select(
         F.when(
@@ -3496,14 +3495,12 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = _cat(spark, sf_dir)
     li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
     orders = cat.table("orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            (F.col("o_custkey").cast("long") * 2).alias("src"),
-            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
-        )
-        .distinct()
+    pairs = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        (F.col("o_custkey").cast("long") * 2).alias("src"),
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
     )
+    # no inner distinct: symmetrize() dedups after the direction union, so
+    # the derivation pays ONE distinct shuffle, not two back-to-back
     return graph.symmetrize(pairs)
 
 
@@ -3534,8 +3531,8 @@ def _lpa_communities_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities (graph.py
     label_propagation): 3 deterministic rounds — per round one |E|-row
     label-routing join, one (node, label) partial-agg count, one per-node
-    top-1 window; ties break to the smallest label so the fixed round
-    count is exactly SQL-reproducible."""
+    min_by top-1 reduction; ties break to the smallest label so the fixed
+    round count is exactly SQL-reproducible."""
     from etl_io_spark.operators import graph
 
     return graph.label_propagation(_trade_edges(spark, sf_dir), rounds=3)

@@ -31,7 +31,7 @@ SLOW_CUTOFF_S = 20.0
 ORACLE_TIMEOUT_S = float(os.environ.get("BASELINE_ORACLE_TIMEOUT", "300"))
 
 
-def _warm(fn, runs: int = 3) -> float:
+def _warm(fn, runs: int = 3, reset=None) -> float:
     """Median of up to ``runs`` executions; stop early once a single run
     exceeds SLOW_CUTOFF_S (long runs self-amortize warmup noise).
 
@@ -40,9 +40,18 @@ def _warm(fn, runs: int = 3) -> float:
     the round-2 baseline understated several Spark times this way (and
     mis-ranked a repartition as a regression). DuckDB re-runs the full
     SQL each time, so fresh-plan timing is the like-for-like protocol.
+
+    ``reset`` runs between repeats (untimed). Spark callers pass
+    ``spark.catalog.clearCache`` — each fresh plan re-``persist()``s its
+    own intermediates, so WITHOUT the reset a persisting query's repeat
+    runs accumulate duplicate cache blocks and the median reads the
+    memory-pressure artifact, not the query (measured: LPA 7 s → 20 s by
+    run three).
     """
     times = []
-    for _ in range(runs):
+    for i in range(runs):
+        if i and reset is not None:
+            reset()
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
@@ -94,7 +103,8 @@ def main() -> None:
             lambda: fn(spark, SF_DIR)
             .write.format("noop")
             .mode("overwrite")
-            .save()
+            .save(),
+            reset=spark.catalog.clearCache,
         )
         spark.catalog.clearCache()
         timed_out = False

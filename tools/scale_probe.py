@@ -83,6 +83,15 @@ PROBE = [
     "bfs_trade_reach",
     "audience_overlap",
     "mutual_information_flags",
+    # round-3 additions
+    "lpa_communities_trade",
+    "kcore_trade_graph",
+    "assortativity_trade",
+    "benford_totalprice",
+    "decayed_counts_events",
+    "seasonality_events",
+    "fuzzy_dedup_keep_best",
+    "dsir_weights_docs",
 ]
 
 #: per-table (key columns to offset, timestamp column to shift, text column)
