@@ -109,13 +109,24 @@ def _plane_signs(planes: int, dims: int, table: int = 0) -> list[list[int]]:
 
 
 def lsh_bucket(vec_col: Column, signs: list[list[int]]) -> Column:
-    """Bucket id = bits of sign(v · plane_p) over all planes."""
+    """Bucket id = bits of sign(v · plane_p) over all planes.
+
+    The ±1 plane arrays are emitted as ONE parsed ``F.expr`` literal per
+    plane, not element-wise ``F.lit`` Columns: each ``F.lit`` is a Py4J
+    round-trip, and tables × planes × dims of them (e.g. 4·6·64 = 1536)
+    cost ~3 s of pure driver-side plan CONSTRUCTION before any job runs.
+    One string parse per plane is ~60× fewer JVM calls for the identical
+    expression tree.
+    """
     bucket: Column = F.lit(0)
     for p, plane in enumerate(signs):
+        arr = F.expr(
+            "array(" + ",".join(f"{float(s)}D" for s in plane) + ")"
+        )
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.array(*[F.lit(float(s)) for s in plane]),
+                arr,
                 lambda x, y: x.cast("double") * y,
             ),
             F.lit(0.0),
@@ -123,6 +134,22 @@ def lsh_bucket(vec_col: Column, signs: list[list[int]]) -> Column:
         )
         bucket = bucket + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket
+
+
+def lsh_bucket_sql(vec_sql: str, signs: list[list[int]]) -> str:
+    """SQL-text twin of :func:`lsh_bucket` (identical expression tree once
+    parsed — CAST/zip_with/aggregate/CASE exactly as the Column form):
+    callers embedding many buckets in one plan use this to pay a single
+    ``F.expr`` parse instead of per-element Py4J Column construction."""
+    terms = []
+    for p, plane in enumerate(signs):
+        arr = "array(" + ",".join(f"{float(s)}D" for s in plane) + ")"
+        proj = (
+            f"aggregate(zip_with({vec_sql}, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {2 ** p} ELSE 0 END)")
+    return "(0 + " + " + ".join(terms) + ")"
 
 
 def ann_lsh_topk(
@@ -151,24 +178,22 @@ def ann_lsh_topk(
     with a single explode (one row per (doc, table)) — a per-table union
     would rescan the corpus ``tables`` times for identical output."""
 
-    def bucket_fanout(vec: Column) -> Column:
-        return F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("__t"),
-                        lsh_bucket(
-                            vec, _plane_signs(planes, dims, table=t)
-                        ).alias("__bucket"),
-                    )
-                    for t in range(tables)
-                ]
-            )
+    def bucket_fanout(vec_sql: str) -> Column:
+        # the whole tables×planes fanout as ONE parsed SQL expression:
+        # element-wise Column construction here costs tables·planes·dims
+        # Py4J round-trips (~3 s of driver time before any job; see
+        # lsh_bucket) — a single string parse builds the identical tree
+        structs = ", ".join(
+            f"named_struct('__t', {t}, '__bucket', "
+            + lsh_bucket_sql(vec_sql, _plane_signs(planes, dims, table=t))
+            + ")"
+            for t in range(tables)
         )
+        return F.explode(F.expr(f"array({structs})"))
 
     c = (
         spread(corpus)
-        .select(id_col, vec_col, bucket_fanout(F.col(vec_col)).alias("__tb"))
+        .select(id_col, vec_col, bucket_fanout(vec_col).alias("__tb"))
         .select(
             id_col,
             vec_col,
@@ -180,7 +205,7 @@ def ann_lsh_topk(
         queries.select(
             query_id_col,
             F.col(vec_col).alias("__qvec"),
-            bucket_fanout(F.col(vec_col)).alias("__tb"),
+            bucket_fanout(vec_col).alias("__tb"),
         )
         .select(
             query_id_col,

@@ -83,18 +83,47 @@ def _warm_oracle(con, sql: str) -> tuple[float, bool]:
 def main() -> None:
     import __spark_entry__ as entrymod
 
-    spark = get_spark(
-        "baseline", extra_conf={"spark.ui.showConsoleProgress": "false"}
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    # ---- pass 1: DuckDB ALONE, before any JVM exists. A resident (even
+    # idle) 32-thread Spark JVM was measured to inflate sub-second DuckDB
+    # runs ~7x (0.05 s -> 0.36 s on the window_topk oracle) — GC/daemon
+    # threads and page-cache pressure poison interleaved timing. All
+    # oracles run first; the JVM starts only after this pass.
     con = duckdb.connect()
     for t in STAR_TABLES:
         p = os.path.join(SF_DIR, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle_times: dict[str, tuple[float, bool]] = {}
+    for name in qs:
+        if name in oracles:
+            oracle_times[name] = _warm_oracle(con, oracles[name])
+            print(
+                f"oracle {name}: {oracle_times[name][0]:.2f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+    con.close()
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # ---- pass 2: Spark. Same JVM warmup as bench.py so the first timed
+    # query doesn't pay one-time class loading.
+    spark = get_spark(
+        "baseline", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(1000)
+        .groupBy(F.pmod("id", F.lit(7)))
+        .agg(F.sum("id"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
     print("| query key | duckdb oracle (s) | pyspark (s) | ratio | notes |")
     print("|---|---|---|---|---|", flush=True)
     total_d = total_s = 0.0
@@ -107,9 +136,8 @@ def main() -> None:
             reset=spark.catalog.clearCache,
         )
         spark.catalog.clearCache()
-        timed_out = False
-        if name in oracles:
-            td, timed_out = _warm_oracle(con, oracles[name])
+        if name in oracle_times:
+            td, timed_out = oracle_times[name]
             note = (
                 f"oracle aborted at {ORACLE_TIMEOUT_S:.0f} s "
                 "(single-node plan asymptotically slower); Spark measured"
@@ -117,7 +145,8 @@ def main() -> None:
                 else ""
             )
         else:
-            td, note = float("nan"), "no SQL oracle (approx/python op)"
+            td, timed_out = float("nan"), False
+            note = "no SQL oracle (approx/python op)"
         oracled = td == td and not timed_out
         if oracled:
             total_s += ts
