@@ -20,6 +20,9 @@ import pyarrow.parquet as _pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: (path, mtime) -> timestamp[ns] column names; see _nanos_cols.
+_NANOS_CACHE: dict[tuple[str, float], list[str]] = {}
+
 #: Canonical driver test tables (TESTDATA.md).
 STAR_TABLES = (
     "region",
@@ -48,6 +51,12 @@ class TableCatalog:
     root: str
     register_views: bool = True
     _tables: dict[str, str] = field(default_factory=dict)
+    # per-catalog memo of the base scan DataFrames: plans are immutable,
+    # so handing every caller the same lazy scan object is semantically
+    # identical while skipping the JVM schema probe + footer read that
+    # otherwise cost ~50 ms per table() call (queries call table() 1-4
+    # times each — this was a visible share of the per-query driver floor)
+    _dfs: dict[str, DataFrame] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         # the catalog must work on ANY session (the driver passes its own):
@@ -98,10 +107,14 @@ class TableCatalog:
             raise KeyError(
                 f"unknown table {name!r}; available: {self.tables()}"
             )
+        cached = self._dfs.get(name)
+        if cached is not None:
+            return cached
         path = self._tables[name]
         df = self.spark.read.parquet(path)
         for c in self._nanos_cols(path):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        self._dfs[name] = df
         return df
 
     def table_stream(
@@ -131,7 +144,24 @@ class TableCatalog:
         nested under key=value subdirectories) — the first part file found
         by a recursive walk represents the table, since Spark writes a
         uniform schema. Raises if a directory holds no part file at all,
-        rather than silently skipping the ns->us conversion."""
+        rather than silently skipping the ns->us conversion.
+
+        Results are memoized per (path, mtime): the footer never changes
+        under an unchanged mtime, and direct callers (``table_stream``)
+        otherwise re-read it per call."""
+        try:
+            key = (path, os.path.getmtime(path))
+        except OSError:
+            key = None
+        if key is not None and key in _NANOS_CACHE:
+            return _NANOS_CACHE[key]
+        cols = TableCatalog._nanos_cols_uncached(path)
+        if key is not None:
+            _NANOS_CACHE[key] = cols
+        return cols
+
+    @staticmethod
+    def _nanos_cols_uncached(path: str) -> list[str]:
         if os.path.isdir(path):
             part = None
             for dirpath, _dirnames, filenames in sorted(os.walk(path)):

@@ -40,6 +40,7 @@ def pagerank(
     damping: float = 0.85,
     round_to: int = 6,
     checkpoint_every: int = 8,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (node, rank).
 
@@ -55,12 +56,17 @@ def pagerank(
     # referenced by nodes, outdeg, fan AND every iteration's rank join —
     # persist it so the derivation runs once, not once per reference
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")).persist()
+    # ``assume_symmetric``: the caller guarantees every node appears as a
+    # src (true for symmetrize() output) — distinct(src) is then the node
+    # set at half the dedup shuffle of unioning both endpoint columns
     nodes = (
         e.select(F.col("__src").alias("node"))
-        .union(e.select(F.col("__dst").alias("node")))
-        .distinct()
-        .persist()  # the final no-in-edge backfill joins against it
+        if assume_symmetric
+        else e.select(F.col("__src").alias("node")).union(
+            e.select(F.col("__dst").alias("node"))
+        )
     )
+    nodes = nodes.distinct().persist()  # the no-in-edge backfill joins it
     n = nodes.count()
     outdeg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__outdeg"))
     # loop-invariant: each edge annotated with its source's out-degree
@@ -112,9 +118,28 @@ def pagerank(
     return ranks.select("node", F.round("rank", round_to).alias("rank"))
 
 
-def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Undirected view of an edge list: both directions, deduplicated."""
+def symmetrize(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    disjoint: bool = False,
+) -> DataFrame:
+    """Undirected view of an edge list: both directions, deduplicated.
+
+    ``disjoint=True`` asserts the src and dst VALUE SPACES never overlap
+    (a bipartite graph with parity- or prefix-tagged keys): then a
+    directed edge and its reverse can never collide, so deduplicating the
+    directed list BEFORE the direction union is equivalent to (and half
+    the shuffle of) deduplicating the doubled list after it — the
+    post-union distinct is skipped entirely. Spark's exchange reuse runs
+    the upstream derivation once for both union branches.
+    """
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if disjoint:
+        fwd = fwd.distinct()
+        return fwd.unionAll(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     return fwd.union(
         edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
     ).distinct()
@@ -267,9 +292,11 @@ def label_propagation(
     linearly, nothing iterates to a data-dependent fixpoint.
     """
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).persist()
+    # symmetrized input (the documented contract) has every node as a src,
+    # so the node set is distinct(__s) alone — half the dedup shuffle of
+    # unioning both endpoint columns first
     labels = (
         e.select(F.col("__s").alias("node"))
-        .union(e.select(F.col("__d").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
@@ -339,11 +366,16 @@ def degree_assortativity(
     endpoints, the standard 'do hubs attach to hubs?' diagnostic
     (negative on hub-and-spoke graphs, positive on social graphs).
 
-    Shape: canonical-edge distinct, one degree agg, two broadcastable
-    degree joins, one global 1-row reduce. Pearson r is invariant to the
-    sample/population variance convention, so Spark's ``corr`` and SQL
-    ``CORR`` agree to float noise; the output is rounded with negative
-    zero normalized (assortativity can legitimately round to ±0).
+    Shape: canonical-edge distinct (persisted — the |E|-row half, not the
+    doubled endpoint view, backs every downstream consumer), one degree
+    agg, two broadcastable degree joins, one global 1-row reduce. |V|
+    comes from counting the degree table — every endpoint row survives
+    the inner degree joins, so DISTINCT endpoints ≡ degree-table rows —
+    which avoids an expand-based count_distinct over the 2|E| rows.
+    Pearson r is invariant to the sample/population variance convention,
+    so Spark's ``corr`` and SQL ``CORR`` agree to float noise; the output
+    is rounded with negative zero normalized (assortativity can
+    legitimately round to ±0).
     """
     from etl_io_spark.functions.numeric import round_pz
 
@@ -354,18 +386,24 @@ def degree_assortativity(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .persist()  # consumed by both union branches × three consumers
     )
     both = canon.select("a", "b").unionAll(
         canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()  # consumed by the degree agg AND the endpoint joins
+    )
     deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
     joined = (
         both.join(deg.withColumnsRenamed({"a": "a", "d": "da"}), "a")
         .join(deg.withColumnsRenamed({"a": "b", "d": "db"}), "b")
     )
-    return joined.agg(
-        (F.count(F.lit(1)) / F.lit(2)).cast("bigint").alias("n_edges"),
-        F.count_distinct(F.col("a")).alias("n_nodes"),
+    core = joined.agg(
+        F.count(F.lit(1)).alias("__endpoints"),
+        F.corr("da", "db").alias("__r"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return core.crossJoin(n_nodes).select(
+        "n_nodes",
+        (F.col("__endpoints") / F.lit(2)).cast("bigint").alias("n_edges"),
         # mean degree over NODES = 2|E|/|V| = directed-endpoint rows / |V|.
         # Floor-form rounding in pure double arithmetic: an int/int ratio
         # TERMINATES in decimal whenever |V| = 2^a·5^b, and engines break
@@ -374,12 +412,10 @@ def degree_assortativity(
         # everywhere.
         (
             F.floor(
-                F.count(F.lit(1))
-                / F.count_distinct(F.col("a"))
-                * F.lit(10.0**round_to)
+                F.col("__endpoints") / F.col("n_nodes") * F.lit(10.0**round_to)
                 + F.lit(0.5)
             )
             / F.lit(10.0**round_to)
         ).alias("mean_degree"),
-        round_pz(F.corr("da", "db"), round_to).alias("assortativity"),
-    ).select("n_nodes", "n_edges", "mean_degree", "assortativity")
+        round_pz(F.col("__r"), round_to).alias("assortativity"),
+    )

@@ -8,6 +8,7 @@ same plans.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -89,9 +90,22 @@ def oracle_sql() -> dict[str, str]:
     return {k: sql for k, (_, sql) in _ordered().items() if sql is not None}
 
 
+_CAT_CACHE: dict[tuple[int, str], TableCatalog] = {}
+
+
 def _cat(spark: SparkSession, sf_dir: str) -> TableCatalog:
-    # views are per-session; re-registering is idempotent and cheap
-    return TableCatalog(spark, sf_dir)
+    """Memoized per (session, root): catalog construction registers ten
+    views, each costing a JVM ``read.parquet`` schema probe plus a
+    pyarrow footer scan — ~0.5-0.8 s of pure driver time that used to be
+    paid by EVERY query construction (the dominant share of the ~1 s
+    per-query floor in BASELINE.md). Views live in the session, so reuse
+    is exactly equivalent; a fresh session (new id) re-registers."""
+    key = (id(spark), os.path.abspath(sf_dir))
+    cat = _CAT_CACHE.get(key)
+    if cat is None or cat.spark is not spark:
+        cat = TableCatalog(spark, sf_dir)
+        _CAT_CACHE[key] = cat
+    return cat
 
 
 # --------------------------------------------------------------------------
@@ -3451,15 +3465,16 @@ def _pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank values are key-representation-independent."""
     from etl_io_spark.operators import graph
 
-    cat = _cat(spark, sf_dir)
-    li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
-    orders = cat.table("orders").select("o_orderkey", "o_custkey")
-    pairs = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
-        (F.col("o_custkey").cast("long") * 2).alias("src"),
-        (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+    pairs = _trade_pairs(spark, sf_dir)
+    # parity-tagged keys make the direction spaces disjoint: symmetrize
+    # dedups the DIRECTED list (half the rows) and skips the post-union
+    # distinct; assume_symmetric lets pagerank take distinct(src) as the
+    # node set instead of deduping both endpoint columns
+    ranks = graph.pagerank(
+        graph.symmetrize(pairs, disjoint=True),
+        iterations=5,
+        assume_symmetric=True,
     )
-    # symmetrize()'s distinct dedups the unioned directions in ONE shuffle
-    ranks = graph.pagerank(graph.symmetrize(pairs), iterations=5)
     return ranks.select(
         F.when(
             F.col("node") % 2 == 0,
@@ -3488,20 +3503,27 @@ _TRADE_EDGES_SQL = """base AS (
               UNION SELECT b.d AS s, b.s AS d FROM base b)"""
 
 
+def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed (customer, supplier) trade pairs on parity-tagged integer
+    keys — NOT deduplicated; one row per lineitem."""
+    cat = _cat(spark, sf_dir)
+    li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
+    orders = cat.table("orders").select("o_orderkey", "o_custkey")
+    return li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        (F.col("o_custkey").cast("long") * 2).alias("src"),
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+    )
+
+
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetrized trade graph on integer keys, shared by the graph suite."""
     from etl_io_spark.operators import graph
 
-    cat = _cat(spark, sf_dir)
-    li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
-    orders = cat.table("orders").select("o_orderkey", "o_custkey")
-    pairs = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
-        (F.col("o_custkey").cast("long") * 2).alias("src"),
-        (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
-    )
-    # no inner distinct: symmetrize() dedups after the direction union, so
-    # the derivation pays ONE distinct shuffle, not two back-to-back
-    return graph.symmetrize(pairs)
+    pairs = _trade_pairs(spark, sf_dir)
+    # parity-tagged keys keep the direction spaces disjoint, so
+    # symmetrize dedups the DIRECTED pair list (|E| rows) and skips the
+    # post-union distinct over 2|E| rows entirely
+    return graph.symmetrize(pairs, disjoint=True)
 
 
 def _lpa_oracle(rounds: int = 3) -> str:
@@ -3588,10 +3610,15 @@ def _assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     bipartite graph wires low-degree customers to high-degree suppliers.
     mean_degree uses floor-form rounding (2|E|/|V| terminates in decimal
     when |V| is 2^a·5^b, e.g. 16000 at sf0.1 — ROUND would tie-break
-    differently per engine)."""
+    differently per engine).
+
+    Fed the RAW directed pair stream (one row per lineitem), not the
+    symmetrized edge list: the operator canonicalizes + dedups
+    internally, so pre-symmetrizing would just double the rows into that
+    distinct for no semantic difference."""
     from etl_io_spark.operators import graph
 
-    return graph.degree_assortativity(_trade_edges(spark, sf_dir))
+    return graph.degree_assortativity(_trade_pairs(spark, sf_dir))
 
 
 # ==========================================================================
