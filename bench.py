@@ -125,6 +125,8 @@ HEADLINE = [
     "seasonality_events",
     "fuzzy_dedup_keep_best",
     "dsir_weights_docs",
+    "semdedup_embeddings",
+    "ccnet_buckets_docs",
 ]
 
 

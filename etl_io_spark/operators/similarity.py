@@ -789,3 +789,69 @@ def kmeans_assign(
             .agg(F.avg("val").alias("mu"))
         )
     return assign
+
+
+def semdedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    planes: int = 6,
+    dims: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space into cells, compare
+    pairs only WITHIN a cell, and keep one representative per group of
+    semantic near-duplicates. The paper clusters with k-means; here the
+    cells are deterministic hyperplane-sign LSH buckets (2^planes cells,
+    md5-seeded ±1 planes — :func:`_plane_signs`), which keeps the whole
+    pipeline reproducible in any engine with no trained state. The keep
+    rule is the deterministic one-pass variant: a vector is DROPPED iff
+    some LOWER-id vector in the same bucket has cosine ≥ ``threshold``
+    (no chaining — each decision looks only at raw pairs, so the output
+    is order-free and SQL-expressible). Returns one row per vector:
+    ``(vec_id, bucket, keep)``.
+
+    Embeddings are assumed L2-normalized (dot == cosine), matching the
+    rest of this module's near-dup family.
+
+    Scale design: the only corpus-proportional shuffles are the bucket
+    hash-partition and the within-bucket self-join — exactly SemDeDup's
+    cost model, where cell granularity bounds the quadratic term. At
+    100 TB raise ``planes`` (cells double per plane) until the largest
+    cell's pair count fits an executor; the bucketed relation is
+    persisted once and backs both join sides plus the final keep
+    attribution (callers unpersist after their action — see the module
+    persistence contract in graph.py).
+    """
+    signs = _plane_signs(planes, dims)
+    bk = (
+        spread(emb)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("__v"),
+            lsh_bucket(F.col(vec_col), signs).alias("bucket"),
+        )
+        .persist()
+    )
+    a = bk.select(
+        F.col("vec_id").alias("__aid"), F.col("__v").alias("__va"), "bucket"
+    )
+    b = bk.select(
+        F.col("vec_id").alias("__bid"), F.col("__v").alias("__vb"), "bucket"
+    )
+    dominated = (
+        a.join(b, "bucket")
+        .where(F.col("__bid") < F.col("__aid"))
+        .where(
+            F.round(cosine(F.col("__va"), F.col("__vb"), True), round_to)
+            >= F.lit(threshold)
+        )
+        .select(F.col("__aid").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return bk.join(dominated, "vec_id", "left").select(
+        "vec_id", "bucket", F.col("__dropped").isNull().alias("keep")
+    )

@@ -769,6 +769,7 @@ def lm_cross_entropy(
     text_col: str,
     alpha: float = 0.4,
     round_to: int = 6,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document cross-entropy (nats/token) under an interpolated
     bigram language model trained on the corpus itself — the classic
@@ -790,6 +791,11 @@ def lm_cross_entropy(
     — the corpus-proportional cost is the bigram explode + one keyed
     join, exactly the scan-shaped work any corpus LM scorer must do.
     Mirrors pmi_collocations' shared-denominator construction.
+
+    ``carry`` threads extra per-document constant columns (e.g. a
+    language tag) through to the output WITHOUT a post-hoc doc_id join:
+    they ride the bigram rows and join the final group key — free,
+    because they are functionally dependent on ``id_col``.
     """
     toks = F.col("__toks")
     bigrams = F.zip_with(
@@ -797,11 +803,17 @@ def lm_cross_entropy(
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    carry_cols = [F.col(c) for c in carry]
     occ = (
         spread_text(df)
-        .select(F.col(id_col), tokens(text_col).alias("__toks"))
-        .select(F.col(id_col), F.explode(bigrams).alias("__b"))
-        .select(id_col, F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+        .select(F.col(id_col), *carry_cols, tokens(text_col).alias("__toks"))
+        .select(F.col(id_col), *carry_cols, F.explode(bigrams).alias("__b"))
+        .select(
+            id_col,
+            *carry,
+            F.col("__b.w1").alias("w1"),
+            F.col("__b.w2").alias("w2"),
+        )
     )
     bg = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).cache()
     c1 = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
@@ -816,9 +828,63 @@ def lm_cross_entropy(
         .join(c1, "w1")
         .join(c2, "w2")
         .crossJoin(F.broadcast(total))
-        .select(F.col(id_col), (-F.log(p)).alias("__nll"))
+        .select(F.col(id_col), *carry_cols, (-F.log(p)).alias("__nll"))
     )
-    return scored.groupBy(id_col).agg(
+    return scored.groupBy(id_col, *carry).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("__nll"), round_to).alias("cross_entropy"),
+    )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str = "lang",
+    alpha: float = 0.4,
+    round_to: int = 6,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): score every document with the corpus-trained
+    bigram-LM cross-entropy (:func:`lm_cross_entropy`), rank WITHIN each
+    language, and split into head / middle / tail terciles — the classic
+    "keep the head, sample the middle, drop the tail" curation gate.
+    Returns one row per (lang, bucket): doc count and the bucket's
+    cross-entropy mean/min/max.
+
+    The language tag rides the LM scorer's group key via ``carry`` (it is
+    functionally dependent on the doc id), so NO post-hoc doc_id join of
+    the documents table is needed. Tercile assignment is ``ntile(3)``
+    ordered by the ROUNDED score with the doc id as tiebreak — a total
+    order, so the split is engine-reproducible (SQL ``NTILE`` has the
+    same remainder-to-leading-buckets semantics).
+
+    Scale note: ntile needs a per-language sort, and languages are few —
+    a skewed sort key at corpus scale. Production CCNet derives the two
+    cut points from a SAMPLE and maps each doc by comparison (pure scan);
+    this operator is the exact-tercile variant the sampled one is
+    validated against — swap in approx_percentile cut points when the
+    per-language volume no longer fits a sort partition.
+    """
+    from pyspark.sql import Window
+
+    ce = lm_cross_entropy(
+        df, id_col, text_col, alpha=alpha, round_to=round_to,
+        carry=(lang_col,),
+    )
+    w = Window.partitionBy(lang_col).orderBy("cross_entropy", id_col)
+    bucket = (
+        F.when(F.col("__b") == 1, F.lit("head"))
+        .when(F.col("__b") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ce.withColumn("__b", F.ntile(3).over(w))
+        .groupBy(F.col(lang_col), bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("cross_entropy"), round_to).alias("avg_ce"),
+            F.min("cross_entropy").alias("min_ce"),
+            F.max("cross_entropy").alias("max_ce"),
+        )
     )

@@ -1165,6 +1165,48 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_oracle(
+    planes: int = 6, dims: int = 64, threshold: float = 0.4
+) -> str:
+    """DuckDB replica of similarity.semdedup: the md5 hyperplane signs
+    are inlined as ±embedding[i] sums (bit-identical to Spark's left-fold
+    of cast(double)·(±1.0) — same op order, same ``>= 0`` decisions, see
+    _ann_lsh_oracle), the within-bucket dominance join reuses the
+    sequential-fold dot product macro."""
+    from etl_io_spark.operators.similarity import _plane_signs
+
+    terms = []
+    for p, plane in enumerate(_plane_signs(planes, dims)):
+        proj = "0.0" + "".join(
+            f" {'+' if s > 0 else '-'} embedding[{d + 1}]::DOUBLE"
+            for d, s in enumerate(plane)
+        )
+        terms.append(f"(CASE WHEN ({proj}) >= 0 THEN {2 ** p} ELSE 0 END)")
+    dot = _DOT.format(a="a.embedding", b="b.embedding")
+    return f"""
+    WITH bk AS (
+      SELECT vec_id, embedding, {' + '.join(terms)} AS bucket FROM embeddings
+    ),
+    dom AS (
+      SELECT DISTINCT a.vec_id
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+      WHERE ROUND({dot}, 6) >= {threshold}
+    )
+    SELECT bk.vec_id, bk.bucket, (d.vec_id IS NULL) AS keep
+    FROM bk LEFT JOIN dom d ON bk.vec_id = d.vec_id
+    """
+
+
+@register("semdedup_embeddings", _semdedup_oracle())
+def _semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semdedup): LSH-cell partition -> within-cell
+    cosine dominance -> keep one representative per near-dup group. The
+    embedding-space twin of fuzzy_dedup_keep_best's MinHash text path."""
+    return similarity.semdedup(
+        _cat(spark, sf_dir).table("embeddings"), threshold=0.4, planes=6
+    )
+
+
 # -- text analysis ---------------------------------------------------------
 _SW = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 #: regexp alternation of the stopword list (parity with text.stopword_ratio)
@@ -4245,6 +4287,64 @@ _LM_XENT_SQL = """
 def _lm_cross_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _cat(spark, sf_dir).table("documents")
     return text.lm_cross_entropy(docs, "doc_id", "text", alpha=0.4)
+
+
+# ==========================================================================
+# CCNet perplexity bucketing (Wenzek et al. 2020; operators/text.py
+# ccnet_buckets): per-language head/middle/tail terciles of the bigram-LM
+# cross-entropy. The oracle retrains the identical LM (same CTEs as
+# _LM_XENT_SQL), attaches lang, and NTILEs on the same (rounded score,
+# doc_id) total order — NTILE remainder semantics match Spark's ntile.
+# ==========================================================================
+_CCNET_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id,
+             UNNEST([l[i] for i in generate_series(1, len(l) - 1)]) AS w1,
+             UNNEST([l[i+1] for i in generate_series(1, len(l) - 1)]) AS w2
+      FROM toks
+    ),
+    c AS (SELECT w1, w2, COUNT(*) AS c12 FROM occ GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c GROUP BY 1),
+    c2 AS (SELECT w2, SUM(c12) AS c2 FROM c GROUP BY 1),
+    t AS (SELECT SUM(c12) AS n FROM c),
+    ce AS (
+      SELECT occ.doc_id,
+             ROUND(AVG(-LN(0.4 * c.c12 / c1.c1 + 0.6 * c2.c2 / t.n)), 6)
+               AS cross_entropy
+      FROM occ
+      JOIN c USING (w1, w2) JOIN c1 USING (w1) JOIN c2 USING (w2)
+      CROSS JOIN t
+      GROUP BY occ.doc_id
+    ),
+    lb AS (
+      SELECT d.lang, ce.cross_entropy,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY ce.cross_entropy, ce.doc_id) AS b
+      FROM ce JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(cross_entropy), 6) AS avg_ce,
+           MIN(cross_entropy) AS min_ce,
+           MAX(cross_entropy) AS max_ce
+    FROM lb GROUP BY 1, 2
+"""
+
+
+@register("ccnet_buckets_docs", _CCNET_SQL)
+def _ccnet_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity terciles (text.ccnet_buckets):
+    the lang tag rides the LM scorer's group key (carry=, no doc_id
+    self-join — the langid_confusion lesson), tercile split on the
+    rounded score so both engines rank the identical total order."""
+    docs = _cat(spark, sf_dir).table("documents")
+    return text.ccnet_buckets(docs, "doc_id", "text", lang_col="lang")
 
 
 # ==========================================================================

@@ -379,3 +379,55 @@ def test_incremental_neardup_gate_flags_known_dup(spark):
     assert out[10]["is_neardup"] and out[10]["match_id"] == 1
     assert out[10]["est_jaccard"] == 1.0
     assert not out[11]["is_neardup"] and out[11]["match_id"] is None
+
+
+# ------------------------------------------------------- semdedup / ccnet
+def test_semdedup_keeps_lowest_id_per_neardup_group(spark):
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [Row(vec_id=5, embedding=v), Row(vec_id=2, embedding=v),
+         Row(vec_id=9, embedding=v), Row(vec_id=7, embedding=w)]
+    )
+    out = {r["vec_id"]: r["keep"] for r in
+           similarity.semdedup(df, threshold=0.99, planes=2, dims=4).collect()}
+    # identical vectors share every sign bucket: only the lowest id keeps
+    assert out == {2: True, 5: False, 9: False, 7: True}
+
+
+def test_semdedup_orthogonal_vectors_all_kept_when_separated(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0 if j == i else 0.0 for j in range(4)])
+         for i in range(4)]
+    )
+    out = similarity.semdedup(df, threshold=0.5, planes=2, dims=4)
+    # orthogonal vectors are never dominated regardless of bucketing
+    # (cosine = 0 < threshold even when buckets collide)
+    assert all(r["keep"] for r in out.collect())
+
+
+def test_lm_cross_entropy_carry_matches_join(spark, docs):
+    tagged = docs.withColumn("lang", F.lit("en"))
+    carried = text.lm_cross_entropy(tagged, "doc_id", "text", carry=("lang",))
+    plain = text.lm_cross_entropy(docs, "doc_id", "text")
+    c = {r["doc_id"]: (r["lang"], r["n_bigrams"], r["cross_entropy"])
+         for r in carried.collect()}
+    p = {r["doc_id"]: (r["n_bigrams"], r["cross_entropy"])
+         for r in plain.collect()}
+    assert set(c) == set(p)
+    for d, (lang, nb, ce) in c.items():
+        assert lang == "en" and (nb, ce) == p[d]
+
+
+def test_ccnet_buckets_tercile_counts_and_ordering(spark):
+    rows = [Row(doc_id=i, lang="en",
+                text=" ".join(["tok%d" % (i * 7 + k) for k in range(5)] * (1 + i % 3)))
+            for i in range(9)]
+    df = spark.createDataFrame(rows)
+    out = text.ccnet_buckets(df, "doc_id", "text", lang_col="lang").collect()
+    by_bucket = {r["bucket"]: r for r in out}
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert sum(r["n_docs"] for r in out) == 9
+    # head has the LOWEST cross-entropy (most corpus-typical docs)
+    assert by_bucket["head"]["max_ce"] <= by_bucket["middle"]["min_ce"]
+    assert by_bucket["middle"]["max_ce"] <= by_bucket["tail"]["min_ce"]
