@@ -391,7 +391,9 @@ def degree_assortativity(
     both = canon.select("a", "b").unionAll(
         canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    # |V|-row table consumed three times (two endpoint joins + the node
+    # count) — persist it or each consumer re-runs the union + agg
+    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("d")).persist()
     joined = (
         both.join(deg.withColumnsRenamed({"a": "a", "d": "da"}), "a")
         .join(deg.withColumnsRenamed({"a": "b", "d": "db"}), "b")

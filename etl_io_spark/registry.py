@@ -60,11 +60,17 @@ _WINDOW_ORDER: tuple[str, ...] = (
     # keys stay green under tools/check.py + pytest.
     "dedup_exact", "dedup_ngram_jaccard", "fuzzy_dedup_keep_best",
     "dedup_minhash_lsh", "dedup_lsh_exact", "dedup_simhash",
-    # similarity search
-    "similarity_topk", "similarity_ann_lsh", "embedding_neardup",
+    # similarity search + semantic dedup. semdedup_embeddings and
+    # ccnet_buckets_docs entered late round 3 (SemDeDup cell dedup, CCNet
+    # perplexity terciles); similarity_topk (brute-force baseline — the
+    # family stays represented by ann_lsh + embedding_neardup) and
+    # tfidf_top_terms (term-stats family: bm25/pmi/vocab keys in the
+    # tail) rotated out to hold the window at 50; rotated-out keys stay
+    # green under tools/check.py + pytest.
+    "similarity_ann_lsh", "embedding_neardup", "semdedup_embeddings",
     # text analysis + data-selection
     "text_quality", "dsir_weights_docs", "lang_id", "doc_fingerprint",
-    "tfidf_top_terms",
+    "ccnet_buckets_docs",
     # streaming-parity + multimodal
     "events_session_window", "media_metadata", "media_frame_sample",
     # §2.8 composite pipelines (Q2–Q6)
