@@ -400,12 +400,14 @@ def dsir_logratio(
     ``(id, n_features, dsir_logratio)``; docs with no tokens are absent.
 
     Shape: one map-side feature explode (tokens + zip_with bigrams — no
-    self-join), two bucket-count partial aggs whose outputs are
-    ``buckets``-sized, a broadcast ratio join back onto the feature
-    stream, one per-doc partial agg. Everything after the explode is
-    bounded by the bucket count, not the corpus; the feature hash is the
-    md5-derived ``hash60`` so the DuckDB oracle reproduces every bucket
-    exactly.
+    self-join), ONE bucket-count partial agg (raw and target counted
+    together via a conditional count) whose output is ``buckets``-sized,
+    a broadcast ratio join back onto the feature stream, one per-doc
+    partial agg. The feature stream is evaluated twice (count pass +
+    score pass) — recomputing the explode beats persisting a
+    corpus-proportional relation at scale; everything after it is
+    bounded by the bucket count. The feature hash is the md5-derived
+    ``hash60`` so the DuckDB oracle reproduces every bucket exactly.
     """
     toks = tokens(text_col)
     bigrams = F.zip_with(
@@ -423,31 +425,31 @@ def dsir_logratio(
     ).select(
         id_col, "__tgt", (hash60(F.col("__f")) % buckets).alias("__bk")
     )
-    rawc = feats.groupBy("__bk").agg(F.count(F.lit(1)).alias("__cr"))
-    tgtc = (
-        feats.where(F.col("__tgt"))
-        .groupBy("__bk")
-        .agg(F.count(F.lit(1)).alias("__ct"))
+    # ONE pass over the feature stream counts raw and target together
+    # (conditional count instead of a second filtered scan — the explode
+    # + md5 hashing is the corpus-proportional cost and used to run once
+    # per count table); totals reduce the buckets-sized output, not the
+    # corpus.
+    counts = feats.groupBy("__bk").agg(
+        F.count(F.lit(1)).alias("__cr"),
+        F.count(F.when(F.col("__tgt"), F.lit(1))).alias("__ct"),
     )
-    n_raw = rawc.agg(F.sum("__cr").alias("__nr"))
-    n_tgt = tgtc.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__nt"))
-    ratio = (
-        rawc.join(tgtc, "__bk", "left")
-        .crossJoin(F.broadcast(n_raw))
-        .crossJoin(F.broadcast(n_tgt))
-        .select(
-            "__bk",
-            F.log(
-                (
-                    (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("__nt") + F.lit(float(buckets)))
-                )
-                / (
-                    (F.col("__cr") + F.lit(1.0))
-                    / (F.col("__nr") + F.lit(float(buckets)))
-                )
-            ).alias("__lr"),
-        )
+    totals = counts.agg(
+        F.coalesce(F.sum("__cr"), F.lit(0)).alias("__nr"),
+        F.coalesce(F.sum("__ct"), F.lit(0)).alias("__nt"),
+    )
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "__bk",
+        F.log(
+            (
+                (F.col("__ct") + F.lit(1.0))
+                / (F.col("__nt") + F.lit(float(buckets)))
+            )
+            / (
+                (F.col("__cr") + F.lit(1.0))
+                / (F.col("__nr") + F.lit(float(buckets)))
+            )
+        ).alias("__lr"),
     )
     from etl_io_spark.functions.numeric import round_pz
 
