@@ -127,6 +127,8 @@ HEADLINE = [
     "dsir_weights_docs",
     "semdedup_embeddings",
     "ccnet_buckets_docs",
+    "corpus_datacard",
+    "tokenizer_fertility",
 ]
 
 

@@ -117,6 +117,18 @@ def stopword_ratio(col: str, stopwords: Sequence[str] = STOPWORDS) -> Column:
     return F.when(F.size(toks) > 0, sw / F.size(toks)).otherwise(F.lit(0.0))
 
 
+def quality_score_expr(text_col: str) -> Column:
+    """Composite per-document quality score (unrounded): the gate battery
+    shared by :func:`quality_features` and :func:`corpus_datacard` —
+    length band + stopword presence + punctuation ceiling."""
+    n_words = F.size(tokens(text_col))
+    return (
+        F.when((n_words >= 20) & (n_words <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(stopword_ratio(text_col) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio(text_col) <= 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+
+
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document quality features + composite score (rounded for oracle
     parity). Mirrors common LLM-data quality gates: length, mean word
@@ -130,11 +142,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     mean_wlen = F.when(
         n_words > 0, sum_tok_len.cast("double") / n_words
     ).otherwise(F.lit(0.0))
-    score = (
-        F.when((n_words >= 20) & (n_words <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when(stopword_ratio(text_col) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
-        + F.when(punct_ratio(text_col) <= 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
-    )
+    score = quality_score_expr(text_col)
     return spread(df).select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
@@ -887,4 +895,108 @@ def ccnet_buckets(
             F.min("cross_entropy").alias("min_ce"),
             F.max("cross_entropy").alias("max_ce"),
         )
+    )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    text_col: str,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-source corpus data card (the 'datasheet for datasets' summary,
+    Gebru et al. 2021): document and character volume, exact-duplicate
+    rate, mean composite quality score, language count and the Shannon
+    entropy (nats) of the language mix — the one-page health report a
+    curation pipeline publishes per ingested source.
+
+    Exact-dup detection groups the 60-bit md5 content hash, not the raw
+    text — at 100 TB the distinct-count shuffle then moves 8-byte keys
+    (cross-engine-exact, so the oracle reproduces it). Ratios of integer
+    counts use floor-form double rounding (terminating-decimal ROUND
+    ties break differently per engine — see robust_anomaly); the
+    log-based entropy keeps plain ROUND with negative-zero
+    normalization (a single-language source computes -0.0 on one side).
+
+    Shape: one scan for the per-source roll-up and one for the
+    (source, lang) counts that feed the mix entropy — the second pass
+    re-derives only (source, lang), so column pruning makes it a
+    metadata-cheap scan; both aggregates are source-cardinality-sized,
+    joined broadcast at the end.
+    """
+    base = spread_text(df).select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.length(text_col).alias("__nc"),
+        hash60(F.col(text_col)).alias("__h"),
+        F.round(quality_score_expr(text_col), 2).alias("__q"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nc").cast("bigint").alias("total_chars"),
+        F.count_distinct("__h").alias("n_unique"),
+        (
+            F.floor(
+                (F.count(F.lit(1)) - F.count_distinct("__h"))
+                * F.lit(1000000)
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            / F.lit(1000000)
+        ).alias("dup_rate"),
+        (F.floor(F.avg("__q") * F.lit(10000) + F.lit(0.5)) / F.lit(10000)).alias(
+            "avg_quality"
+        ),
+    )
+    lang_counts = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    lang_mix = lang_counts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_langs"),
+        round_pz(
+            F.log(F.sum("__c"))
+            - F.sum(F.col("__c") * F.log("__c")) / F.sum("__c"),
+            round_to,
+        ).alias("lang_entropy"),
+    )
+    return per_source.join(lang_mix, "source")
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str,
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish subword tokens per
+    whitespace word, and characters per subword token — the standard
+    multilingual tokenizer-efficiency diagnostic (a fertility far above
+    the English baseline means the tokenizer fragments that language,
+    inflating training cost per byte of content; cf. the NLLB / XLM-R
+    tokenizer analyses). Uses the deterministic :data:`BPE_PATTERN`
+    proxy so both engines count identical units.
+
+    One scan, one language-keyed partial agg; ratios are of summed
+    integer counts (floor-form rounded — int/int terminates in decimal),
+    zero-guarded so a language of empty documents reports 0.0 rather
+    than engine-divergent inf/NULL division."""
+    base = spread_text(df).select(
+        F.col(lang_col).alias("lang"),
+        token_count_ws(text_col).alias("__ws"),
+        token_count_bpe(text_col).alias("__bpe"),
+        F.length(F.regexp_replace(F.col(text_col), r"\s", "")).alias("__ch"),
+    )
+
+    def ratio6(num: Column, den: Column) -> Column:
+        return F.when(
+            den > 0,
+            F.floor(num * F.lit(1000000) / den + F.lit(0.5)) / F.lit(1000000),
+        ).otherwise(F.lit(0.0))
+
+    return base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__ws").cast("bigint").alias("total_words"),
+        F.sum("__bpe").cast("bigint").alias("total_tokens"),
+        ratio6(F.sum("__bpe"), F.sum("__ws")).alias("fertility"),
+        ratio6(F.sum("__ch"), F.sum("__bpe")).alias("chars_per_token"),
     )

@@ -1277,6 +1277,98 @@ def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ==========================================================================
+# Per-source corpus data card (text.corpus_datacard): volume, exact-dup
+# rate (60-bit md5 keys), mean quality, language-mix entropy — the
+# one-page per-source health report of a curation pipeline. Integer-count
+# ratios use floor-form rounding; entropy keeps ROUND + negative-zero
+# normalization (single-language sources compute exactly 0).
+# ==========================================================================
+_DATACARD_SQL = f"""
+    WITH t AS (
+      SELECT source, lang, LENGTH(text) AS nc,
+             {text.HASH60_DUCK.format(s='text')} AS h,
+             ROUND(
+               (CASE WHEN len(string_split_regex(trim(text), '\\s+'))
+                          BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+                        AND len(regexp_extract_all(text, '\\b({_SW_ALT})\\b'))
+                            * 1.0
+                            / len(string_split_regex(trim(text), '\\s+'))
+                            >= 0.05
+                       THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN LENGTH(text) = 0 OR
+                       (LENGTH(text)
+                        - LENGTH(regexp_replace(text, '[^a-zA-Z0-9\\s]',
+                                                '', 'g'))) * 1.0
+                           / LENGTH(text) <= 0.1
+                       THEN 0.3 ELSE 0.0 END), 2) AS q
+      FROM documents
+    ),
+    s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(nc) AS BIGINT) AS total_chars,
+             COUNT(DISTINCT h) AS n_unique,
+             FLOOR((COUNT(*) - COUNT(DISTINCT h)) * 1000000
+                   / COUNT(*) + 0.5) / 1000000 AS dup_rate,
+             FLOOR(AVG(q) * 10000 + 0.5) / 10000 AS avg_quality
+      FROM t GROUP BY source
+    ),
+    lc AS (SELECT source, lang, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    l AS (
+      SELECT source, COUNT(*) AS n_langs,
+             ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) + 0.0
+               AS lang_entropy
+      FROM lc GROUP BY source
+    )
+    SELECT s.source, n_docs, total_chars, n_unique, dup_rate, avg_quality,
+           n_langs, lang_entropy
+    FROM s JOIN l ON s.source = l.source
+"""
+
+
+@register("corpus_datacard", _DATACARD_SQL)
+def _corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasheet-style per-source summary (text.corpus_datacard)."""
+    return text.corpus_datacard(
+        _cat(spark, sf_dir).table("documents"), "text"
+    )
+
+
+# ==========================================================================
+# Tokenizer fertility by language (text.tokenizer_fertility): BPE-proxy
+# tokens per word + chars per token — the multilingual tokenizer-cost
+# diagnostic; summed-integer ratios, floor-form rounded, zero-guarded
+# ==========================================================================
+_FERTILITY_SQL = f"""
+    WITH t AS (
+      SELECT lang,
+             len(string_split_regex(trim(text), '\\s+')) AS ws,
+             len(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS bpe,
+             LENGTH(regexp_replace(text, '\\s', '', 'g')) AS ch
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS total_words,
+           CAST(SUM(bpe) AS BIGINT) AS total_tokens,
+           CASE WHEN SUM(ws) > 0
+                THEN FLOOR(SUM(bpe) * 1000000 / SUM(ws) + 0.5) / 1000000
+                ELSE 0.0 END AS fertility,
+           CASE WHEN SUM(bpe) > 0
+                THEN FLOOR(SUM(ch) * 1000000 / SUM(bpe) + 0.5) / 1000000
+                ELSE 0.0 END AS chars_per_token
+    FROM t GROUP BY lang
+"""
+
+
+@register("tokenizer_fertility", _FERTILITY_SQL)
+def _tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (text.tokenizer_fertility)."""
+    return text.tokenizer_fertility(
+        _cat(spark, sf_dir).table("documents"), "text"
+    )
+
+
 def _lang_oracle() -> str:
     # marker hits counted by word-boundary regexp (parity with
     # text.lang_id: zero-width \b behaves identically in RE2 and Java)

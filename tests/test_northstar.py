@@ -431,3 +431,39 @@ def test_ccnet_buckets_tercile_counts_and_ordering(spark):
     # head has the LOWEST cross-entropy (most corpus-typical docs)
     assert by_bucket["head"]["max_ce"] <= by_bucket["middle"]["min_ce"]
     assert by_bucket["middle"]["max_ce"] <= by_bucket["tail"]["min_ce"]
+
+
+def test_corpus_datacard_dup_rate_and_lang_mix(spark):
+    rows = [
+        Row(doc_id=1, source="s1", lang="en", text="alpha beta gamma"),
+        Row(doc_id=2, source="s1", lang="en", text="alpha beta gamma"),
+        Row(doc_id=3, source="s1", lang="de", text="delta epsilon zeta"),
+        Row(doc_id=4, source="s1", lang="de", text="eta theta iota"),
+        Row(doc_id=5, source="s2", lang="fr", text="kappa lambda mu"),
+    ]
+    out = {r["source"]: r for r in
+           text.corpus_datacard(spark.createDataFrame(rows), "text").collect()}
+    s1 = out["s1"]
+    assert s1["n_docs"] == 4 and s1["n_unique"] == 3
+    assert s1["dup_rate"] == 0.25
+    assert s1["n_langs"] == 2
+    # balanced 2/2 mix: entropy = ln 2
+    assert abs(s1["lang_entropy"] - 0.693147) < 1e-6
+    s2 = out["s2"]
+    assert s2["dup_rate"] == 0.0 and s2["n_langs"] == 1
+    assert s2["lang_entropy"] == 0.0  # and not -0.0
+
+
+def test_tokenizer_fertility_hand_case(spark):
+    rows = [
+        Row(doc_id=1, lang="en", text="ab cd"),        # 2 words, 2 bpe, 4 ch
+        Row(doc_id=2, lang="xx", text="a-b c!"),       # 2 words, 5 bpe, 5 ch
+        Row(doc_id=3, lang="zz", text=""),             # empty: zero-guard
+    ]
+    out = {r["lang"]: r for r in
+           text.tokenizer_fertility(spark.createDataFrame(rows), "text").collect()}
+    assert out["en"]["fertility"] == 1.0
+    assert out["en"]["chars_per_token"] == 2.0
+    assert out["xx"]["fertility"] == 2.5
+    assert out["xx"]["chars_per_token"] == 1.0
+    assert out["zz"]["fertility"] == 0.0 and out["zz"]["chars_per_token"] == 0.0

@@ -92,6 +92,8 @@ PROBE = [
     "seasonality_events",
     "fuzzy_dedup_keep_best",
     "dsir_weights_docs",
+    "semdedup_embeddings",
+    "ccnet_buckets_docs",
 ]
 
 #: per-table (key columns to offset, timestamp column to shift, text column)
