@@ -831,12 +831,20 @@ def lm_cross_entropy(
         F.lit(alpha) * F.col("c12") / F.col("c1")
         + F.lit(1.0 - alpha) * F.col("c2") / F.col("__N")
     )
-    scored = (
-        occ.join(bg, ["w1", "w2"])
-        .join(c1, "w1")
+    # fold the mixture into a VOCAB-sized per-bigram NLL table first: the
+    # marginal joins then touch only the cached bigram counts, and the
+    # corpus-proportional occurrence stream is joined ONCE (instead of
+    # three shuffles of it against bg/c1/c2 separately). Identical
+    # arithmetic — the same (c12, c1, c2, N) doubles feed the same
+    # mixture expression, just vocab-side instead of occurrence-side.
+    nll_tab = (
+        bg.join(c1, "w1")
         .join(c2, "w2")
         .crossJoin(F.broadcast(total))
-        .select(F.col(id_col), *carry_cols, (-F.log(p)).alias("__nll"))
+        .select("w1", "w2", (-F.log(p)).alias("__nll"))
+    )
+    scored = occ.join(nll_tab, ["w1", "w2"]).select(
+        F.col(id_col), *carry_cols, "__nll"
     )
     return scored.groupBy(id_col, *carry).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
