@@ -142,6 +142,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/sf1x10")
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("names", nargs="*", help="probe only these query keys")
     args = ap.parse_args()
 
     from etl_io_spark import registry
@@ -153,12 +154,16 @@ def main() -> None:
 
     qs = registry.queries()
     rows = []
-    for name in PROBE:
+    for name in args.names or PROBE:
         fn = qs[name]
         times = {}
         for tag, sf_dir in [("1x", SRC), ("10x", args.out)]:
             best = None
             for _ in range(2):  # min of 2: second run amortizes codegen
+                # fresh plan per run + cache reset: persisting queries
+                # otherwise accumulate duplicate blocks across runs and
+                # the min reads memory pressure, not the query
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
