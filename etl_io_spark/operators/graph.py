@@ -421,3 +421,84 @@ def degree_assortativity(
         ).alias("mean_degree"),
         round_pz(F.col("__r"), round_to).alias("assortativity"),
     )
+
+
+def hits(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """HITS hubs & authorities over a DIRECTED edge list (Kleinberg):
+    ``auth_t(v) = Σ_{(u,v)} hub_{t-1}(u)``, ``hub_t(u) = Σ_{(u,v)}
+    auth_t(v)``. Returns one row per node with its raw integer scores and
+    max-normalized doubles.
+
+    Parity-first formulation: hubs start at the INTEGER 1 and no
+    per-iteration normalization is applied, so every intermediate score
+    is an exact BIGINT — SQL oracles unroll the fixed iteration count
+    with zero float noise, and the single normalizing division happens
+    once at the end (score/max, an irrational-ish ratio where plain ROUND
+    is engine-stable). The textbook per-iteration L2 normalization only
+    rescales — relative order and the final normalized scores are
+    identical. Integer growth is O((d_max²)^t); at 3 iterations even a
+    degree-10⁴ graph stays far inside int64, but production runs at
+    higher iteration counts should switch to per-iteration normalization
+    (and lose exact SQL parity) before the scores approach 2^63.
+
+    Scale shape: the distinct edge list is persisted once (it backs every
+    iteration); each half-step is ONE |E|-row join against the previous
+    |V|-row score table plus ONE partial-agg shuffle — AQE broadcasts the
+    score side on moderate graphs. Sources that never appear as a ``dst``
+    keep hub updates flowing (their auth is 0 and contributes nothing);
+    on bipartite graphs (e.g. customer→supplier trade pairs) hubs are
+    exactly the src partition and authorities the dst partition.
+    Persistence contract: see the module docstring.
+    """
+    e = (
+        pairs.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .distinct()
+        .persist()
+    )
+    hub = e.select(F.col("__s").alias("node")).distinct().select(
+        "node", F.lit(1).cast("bigint").alias("v")
+    )
+    for _ in range(iterations):
+        auth = (
+            e.join(hub, e["__s"] == hub["node"])
+            .groupBy("__d")
+            .agg(F.sum("v").alias("v"))
+            .select(F.col("__d").alias("node"), "v")
+        )
+        hub = (
+            e.join(auth, e["__d"] == auth["node"])
+            .groupBy("__s")
+            .agg(F.sum("v").alias("v"))
+            .select(F.col("__s").alias("node"), "v")
+        )
+    # full-outer merge: on general digraphs a node can hold BOTH scores;
+    # missing side = 0 (bipartite graphs degenerate to a disjoint union)
+    scores = (
+        hub.select("node", F.col("v").alias("hub"))
+        .join(
+            auth.select("node", F.col("v").alias("auth")), "node", "full_outer"
+        )
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0)).cast("bigint").alias("hub"),
+            F.coalesce("auth", F.lit(0)).cast("bigint").alias("auth"),
+        )
+    )
+    # normalize against a broadcast 1-row max — not a global window, which
+    # would funnel all |V| rows through one partition
+    mx = scores.agg(
+        F.max("hub").alias("__mh"), F.max("auth").alias("__ma")
+    )
+    return scores.crossJoin(F.broadcast(mx)).select(
+        "node",
+        "hub",
+        "auth",
+        F.round(F.col("hub") / F.col("__mh"), round_to).alias("hub_norm"),
+        F.round(F.col("auth") / F.col("__ma"), round_to).alias("auth_norm"),
+    )

@@ -458,3 +458,115 @@ def seasonality_strength(
             ).alias("strength"),
         )
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    ts_col: str = "ts",
+    max_lag: int = 8,
+    bucket: str = "minute",
+    round_to: int = 6,
+) -> DataFrame:
+    """Autocorrelation function of the event-count series: bucket events
+    into fixed time bins, then Pearson-correlate the count series with
+    itself shifted by 1..max_lag bins — the standard "is there memory /
+    periodicity at lag k?" diagnostic run before any forecasting model.
+
+    Scale shape: the raw stream collapses FIRST through one
+    partial-aggregable groupBy into per-bucket counts, so everything
+    after is bounded by the WALL-CLOCK SPAN (minutes in the observation
+    window), not data volume — 100 TB over a year is still ~500k minute
+    rows. The lag alignment is one ordered window over that bounded
+    series (single-partition by construction and by bound), and all
+    max_lag correlations are independent buffers of ONE final aggregate;
+    the (lag, acf) long form unpivots map-side from the 1-row result.
+    Missing buckets are genuinely absent rows (lag is over OBSERVED
+    buckets) — resample upstream for strict fixed-step semantics.
+
+    Pearson r is variance-convention invariant, so Spark ``corr`` and
+    SQL ``CORR`` agree to float noise; outputs are rounded with negative
+    zero normalized (an ACF near 0 legitimately rounds to ±0).
+    """
+    counts = df.groupBy(
+        F.date_trunc(bucket, F.col(ts_col)).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy("__b")
+    lagged = counts.select(
+        F.col("__n").cast("double").alias("__x"),
+        *[
+            F.lag(F.col("__n").cast("double"), k).over(w).alias(f"__l{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    row = lagged.agg(
+        F.count(F.lit(1)).alias("__nb"),
+        *[
+            round_pz(F.corr("__x", f"__l{k}"), round_to).alias(f"__a{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stack_args = ", ".join(f"{k}, __a{k}" for k in range(1, max_lag + 1))
+    return row.select(
+        F.col("__nb").alias("n_buckets"),
+        F.expr(f"stack({max_lag}, {stack_args}) AS (lag, acf)"),
+    ).select("lag", "acf", "n_buckets")
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """CUSUM mean-shift screen per key: demean the value series against
+    its key's global mean, walk the cumulative sum in time order, and
+    report where |S_t| peaks plus the normalized statistic
+    ``max|S_t| / (σ·√n)`` — large values flag a sustained mean shift (the
+    drifting-sensor / regime-change detector), values ~O(1) are
+    consistent with a stable mean (Brownian-bridge excursion scale).
+
+    ONE keyed window (mean/std/count over the unordered partition fold
+    into the same window spec family as the ordered running sum — a
+    single shuffle on the key), then a per-key max_by reduction. The
+    running sum is an ORDERED prefix sum — both engines fold it strictly
+    left-to-right over the same (ts, id) order, so cross-engine noise
+    does not accumulate the way a repartitioned global sum would. The
+    argmax row is tie-broken by earliest (ts, id); σ=0 keys (constant
+    series) return NULL statistics rather than engine-specific 0/0.
+    """
+    wk = Window.partitionBy(key_col)
+    wo = wk.orderBy(ts_col, id_col)
+    walked = df.select(
+        key_col,
+        ts_col,
+        id_col,
+        (
+            F.sum(F.col(value_col) - F.avg(value_col).over(wk)).over(wo)
+        ).alias("__s"),
+        F.stddev_samp(value_col).over(wk).alias("__sd"),
+        F.count(F.lit(1)).over(wk).alias("__n"),
+    )
+    # second window pass rides the SAME key partitioning (no new shuffle,
+    # just a per-partition re-sort) — a window expression cannot appear
+    # inside another window's ORDER BY in one select
+    scored = walked.withColumn(
+        "__rn",
+        F.row_number().over(
+            wk.orderBy(F.abs(F.col("__s")).desc(), F.col(ts_col), F.col(id_col))
+        ),
+    )
+    return scored.where(F.col("__rn") == 1).select(
+        key_col,
+        F.col("__n").alias("n_rows"),
+        F.col(ts_col).alias("peak_ts"),
+        round_pz(F.col("__s"), round_to).alias("peak_cusum"),
+        round_pz(
+            F.when(
+                F.col("__sd") > 0,
+                F.abs(F.col("__s")) / (F.col("__sd") * F.sqrt("__n")),
+            ),
+            round_to,
+        ).alias("cusum_stat"),
+    )
