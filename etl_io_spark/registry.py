@@ -5136,18 +5136,20 @@ _BFS_SQL = """
 
 @register("bfs_trade_reach", _BFS_SQL)
 def _bfs_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS (graph.shortest_hops) from NATION_0's customers.
+    Runs on parity-tagged BIGINT node keys (custkey→2k, suppkey→2k+1 —
+    int64 join/dedup keys, exactly like pagerank_trade_graph); the
+    'c…'/'s…' labels the oracle uses are reconstructed once at the end.
+    disjoint=True symmetrize dedups the |E|-row directed list and skips
+    the post-union distinct over 2|E| rows."""
     from etl_io_spark.operators import graph
 
     cat = _cat(spark, sf_dir)
     li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
     orders = cat.table("orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
+    pairs = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        (F.col("o_custkey").cast("long") * 2).alias("src"),
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
     )
     sources = (
         cat.table("customer")
@@ -5155,12 +5157,19 @@ def _bfs_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             cat.table("nation").where(F.col("n_name") == "NATION_0"),
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
-        .select(
-            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
-        )
+        .select((F.col("c_custkey").cast("long") * 2).alias("node"))
     )
-    return graph.shortest_hops(
-        graph.symmetrize(pairs), sources, max_depth=3
+    reach = graph.shortest_hops(
+        graph.symmetrize(pairs, disjoint=True), sources, max_depth=3
+    )
+    return reach.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), F.expr("node DIV 2").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("s"), F.expr("node DIV 2").cast("string")))
+        .alias("node"),
+        F.col("hops").cast("int").alias("hops"),
     )
 
 
