@@ -237,42 +237,69 @@ def minhash_lsh_candidates(
     candidate pairs, with the signature-agreement fraction (the MinHash
     estimate of Jaccard) attached.
 
-    Plan: signatures → band key = md5 of the ordered in-band minhashes →
-    self-join per (band, key) bucket → distinct pairs → rejoin signatures
-    once to score agreement. Bucket join replaces the O(n²) cross join —
-    the 100 TB dedup path."""
-    sig = minhash_signatures_wide(df, id_col, text_col, num_perm, n).cache()
-    # band keys straight from the wide signature: md5 of the in-band
-    # minhashes in j-order ("v0,v1,..." — reproducible in any engine);
-    # one row per (doc, band) via a post-aggregation explode of tiny rows.
-    band_key = _band_key_rows(sig, id_col, num_perm, bands)
-    a = band_key.select(F.col(id_col).alias("a"), "band", "bkey")
-    b = band_key.select(F.col(id_col).alias("b"), "band", "bkey")
-    cand = (
-        a.join(b, ["band", "bkey"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+    Plan: signatures → band key = md5 of the ordered in-band minhashes,
+    exploded WITH the signature array still attached → self-join per
+    (band, key) bucket → score the agreement fraction inline on the two
+    carried arrays → one (a, b) groupBy to dedup pairs that collide in
+    several bands. Bucket join replaces the O(n²) cross join — the
+    100 TB dedup path.
+
+    Carrying the num_perm×int64 array through the band join (instead of
+    deduping bare id pairs and re-joining the signature relation twice)
+    trades ~8·num_perm bytes per band row for TWO fewer joins and makes
+    the signature aggregation appear exactly ONCE in the plan — no
+    ``.cache()`` needed, so the honest fresh-plan protocol doesn't
+    rebuild it per consumer (the round-3 bench regression), and the two
+    identical self-join branches collapse into one physical exchange via
+    ReuseExchange. At 16 perms that is 128 B/row against a md5-keyed
+    shuffle row that is already ~50 B — the right trade at any scale."""
+    sig = minhash_signatures_wide(df, id_col, text_col, num_perm, n)
+    rpb = num_perm // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rpb + j + 1).cast("string")
+                            for j in range(rpb)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
     )
-    # rescore: one broadcast-able join per side against the wide sigs,
-    # agreement fraction as a single zip_with/aggregate expression
-    sa = sig.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    band_sig = sig.select(
+        id_col, "sig", F.explode(band_structs).alias("bk")
+    ).select(
+        id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    a = band_sig.select(
+        F.col(id_col).alias("a"), F.col("sig").alias("sig_a"), "band", "bkey"
+    )
+    b = band_sig.select(
+        F.col(id_col).alias("b"), F.col("sig").alias("sig_b"), "band", "bkey"
+    )
     agree = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    scored = (
-        cand.join(sa, "a")
-        .join(sb, "b")
+    return (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("a") < F.col("b"))
         .select(
-            "a",
-            "b",
-            F.round(agree / F.lit(num_perm), 6).alias("est_jaccard"),
+            "a", "b", F.round(agree / F.lit(num_perm), 6).alias("est_jaccard")
         )
+        # a pair colliding in k bands appears k times with the SAME score
+        # (it is a function of the two signatures) — one partial-agg
+        # groupBy dedups; min() is arbitrary among identical values
+        .groupBy("a", "b")
+        .agg(F.min("est_jaccard").alias("est_jaccard"))
     )
-    return scored
 
 
 def simhash(
