@@ -135,6 +135,7 @@ HEADLINE = [
 def main() -> None:
     from pyspark.sql import functions as F
 
+    from etl_io_spark import caching
     from etl_io_spark.session import get_spark
 
     import __spark_entry__ as entrymod
@@ -177,7 +178,9 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         # drop caches a query materialized (untimed): later queries should
-        # neither pay GC pressure for them nor reuse them.
+        # neither pay GC pressure for them nor reuse them; the drain also
+        # releases localCheckpoint RDD storage, invisible to clearCache.
+        caching.drain_persisted()
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

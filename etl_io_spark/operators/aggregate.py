@@ -17,6 +17,8 @@ from collections.abc import Sequence
 from etl_io_spark.functions.numeric import round_pz  # noqa: E402
 from pyspark.sql import Column, DataFrame, functions as F
 
+from etl_io_spark.caching import persist_tracked
+
 
 def group_sum(
     df: DataFrame, keys: Sequence[str], measures: Sequence[str]
@@ -579,7 +581,7 @@ def bitmap_distinct_rollup(
     fine = (
         base.groupBy(key_col, "__day", "__bkt")
         .agg(F.bitmap_construct_agg(F.col("__pos")).alias("__bm"))
-        .persist()  # one fact aggregation feeds daily AND merged levels
+        .transform(persist_tracked)  # one fact aggregation feeds daily AND merged levels
     )
     daily = fine.groupBy(key_col, "__day").agg(
         F.sum(F.bitmap_count("__bm")).alias("__du")

@@ -21,16 +21,18 @@ Core families, each with a distinct scale profile:
 Everything is expression-level (no UDFs) and bottoms out in md5-derived
 hashes, so DuckDB oracles replicate results bit-for-bit.
 
-Persistence contract: operators that ``cache()`` a shared intermediate
-(the shingle relations in the Jaccard/containment/LSH plans) leave it
-cached because it backs the returned plan; long-lived sessions should
-``spark.catalog.clearCache()`` after the action (bench.py and
-tools/check.py do, per query).
+Persistence contract: operators pin shared intermediates (the shingle
+relations in the Jaccard/containment/LSH plans) through
+``etl_io_spark.caching.persist_tracked`` because they back the returned
+plan; callers release them via ``caching.drain_persisted()`` after the
+action (bench.py and tools/check.py do, per query).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+from etl_io_spark.caching import persist_tracked
 
 from etl_io_spark.operators.text import hash60, spread_text, tokens, word_ngrams
 from etl_io_spark.partitioning import spread
@@ -145,7 +147,7 @@ def ngram_jaccard_pairs(
             F.col("__e.sz").alias("sz"),
             hash60(F.col("__e.s")).alias("sh"),
         )
-        .cache()  # one shingle computation feeds both join sides
+        .transform(persist_tracked)  # one shingle computation feeds both join sides
     )
     a = sh.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"), "sh")
     b = sh.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"), "sh")
@@ -548,7 +550,7 @@ def fuzzy_pairs_segmented(
             bc.alias("__blk"),
         )
         .withColumn("__len", F.length("__t"))
-        .persist()
+        .transform(persist_tracked)
     )
     t = F.col("__t")
     L = F.col("__len")
@@ -998,7 +1000,7 @@ def containment_pairs(
             F.col("__e.sz").alias("sz"),
             hash60(F.col("__e.s")).alias("sh"),
         )
-        .cache()
+        .transform(persist_tracked)
     )
     a = sh.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"), "sh")
     b = sh.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"), "sh")
@@ -1080,7 +1082,7 @@ def jaccard_pairs_prefix(
     # verification arrays — without the cache each reference re-shingles
     # the corpus (plan audit showed 8 scans). Shingles are 60-bit hashed
     # immediately; every downstream op touches only longs.
-    sh = shingle_sets(df, id_col, text_col, n).cache()
+    sh = persist_tracked(shingle_sets(df, id_col, text_col, n))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     # rank AND set size from the SAME per-doc window partition — the
     # unordered count() rides the rank's exchange, replacing a separate
@@ -1240,7 +1242,7 @@ def lsh_exact_pairs(
     composition of dedup.py:minhash_lsh_candidates + the
     jaccard_pairs_prefix verification stage.
     """
-    sh = shingle_sets(df, id_col, text_col, n).cache()
+    sh = persist_tracked(shingle_sets(df, id_col, text_col, n))
     sig = minhash_wide_from_shingles(sh, id_col, num_perm)
     band_key = _band_key_rows(sig, id_col, num_perm, bands)
     a = band_key.select(F.col(id_col).alias("a"), "band", "bkey")

@@ -17,19 +17,22 @@ Scale design:
     oracle-reproducible; pass ``checkpoint_every`` to truncate lineage on
     long runs.
 
-Persistence contract (applies to EVERY operator in this module that
-``persist()``s an intermediate — pagerank's edge/out-degree tables,
-triangle_stats' oriented edges, shortest_hops' frontier/known sets):
-the persisted blocks back the RETURNED plan, so the operator cannot
-unpersist them itself; long-lived sessions should
-``spark.catalog.clearCache()`` once the action completes (bench.py and
-tools/check.py do, per query). Until then the block manager's LRU
-eviction bounds the cost.
+Persistence contract (applies to EVERY operator in this module that pins
+an intermediate — pagerank's edge/fan tables, triangle_stats' oriented
+edges, shortest_hops' frontier/known sets): the pinned blocks back the
+RETURNED plan, so the operator cannot release them itself. All pins go
+through ``etl_io_spark.caching.persist_tracked`` / ``checkpoint_tracked``;
+callers release everything with ``caching.drain_persisted()`` once their
+action completes (bench.py and tools/check.py do, per query) — that also
+reaches the RDD-level storage behind local checkpoints, which
+``spark.catalog.clearCache()`` cannot.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+from etl_io_spark.caching import checkpoint_tracked, persist_tracked
 
 
 def pagerank(
@@ -56,7 +59,9 @@ def pagerank(
     # the edge list is typically derived (joins + distinct upstream) and is
     # referenced by nodes, outdeg, fan AND every iteration's rank join —
     # persist it so the derivation runs once, not once per reference
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")).persist()
+    e = persist_tracked(
+        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    )
     # ``assume_symmetric``: the caller guarantees every node appears as a
     # src (true for symmetrize() output) — distinct(src) is then the node
     # set at half the dedup shuffle of unioning both endpoint columns
@@ -67,7 +72,7 @@ def pagerank(
             e.select(F.col("__dst").alias("node"))
         )
     )
-    nodes = nodes.distinct().persist()  # the no-in-edge backfill joins it
+    nodes = persist_tracked(nodes.distinct())  # the no-in-edge backfill joins it
     n = nodes.count()
     outdeg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__outdeg"))
     # loop-invariant: each edge annotated with its source's out-degree
@@ -78,7 +83,7 @@ def pagerank(
     fan = (
         e.join(F.broadcast(outdeg) if broadcast_ranks else outdeg, "__src")
         .repartition(F.col("__dst"))
-        .persist()
+        .transform(persist_tracked)
     )
     base = (1.0 - damping) / n
     # Fused iteration: the rank table is never materialized inside the
@@ -109,7 +114,7 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            contribs = contribs.localCheckpoint(eager=True)
+            contribs = checkpoint_tracked(contribs, eager=True)
     # single node-set join at the END: nodes with no in-edges anywhere
     # keep rank = base.
     ranks = nodes.join(
@@ -120,10 +125,9 @@ def pagerank(
             F.lit(base) + F.lit(damping) * F.coalesce(F.col("__c"), F.lit(0.0))
         ).alias("rank"),
     )
-    # NOTE: ``e``/``nodes``/``fan`` stay persisted — the returned plan is
-    # lazy and still references them every iteration; callers can
-    # unpersist after their action (blockManager eviction reclaims them
-    # otherwise).
+    # NOTE: ``e``/``nodes``/``fan`` stay pinned — the returned plan is
+    # lazy and still references them every iteration; callers release
+    # them via caching.drain_persisted() after their action.
     return ranks.select("node", F.round("rank", round_to).alias("rank"))
 
 
@@ -195,7 +199,7 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ).persist()  # consumed by both wedge sides and the closure semi-join
+    ).transform(persist_tracked)  # consumed by both wedge sides and the closure semi-join
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(
         e2,
@@ -271,13 +275,13 @@ def shortest_hops(
     e = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
         .repartition(F.col("__d"))
-        .persist()
+        .transform(persist_tracked)
     )
     known = (
         sources.select(F.col(node).alias("node"))
         .distinct()
         .withColumn("hops", F.lit(0))
-        .localCheckpoint(eager=False)
+        .transform(checkpoint_tracked)
     )
     frontier = known
     maybe_bc = F.broadcast if broadcast_frontier else (lambda df: df)
@@ -292,7 +296,7 @@ def shortest_hops(
             .distinct()
             .join(maybe_bc(known.select("node")), "node", "left_anti")
             .withColumn("hops", F.lit(depth))
-            .localCheckpoint(eager=False)
+            .transform(checkpoint_tracked)
         )
         known = known.unionAll(nxt)
         frontier = nxt
@@ -337,7 +341,7 @@ def label_propagation(
     e = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
         .repartition(F.col("__s"))
-        .persist()
+        .transform(persist_tracked)
     )
     # symmetrized input (the documented contract) has every node as a src,
     # so the node set is distinct(__s) alone — and with e partitioned on
@@ -363,7 +367,7 @@ def label_propagation(
             ).alias("label")
         ).select(F.col("__s").alias("node"), "label")
         if r % checkpoint_every == 0 and r < rounds:
-            labels = labels.localCheckpoint(eager=False)
+            labels = checkpoint_tracked(labels)
     return labels
 
 
@@ -400,7 +404,7 @@ def k_core(
             e.join(keep, "__s", "left_semi")
             .join(keep.withColumnRenamed("__s", "__d"), "__d", "left_semi")
             .select("__s", "__d")
-            .localCheckpoint(eager=False)
+            .transform(checkpoint_tracked)
         )
     return e.groupBy("__s").agg(F.count(F.lit(1)).alias("degree")).select(
         F.col("__s").alias("node"), "degree"
@@ -436,14 +440,14 @@ def degree_assortativity(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .persist()  # consumed by both union branches × three consumers
+        .transform(persist_tracked)  # consumed by both union branches × three consumers
     )
     both = canon.select("a", "b").unionAll(
         canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     # |V|-row table consumed three times (two endpoint joins + the node
     # count) — persist it or each consumer re-runs the union + agg
-    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("d")).persist()
+    deg = persist_tracked(both.groupBy("a").agg(F.count(F.lit(1)).alias("d")))
     joined = (
         both.join(deg.withColumnsRenamed({"a": "a", "d": "da"}), "a")
         .join(deg.withColumnsRenamed({"a": "b", "d": "db"}), "b")
@@ -509,7 +513,7 @@ def hits(
     e = (
         pairs.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
         .distinct()
-        .persist()
+        .transform(persist_tracked)
     )
     hub = e.select(F.col("__s").alias("node")).distinct().select(
         "node", F.lit(1).cast("bigint").alias("v")

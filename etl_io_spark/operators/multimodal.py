@@ -12,8 +12,9 @@ libraries. Two decoders are provided:
   * ``fake_decode`` (default): deterministic pseudo-decoder that derives a
     small pixel/sample array from the bytes' md5 — real Spark plumbing
     (schemas, batching, partitioning) with reproducible test output.
-  * ``library_decode``: the production hook; raises ``NotImplementedError``
-    with the dependency name unless PIL/soundfile are importable.
+  * ``library_decode``: the production path — Pillow decode → grayscale →
+    resize, same signature; raises ``NotImplementedError`` naming the
+    dependency when Pillow is absent (this container).
 
 At 100 TB: binaries live in object storage; this module's pattern holds with
 ``data`` replaced by a (uri, byte_range) and the decoder doing ranged GETs —
@@ -110,15 +111,23 @@ def fake_decode(data: bytes, width: int, height: int) -> np.ndarray:
 
 
 def library_decode(data: bytes, width: int, height: int) -> np.ndarray:
-    """Production decoder hook — requires an image library not present in
-    this container."""
+    """Production decoder: Pillow decode → grayscale → resize to the
+    requested (width, height) → uint8 array, signature-compatible with
+    ``fake_decode`` so the same ``decode_media`` plumbing (schema,
+    batching, partitioning) carries either. Fails fast with the
+    dependency name when Pillow is absent (this container)."""
     try:
-        import PIL.Image  # noqa: F401
+        import PIL.Image
     except ImportError as e:  # pragma: no cover - env-dependent
         raise NotImplementedError(
             "library_decode requires Pillow; install PIL or use fake_decode"
         ) from e
-    raise NotImplementedError("wire PIL.Image.open(BytesIO(data)) here")
+    import io
+
+    img = PIL.Image.open(io.BytesIO(data)).convert("L")
+    if img.size != (width, height):
+        img = img.resize((width, height))
+    return np.asarray(img, dtype=np.uint8).reshape(height, width)
 
 
 Decoder = Callable[[bytes, int, int], np.ndarray]

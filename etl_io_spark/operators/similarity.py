@@ -22,6 +22,8 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from etl_io_spark.caching import persist_tracked
+
 from etl_io_spark.functions.numeric import round_pz
 from etl_io_spark.partitioning import spread
 
@@ -833,8 +835,19 @@ def semdedup(
             F.col(vec_col).alias("__v"),
             lsh_bucket(F.col(vec_col), signs).alias("bucket"),
         )
-        .persist()
+        .transform(persist_tracked)
     )
+    return _semdedup_keep_within_cells(bk, threshold, round_to)
+
+
+def _semdedup_keep_within_cells(
+    bk: DataFrame, threshold: float, round_to: int = 6
+) -> DataFrame:
+    """SemDeDup's within-cell keep rule over a pre-persisted
+    (vec_id, __v, bucket) relation: a vector is DROPPED iff some lower-id
+    vector in the SAME cell has cosine ≥ threshold. One bucket-keyed
+    self-join; shared by the LSH-cell (:func:`semdedup`) and
+    k-means-cell (:func:`semdedup_kmeans`) variants."""
     a = bk.select(
         F.col("vec_id").alias("__aid"), F.col("__v").alias("__va"), "bucket"
     )
@@ -855,3 +868,46 @@ def semdedup(
     return bk.join(dominated, "vec_id", "left").select(
         "vec_id", "bucket", F.col("__dropped").isNull().alias("keep")
     )
+
+
+def semdedup_kmeans(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    k: int = 8,
+    iterations: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup with TRAINED cells — the paper's actual clustering
+    (Abbas et al. 2023 §3 run k-means over the embeddings, then dedup
+    within each cluster). Cells come from :func:`kmeans_assign`
+    (deterministically seeded, fixed-iteration Lloyd's), so unlike the
+    md5-hyperplane cells of :func:`semdedup` they ADAPT to the corpus:
+    dense regions — where semantic duplicates concentrate — get their
+    own cells, which raises within-cell recall at equal cell count. The
+    keep rule and its one self-join cost model are identical
+    (:func:`_semdedup_keep_within_cells`); quality is graded by the
+    recall-vs-brute-force-cosine pytest rather than a SQL oracle (the
+    fixed-iteration k-means is deterministic but an unrolled SQL replica
+    grades nothing the kmeans_assign oracle doesn't already).
+
+    At 100 TB: train the centroids on a SAMPLE (k-means is
+    sample-stable), broadcast them, and assignment is one map — the
+    within-cell join stays the only corpus-proportional term.
+    """
+    assign = kmeans_assign(
+        emb, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
+    bk = (
+        spread(emb)
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
+        .join(
+            assign.select(
+                F.col(id_col).alias("vec_id"), F.col("cluster").alias("bucket")
+            ),
+            "vec_id",
+        )
+        .transform(persist_tracked)
+    )
+    return _semdedup_keep_within_cells(bk, threshold, round_to)

@@ -16,6 +16,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from etl_io_spark.caching import persist_tracked
+
 from etl_io_spark.functions.numeric import round_pz
 from etl_io_spark.partitioning import spread
 
@@ -479,7 +481,7 @@ def pmi_collocations(
         .select("__b.w1", "__b.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .persist()  # feeds the totals, both marginals, and the join
+        .transform(persist_tracked)  # feeds the totals, both marginals, and the join
     )
     tot = bg.agg(F.sum("c12").alias("total"))  # 1 row, broadcast below
     left = bg.groupBy(F.col("w1").alias("w")).agg(F.sum("c12").alias("cl"))
@@ -823,7 +825,7 @@ def lm_cross_entropy(
             F.col("__b.w2").alias("w2"),
         )
     )
-    bg = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).cache()
+    bg = persist_tracked(occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
     c1 = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     c2 = bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
     total = bg.agg(F.sum("c12").alias("__N"))

@@ -15,6 +15,8 @@ from collections.abc import Sequence
 from etl_io_spark.functions.numeric import round_pz  # noqa: E402
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from etl_io_spark.caching import persist_tracked
+
 
 def top_k_per_group(
     df: DataFrame,
@@ -310,7 +312,7 @@ def funnel_latency(
 
     # the chain feeds one melt branch per transition — cache it so the
     # step joins run once, not once per transition
-    fs = funnel_steps(df, user_col, ts_col, type_col, steps, within).cache()
+    fs = persist_tracked(funnel_steps(df, user_col, ts_col, type_col, steps, within))
     parts = []
     for k in range(1, len(steps)):
         dt = F.unix_micros(F.col(f"t{k + 1}")) - F.unix_micros(F.col(f"t{k}"))

@@ -1213,6 +1213,22 @@ def _semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("semdedup_kmeans")
+def _semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with TRAINED k-means cells (similarity.semdedup_kmeans) —
+    the paper's actual clustering, upgrading semdedup_embeddings' md5
+    hyperplane cells. Rows-only key: the fixed-iteration Lloyd's is
+    deterministic, but its SQL unroll is already graded via
+    kmeans_embeddings; the cell QUALITY is graded by the
+    recall-vs-brute-force pytest (test_asof_ivf.py)."""
+    return similarity.semdedup_kmeans(
+        _cat(spark, sf_dir).table("embeddings"),
+        threshold=0.4,
+        k=4,
+        iterations=3,
+    )
+
+
 # -- text analysis ---------------------------------------------------------
 _SW = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 #: regexp alternation of the stopword list (parity with text.stopword_ratio)

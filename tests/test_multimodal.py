@@ -63,9 +63,38 @@ def test_extract_features(media):
         assert 0 <= v <= 255 and r["n_values"] > 0
 
 
-def test_library_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_library_decode_fails_fast_without_pillow():
+    if _pil_available():
+        pytest.skip("Pillow present - fail-fast path not reachable")
+    with pytest.raises(NotImplementedError, match="Pillow"):
         mm.library_decode(b"xx", 2, 2)
+
+
+def test_library_decode_roundtrips_png_when_pillow_present():
+    if not _pil_available():
+        pytest.skip("Pillow not installed in this container")
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.new("L", (1, 1), color=137)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    out = mm.library_decode(buf.getvalue(), 1, 1)
+    assert out.shape == (1, 1) and out.dtype.name == "uint8"
+    assert int(out[0, 0]) == 137
+    # resize path: decode the same 1x1 PNG at 2x3
+    out2 = mm.library_decode(buf.getvalue(), 2, 3)
+    assert out2.shape == (3, 2)
 
 
 def test_decode_preserves_partitioning(spark, media):

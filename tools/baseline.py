@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
+from etl_io_spark import caching
 from etl_io_spark.catalog import STAR_TABLES
 from etl_io_spark.session import get_spark
 
@@ -80,6 +81,18 @@ def _warm_oracle(con, sql: str) -> tuple[float, bool]:
     return sorted(times)[len(times) // 2], False
 
 
+def _reset_storage(spark):
+    """Between-repeat reset: drain tracked persists AND localCheckpoint RDD
+    storage (clearCache alone misses the latter — see etl_io_spark.caching),
+    then clear the relation cache."""
+
+    def run():
+        caching.drain_persisted()
+        spark.catalog.clearCache()
+
+    return run
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -133,9 +146,9 @@ def main() -> None:
             .write.format("noop")
             .mode("overwrite")
             .save(),
-            reset=spark.catalog.clearCache,
+            reset=_reset_storage(spark),
         )
-        spark.catalog.clearCache()
+        _reset_storage(spark)()
         if name in oracle_times:
             td, timed_out = oracle_times[name]
             note = (

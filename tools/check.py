@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
+from etl_io_spark import caching
 from etl_io_spark.catalog import STAR_TABLES
 from etl_io_spark.session import get_spark
 
@@ -75,10 +76,13 @@ def run_check(sf_dir: str, only: list[str] | None = None) -> int:
             failures += 1
             continue
         finally:
-            # several operators cache/persist intermediates for the
-            # duration of their action (shingle sets, graph frontiers);
-            # across a 184-query session those would pile up in the block
-            # manager — drop them once the query has materialized.
+            # several operators pin intermediates for the duration of
+            # their action (shingle sets, graph frontiers); across a
+            # ~200-query session those would pile up in the block manager
+            # — release them once the query has materialized. The drain
+            # also reaches localCheckpoint RDD storage, which clearCache
+            # cannot.
+            caching.drain_persisted()
             spark.catalog.clearCache()
         if name not in oracles:
             print(f"ok*   {name}: rows={len(srows)} (rows-only; no oracle) "

@@ -145,7 +145,7 @@ def main() -> None:
     ap.add_argument("names", nargs="*", help="probe only these query keys")
     args = ap.parse_args()
 
-    from etl_io_spark import registry
+    from etl_io_spark import caching, registry
 
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -163,6 +163,7 @@ def main() -> None:
                 # fresh plan per run + cache reset: persisting queries
                 # otherwise accumulate duplicate blocks across runs and
                 # the min reads memory pressure, not the query
+                caching.drain_persisted()
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
