@@ -1036,6 +1036,7 @@ def jaccard_pairs_prefix(
     text_col: str,
     n: int = 3,
     threshold: float = 0.3,
+    broadcast_docs: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ ``threshold`` via PPJoin-style PREFIX
     FILTERING — same output as ``ngram_jaccard_pairs`` (up to the 60-bit
@@ -1065,35 +1066,47 @@ def jaccard_pairs_prefix(
         occurrences. Prune when the bound misses the equivalent overlap
         threshold ceil(t·(|A|+|B|)/(1+t)).
 
-    Verification intersects per-doc sorted arrays of the 60-bit md5
-    shingle hashes ``shingle_sets`` already emits (longs — cheap merge,
-    compact shuffle payload); exact up to the same md5-60-bit collision
-    caveat as every shingle consumer, and equality to the all-pairs plan
-    is regression-tested.
+    Physical shape (the round-4 rewrite; the round-3 plan spent more on
+    its per-doc rank WINDOW than on candidates): ONE doc-keyed
+    aggregation collects each doc's (df, shingle) pairs and sorts them
+    IN-ARRAY — rank = array position, prefix = array slice, and the
+    verification shingle array is the same column, so the separate
+    row_number window (exchange + big sort) and the separate
+    collect_list aggregation both disappear. The doc-array relation is
+    |docs| rows of ~set-size longs; with ``broadcast_docs`` (default) it
+    streams into the verification join (and the index side of the
+    candidate join) as a broadcast, so after the candidate pair groupBy
+    NOTHING shuffles. Past the broadcast budget (corpus-scale runs) set
+    ``broadcast_docs=False``: the same plan runs with shuffle joins.
 
-    Shuffles: df-count agg, per-doc rank window, prefix probe×index
-    join, pair groupBy, two keyed joins to fetch the hash arrays. All
-    keyed — no cross join. Verification cost tracks TRUE near-dup pairs
+    Verification intersects the per-doc 60-bit md5 hash arrays
+    ``shingle_sets`` emits (longs — cheap merge, compact payload); exact
+    up to the same md5-60-bit collision caveat as every shingle
+    consumer, and equality to the all-pairs plan is regression-tested.
+
+    Shuffles: df-count agg, the shingle⋈freq join, ONE doc-keyed
+    collect, the prefix probe⋈index join, the pair groupBy. All keyed —
+    no cross join. Verification cost tracks TRUE near-dup pairs
     (output-bound — irreducible for any exact method).
     """
-    from pyspark.sql import Window as W
-
-    # one shingle computation feeds frequency, ranking, sizes AND the
-    # verification arrays — without the cache each reference re-shingles
-    # the corpus (plan audit showed 8 scans). Shingles are 60-bit hashed
-    # immediately; every downstream op touches only longs.
-    sh = persist_tracked(shingle_sets(df, id_col, text_col, n))
+    maybe_bc = F.broadcast if broadcast_docs else (lambda d: d)
+    sh = shingle_sets(df, id_col, text_col, n)
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-    # rank AND set size from the SAME per-doc window partition — the
-    # unordered count() rides the rank's exchange, replacing a separate
-    # sizes groupBy + join (two fewer stages in every run)
-    ranked = sh.join(freq, "sh").select(
-        F.col(id_col),
-        "sh",
-        F.row_number()
-        .over(W.partitionBy(id_col).orderBy("__df", "sh"))
-        .alias("__rn"),
-        F.count(F.lit(1)).over(W.partitionBy(id_col)).alias("__sz"),
+    # rarity-ordered per-doc array: position IS the prefix rank. Sorting
+    # ~set-size arrays map-side replaces a full-relation window sort.
+    docarr = persist_tracked(
+        sh.join(freq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__df", "sh"))
+            ).alias("__ord")
+        )
+        .select(
+            id_col,
+            F.transform("__ord", lambda e: e["sh"]).alias("__shs"),
+            F.size("__ord").alias("__sz"),
+        )
     )
     t = float(threshold)
     # -1e-9 inside every ceil: if the product floats epsilon ABOVE an
@@ -1110,19 +1123,25 @@ def jaccard_pairs_prefix(
         - F.ceil(F.lit(2.0 * t / (1.0 + t)) * F.col("__sz") - F.lit(1e-9))
         + 1
     )
-    probe = ranked.where(F.col("__rn") <= probe_len).select(
-        F.col(id_col).alias("a"), "sh",
-        F.col("__rn").alias("__ra"), F.col("__sz").alias("__sa"),
-    )
-    index = ranked.where(F.col("__rn") <= index_len).select(
-        F.col(id_col).alias("b"), "sh",
-        F.col("__rn").alias("__rb"), F.col("__sz").alias("__sb"),
-    )
+
+    def prefix_rows(length, id_alias, rn_alias, sz_alias):
+        return docarr.select(
+            F.col(id_col).alias(id_alias),
+            F.col("__sz").alias(sz_alias),
+            F.posexplode(F.slice("__shs", F.lit(1), length)).alias(
+                "__pos", "sh"
+            ),
+        ).select(
+            id_alias, "sh", (F.col("__pos") + 1).alias(rn_alias), sz_alias
+        )
+
+    probe = prefix_rows(probe_len, "a", "__ra", "__sa")
+    index = prefix_rows(index_len, "b", "__rb", "__sb")
     smaller_b = (F.col("__sb") < F.col("__sa")) | (
         (F.col("__sb") == F.col("__sa")) & (F.col("b") < F.col("a"))
     )
     cand = (
-        probe.join(index, "sh")
+        probe.join(maybe_bc(index), "sh")
         .where(
             smaller_b
             & (F.col("__sb") * F.lit(1.0) >= F.lit(t) * F.col("__sa"))
@@ -1177,17 +1196,24 @@ def jaccard_pairs_prefix(
         )
         .select("a", "b")
     )
-    # verify exactly on the full sorted 60-bit-hash arrays
-    arrs = sh.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("sh")).alias("__arr")
-    )
+    # verify exactly on the full hash arrays — the SAME persisted doc-array
+    # relation (array_intersect is order-insensitive, so the rarity
+    # ordering needs no re-sort)
     joined = (
         cand.join(
-            arrs.select(F.col(id_col).alias("a"), F.col("__arr").alias("__arr_a")),
+            maybe_bc(
+                docarr.select(
+                    F.col(id_col).alias("a"), F.col("__shs").alias("__arr_a")
+                )
+            ),
             "a",
         )
         .join(
-            arrs.select(F.col(id_col).alias("b"), F.col("__arr").alias("__arr_b")),
+            maybe_bc(
+                docarr.select(
+                    F.col(id_col).alias("b"), F.col("__shs").alias("__arr_b")
+                )
+            ),
             "b",
         )
         .withColumn("__i", F.size(F.array_intersect("__arr_a", "__arr_b")))
@@ -1218,6 +1244,7 @@ def lsh_exact_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.3,
+    broadcast_docs: bool = True,
 ) -> DataFrame:
     """Two-stage exact-at-scale near-dup: MinHash-LSH band candidates →
     EXACT n-gram Jaccard verification on the candidates only — the
@@ -1228,8 +1255,11 @@ def lsh_exact_pairs(
     (~O(n·bands) rows, never all-pairs); stage 2 fetches the full sorted
     shingle-hash arrays for candidate ids only and intersects them — so
     verification cost tracks the LSH candidate count, which banding
-    keeps proportional to TRUE near-dups, not to n². One cached shingle
-    relation feeds both the signatures and the verify arrays.
+    keeps proportional to TRUE near-dups, not to n². ONE doc-keyed
+    aggregation computes signatures AND verify arrays (a single shuffle
+    of the shingle stream); the resulting |docs|-row relation streams
+    into the verification join as a broadcast under ``broadcast_docs``
+    (default — set False past the broadcast budget for shuffle joins).
 
     Output: (a, b, jaccard) for candidate pairs with exact Jaccard ≥
     ``threshold``. Versus ``ngram_jaccard_pairs`` the pair set misses
@@ -1242,9 +1272,29 @@ def lsh_exact_pairs(
     composition of dedup.py:minhash_lsh_candidates + the
     jaccard_pairs_prefix verification stage.
     """
-    sh = persist_tracked(shingle_sets(df, id_col, text_col, n))
-    sig = minhash_wide_from_shingles(sh, id_col, num_perm)
-    band_key = _band_key_rows(sig, id_col, num_perm, bands)
+    maybe_bc = F.broadcast if broadcast_docs else (lambda d: d)
+    # ONE doc-keyed aggregation computes the num_perm minhash MINs AND the
+    # verification hash array together — the signature and array relations
+    # otherwise each shuffle the shingle stream once. The combined relation
+    # is |docs| rows and backs band keys + both verify sides.
+    x = F.pmod(F.col("sh"), F.lit(MINHASH_P))
+    mins = [
+        F.min(
+            F.pmod(F.lit(_perm_a(j)) * x + F.lit(_perm_b(j)), F.lit(MINHASH_P))
+        ).alias(f"__m{j}")
+        for j in range(num_perm)
+    ]
+    combined = persist_tracked(
+        shingle_sets(df, id_col, text_col, n)
+        .groupBy(id_col)
+        .agg(*mins, F.sort_array(F.collect_list("sh")).alias("__arr"))
+        .select(
+            id_col,
+            F.array(*[f"__m{j}" for j in range(num_perm)]).alias("sig"),
+            "__arr",
+        )
+    )
+    band_key = _band_key_rows(combined.select(id_col, "sig"), id_col, num_perm, bands)
     a = band_key.select(F.col(id_col).alias("a"), "band", "bkey")
     b = band_key.select(F.col(id_col).alias("b"), "band", "bkey")
     cand = (
@@ -1253,16 +1303,21 @@ def lsh_exact_pairs(
         .select("a", "b")
         .distinct()
     )
-    arrs = sh.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("sh")).alias("__arr")
-    )
     return (
         cand.join(
-            arrs.select(F.col(id_col).alias("a"), F.col("__arr").alias("__arr_a")),
+            maybe_bc(
+                combined.select(
+                    F.col(id_col).alias("a"), F.col("__arr").alias("__arr_a")
+                )
+            ),
             "a",
         )
         .join(
-            arrs.select(F.col(id_col).alias("b"), F.col("__arr").alias("__arr_b")),
+            maybe_bc(
+                combined.select(
+                    F.col(id_col).alias("b"), F.col("__arr").alias("__arr_b")
+                )
+            ),
             "b",
         )
         .withColumn("__i", F.size(F.array_intersect("__arr_a", "__arr_b")))

@@ -158,7 +158,12 @@ def symmetrize(
     ).distinct()
 
 
-def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_edges: bool = True,
+) -> DataFrame:
     """Exact triangle count + global clustering coefficient of the
     undirected simple graph given as an edge list (directions and
     duplicates ignored, self-loops dropped). Returns ONE row:
@@ -170,10 +175,24 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     exactly once at its lowest-degree vertex and the wedge join's
     intermediate is bounded by Σ_u C(outdeg(u), 2) ≤ O(m^{3/2})
     (arboricity bound) instead of Σ C(deg,2), which a hub vertex makes
-    quadratic. Three shuffles: degree agg, wedge self-join on the source,
-    closure semi-join on the (v, w) pair. No collect, no cartesian.
+    quadratic.
+
+    The O(m^{3/2}) WEDGE stream is the giant intermediate — on a dense
+    graph it is hundreds of times |E|. With ``broadcast_edges`` (default)
+    the oriented |E|-row edge list is broadcast into both the wedge
+    self-join and the closure semi-join, so the wedge stream is
+    generated, closure-checked and counted INSIDE one map stage — it
+    never hits a shuffle. That is the right physical plan whenever the
+    EDGE LIST fits the broadcast budget even though the wedge stream
+    never would. Past that budget set ``broadcast_edges=False``: wedges
+    shuffle on their (v, w) pair for a sort-merge closure join — the
+    classic MapReduce formulation.
     """
-    canon = (
+    # the canonical edge set is consumed FOUR times (degree table via two
+    # union branches, the orientation join, the edge count) and typically
+    # sits on an expensive derivation (a co-occurrence self-join upstream)
+    # — pin it, or every consumer re-runs that derivation
+    canon = persist_tracked(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
@@ -181,7 +200,9 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    deg = (
+    # |V|-row degree table: three consumers (two orientation joins + the
+    # node/wedge stats aggregate)
+    deg = persist_tracked(
         canon.select(F.col("a").alias("node"))
         .unionAll(canon.select(F.col("b").alias("node")))
         .groupBy("node")
@@ -189,8 +210,12 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
     # annotate both endpoints with their degree, then orient low -> high
     ann = (
-        canon.join(deg.withColumnsRenamed({"node": "a", "d": "da"}), "a")
-        .join(deg.withColumnsRenamed({"node": "b", "d": "db"}), "b")
+        canon.join(
+            F.broadcast(deg.withColumnsRenamed({"node": "a", "d": "da"})), "a"
+        )
+        .join(
+            F.broadcast(deg.withColumnsRenamed({"node": "b", "d": "db"})), "b"
+        )
     )
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
@@ -200,7 +225,8 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
     ).transform(persist_tracked)  # consumed by both wedge sides and the closure semi-join
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    maybe_bc = F.broadcast if broadcast_edges else (lambda df: df)
+    e1, e2 = oriented.alias("e1"), maybe_bc(oriented).alias("e2")
     wedges = e1.join(
         e2,
         (F.col("e1.u") == F.col("e2.u"))
@@ -209,7 +235,9 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             | ((F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v")))
         ),
     ).select(F.col("e1.v").alias("u"), F.col("e2.v").alias("v"))
-    triangles = wedges.join(oriented.select("u", "v"), ["u", "v"], "left_semi")
+    triangles = wedges.join(
+        maybe_bc(oriented.select("u", "v")), ["u", "v"], "left_semi"
+    )
 
     n_tri = triangles.agg(F.count(F.lit(1)).alias("n_triangles"))
     stats = deg.agg(
