@@ -16,3 +16,21 @@ def round_pz(col: Column | str, scale: int) -> Column:
     append the same ``+ 0.0``."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c, scale) + F.lit(0.0)
+
+
+def round_floor(col: Column | str, scale: int) -> Column:
+    """Floor-form half-up rounding in PURE double arithmetic:
+    ``floor(x·10^k + 0.5) / 10^k``.
+
+    For ratios of clean decimals (int/int, means of thousandth-grain
+    values) the true value routinely TERMINATES at the rounding
+    position, where decimal ROUND diverges across engines (Spark's
+    BigDecimal HALF_UP vs DuckDB's binary rounding — see
+    aggregate.robust_anomaly). Floor-form is identical IEEE ops on
+    identical doubles, ties toward +inf everywhere; SQL oracles mirror
+    it verbatim as ``FLOOR(x * 10^k + 0.5) / 10^k``. Use plain ROUND
+    (with ``round_pz`` when sign-indefinite) for non-terminating
+    irrational-ish outputs."""
+    c = F.col(col) if isinstance(col, str) else col
+    scale_f = float(10**scale)
+    return F.floor(c * F.lit(scale_f) + F.lit(0.5)) / F.lit(scale_f)

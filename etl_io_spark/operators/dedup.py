@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from etl_io_spark.caching import persist_tracked
+from etl_io_spark.functions.numeric import round_floor
 
 from etl_io_spark.operators.text import hash60, spread_text, tokens, word_ngrams
 from etl_io_spark.partitioning import spread
@@ -1331,6 +1332,70 @@ def lsh_exact_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    EXACTSUBSTR criterion at token granularity): every POSITIONAL
+    k-token window of every document, counted across the corpus; a
+    window occurring more than once anywhere (including twice in the
+    same document) is duplicated text. Returns one row per document:
+    ``(id, n_windows, n_dup_windows, dup_fraction)`` — the actionable
+    per-doc signal (suffix-array span REMOVAL needs byte offsets; the
+    profile is what drives keep/trim decisions at corpus scale).
+
+    Plan: positional windows explode (multiplicity preserved — unlike
+    the dedup shingle relations, which are per-doc sets), 60-bit window
+    hashes, ONE corpus frequency aggregation keyed by the 8-byte hash,
+    one hash-keyed join back, one per-doc aggregation. No windows, no
+    self-joins; shuffle volume is window instances × 8-byte keys —
+    at 100 TB this is the cheapest exact-duplication signal there is.
+    Zero-window docs (shorter than k tokens) survive with zero counts
+    via the doc-spine left join.
+    """
+    toked = spread_text(df).select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    )
+    wins = persist_tracked(
+        toked.select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col("__toks"), k)).alias("__w"),
+        ).select(id_col, hash60(F.col("__w")).alias("__wh"))
+    )
+    freq = wins.groupBy("__wh").agg(F.count(F.lit(1)).alias("__n"))
+    per_doc = (
+        wins.join(freq, "__wh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("__n") > 1).cast("int")).alias("n_dup_windows"),
+        )
+    )
+    spine = df.select(id_col)
+    return spine.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_windows"),
+        F.when(
+            F.coalesce("n_windows", F.lit(0)) > 0,
+            # int/int ratio — terminating decimal tails, floor-form
+            round_floor(
+                F.coalesce("n_dup_windows", F.lit(0))
+                / F.col("n_windows").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
     )
 
 

@@ -6773,3 +6773,188 @@ def _revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") / tot, 6).alias("share"),
         F.round(cum / tot, 6).alias("cum_share"),
     )
+
+
+# ==========================================================================
+# Heuristic curation-filter batteries (operators/filters.py): C4 content
+# filters, Gopher document-quality rules, and the fastText/CCNet-style
+# hashed linear quality classifier — each one map-only projection (the
+# classifier adds one per-doc aggregation), oracled cell-for-cell
+# ==========================================================================
+from etl_io_spark.operators import filters  # noqa: E402
+
+_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+@register(
+    "c4_filters_docs",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             (position('{' IN text) > 0 OR position('}' IN text) > 0)
+               AS has_curly,
+             (position('lorem ipsum' IN lower(text)) > 0) AS has_lorem,
+             regexp_matches(lower(text), '(^|\s)javascript($|\s)')
+               AS has_javascript,
+             CAST(length(text) - length(replace(replace(replace(
+                  text, '.', ''), '!', ''), '?', '')) AS INT) AS n_sentences
+      FROM documents
+    )
+    SELECT doc_id, has_curly, has_lorem, has_javascript, n_sentences,
+           (NOT has_curly AND NOT has_lorem AND NOT has_javascript
+            AND n_sentences >= 3) AS keep
+    FROM f
+    """,
+)
+def _c4_filters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page filters (filters.c4_filters): curly braces / lorem ipsum /
+    'javascript' token / sentence-count floor, one codegen'd map."""
+    return filters.c4_filters(
+        _cat(spark, sf_dir).table("documents"), "doc_id", "text"
+    )
+
+
+@register(
+    "gopher_rules_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / len(toks) ELSE 0.0 END AS mean_wlen,
+             CASE WHEN len(toks) > 0 THEN
+               CAST((length(text) - length(replace(text, '#', '')))
+                 + (len(string_split(text, '...')) - 1)
+                 + (length(text) - length(replace(text, '…', '')))
+                 AS DOUBLE) / len(toks) ELSE 0.0 END AS symbol_ratio,
+             CAST(len(list_filter(string_split(text, chr(10)),
+                    ln -> regexp_matches(ln, '(\\.\\.\\.|…)\\s*$')))
+                  AS DOUBLE) / len(string_split(text, chr(10)))
+               AS ellipsis_end_ratio,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                 AS DOUBLE) / len(toks) ELSE 0.0 END AS alpha_ratio,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                 w -> list_contains(toks, w))) AS stop_hits
+      FROM t
+    )
+    SELECT doc_id,
+           n_words,
+           FLOOR(mean_wlen * 1000000 + 0.5) / 1000000 AS mean_word_len,
+           FLOOR(symbol_ratio * 1000000 + 0.5) / 1000000 AS symbol_ratio,
+           FLOOR(ellipsis_end_ratio * 1000000 + 0.5) / 1000000
+             AS ellipsis_end_ratio,
+           FLOOR(alpha_ratio * 1000000 + 0.5) / 1000000 AS alpha_word_ratio,
+           CAST(stop_hits AS INT) AS stopword_hits,
+           (n_words >= 50 AND n_words <= 100000) AS ok_words,
+           (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS ok_word_len,
+           (symbol_ratio <= 0.1) AS ok_symbols,
+           (ellipsis_end_ratio <= 0.3) AS ok_ellipsis,
+           (alpha_ratio >= 0.8) AS ok_alpha,
+           (stop_hits >= 2) AS ok_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_wlen >= 3.0 AND mean_wlen <= 10.0)
+            AND symbol_ratio <= 0.1 AND ellipsis_end_ratio <= 0.3
+            AND alpha_ratio >= 0.8 AND stop_hits >= 2) AS keep
+    FROM m
+    """,
+)
+def _gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (filters.gopher_rules): word-count bounds,
+    mean-word-length window, symbol/ellipsis ratios, alpha-word ratio,
+    required-stopword hits — one in-array map, no explode."""
+    return filters.gopher_rules(
+        _cat(spark, sf_dir).table("documents"), "doc_id", "text"
+    )
+
+
+@register(
+    "quality_classifier_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_TOKS_SQL}) AS tok FROM documents
+    ),
+    ww AS (
+      SELECT doc_id,
+             ({_H.format(s="'w' || CAST(" + _H.format(s='tok') + " % 1024 AS VARCHAR)")}
+              % 2001) - 1000 AS wi
+      FROM toks
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(wi) AS wsum
+      FROM ww GROUP BY doc_id
+    ),
+    j AS (
+      SELECT d.doc_id,
+             COALESCE(a.n_tokens, 0) AS n_tokens,
+             CASE WHEN COALESCE(a.n_tokens, 0) > 0 THEN
+               CAST(a.wsum AS DOUBLE)
+               / (CAST(a.n_tokens AS DOUBLE) * 1000.0)
+             ELSE 0.0 END AS logit_raw
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           FLOOR(logit_raw * 1000000 + 0.5) / 1000000 AS logit,
+           ROUND(1.0 / (1.0 + EXP(-logit_raw)), 6) AS score,
+           (1.0 / (1.0 + EXP(-logit_raw)) >= 0.5) AS label
+    FROM j
+    """,
+)
+def _quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality scorer (filters.quality_classifier): token →
+    md5 bucket → integer milli-weight, exact int64 per-doc sum, sigmoid
+    score — the fastText/CCNet scoring topology with engine-reproducible
+    stand-in weights (label boundary is an exact integer comparison)."""
+    return filters.quality_classifier(
+        _cat(spark, sf_dir).table("documents"), "doc_id", "text"
+    )
+
+
+# ==========================================================================
+# Exact-substring duplication profile (operators/dedup.py
+# substring_dup_stats): positional k-token windows, global window
+# frequency, per-doc duplicated fraction — Lee et al. 2022's EXACTSUBSTR
+# signal at token granularity
+# ==========================================================================
+@register(
+    "substring_dedup_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS l FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, {_H.format(s='g')} AS wh FROM (
+        SELECT doc_id,
+               UNNEST([l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+                       l[i+3] || ' ' || l[i+4] || ' ' || l[i+5] || ' ' ||
+                       l[i+6] || ' ' || l[i+7]
+                       for i in generate_series(1, len(l) - 7)]) AS g
+        FROM t)
+    ),
+    freq AS (SELECT wh, COUNT(*) AS n FROM wins GROUP BY wh),
+    per AS (
+      SELECT w.doc_id, COUNT(*) AS n_windows,
+             SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM wins w JOIN freq f USING (wh) GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_windows, 0) AS n_windows,
+           COALESCE(p.n_dup, 0) AS n_dup_windows,
+           CASE WHEN COALESCE(p.n_windows, 0) > 0 THEN
+             FLOOR(COALESCE(p.n_dup, 0) * 1.0 / p.n_windows * 1000000 + 0.5)
+             / 1000000
+           ELSE 0.0 END AS dup_fraction
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """,
+)
+def _substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (dedup.substring_dup_stats,
+    k=8): corpus-frequency of every positional 8-token window, per-doc
+    duplicated-window fraction — the EXACTSUBSTR keep/trim signal."""
+    return dedup.substring_dup_stats(
+        _cat(spark, sf_dir).table("documents"), "doc_id", "text", k=8
+    )

@@ -1,0 +1,112 @@
+"""Hand-computed cases for the curation-filter batteries
+(operators/filters.py) and the exact-substring duplication profile
+(dedup.substring_dup_stats)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from etl_io_spark.operators import dedup, filters
+
+
+def _by_id(rows):
+    return {r[0]: r for r in rows}
+
+
+# ------------------------------------------------------------------ C4
+def test_c4_filters_hand_case(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="A clean page. It has sentences! Three?"),
+            Row(doc_id=2, text="code { return 1; } more text. Yes. No. Ok."),
+            Row(doc_id=3, text="Lorem Ipsum dolor sit. Amet. Consectetur."),
+            Row(doc_id=4, text="enable javascript to view. This page. Now."),
+            Row(doc_id=5, text="too few sentences here"),
+            Row(doc_id=6, text="javascripty tokens do not count. A. B. C."),
+        ]
+    )
+    out = _by_id(filters.c4_filters(docs, "doc_id", "text").collect())
+    assert out[1]["keep"] and out[1]["n_sentences"] == 3
+    assert out[2]["has_curly"] and not out[2]["keep"]
+    assert out[3]["has_lorem"] and not out[3]["keep"]
+    assert out[4]["has_javascript"] and not out[4]["keep"]
+    assert out[5]["n_sentences"] == 0 and not out[5]["keep"]
+    # substring-of-identifier must NOT trip the token probe
+    assert not out[6]["has_javascript"] and out[6]["keep"]
+
+
+# -------------------------------------------------------------- Gopher
+def test_gopher_rules_hand_case(spark):
+    good = " ".join(
+        ["the", "be", "to", "of"] + [f"word{i}" for i in range(46)]
+    )  # 50 words, all alphabetic, mean len ~5, no symbols
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),
+            Row(doc_id=2, text="short text the be"),  # fails word count
+            Row(doc_id=3, text=good + " " + "#" * 1),  # one '#': 51 words
+        ]
+    )
+    out = _by_id(filters.gopher_rules(docs, "doc_id", "text").collect())
+    r1 = out[1]
+    assert r1["n_words"] == 50
+    assert r1["ok_words"] and r1["ok_word_len"] and r1["ok_symbols"]
+    assert r1["ok_alpha"] and r1["ok_stopwords"] and r1["keep"]
+    assert not out[2]["ok_words"] and not out[2]["keep"]
+    # '#' is its own token: 1 symbol / 51 words ≈ 0.0196 ≤ 0.1 → passes
+    # symbols but the '#' token has no alphabetic char: alpha 50/51 ≥ 0.8
+    assert out[3]["ok_symbols"] and out[3]["ok_alpha"]
+
+
+def test_gopher_mean_word_len_exact(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="ab abcd")])
+    out = filters.gopher_rules(docs, "doc_id", "text").collect()[0]
+    assert out["mean_word_len"] == 3.0
+
+
+# ---------------------------------------------------------- classifier
+def test_quality_classifier_zero_tokens_and_bounds(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="   "), Row(doc_id=2, text="alpha beta gamma")]
+    )
+    out = _by_id(
+        filters.quality_classifier(docs, "doc_id", "text").collect()
+    )
+    assert out[1]["n_tokens"] == 0 and out[1]["score"] == 0.5
+    assert out[1]["label"]  # sigmoid(0) = 0.5 >= 0.5
+    r = out[2]
+    assert r["n_tokens"] == 3
+    assert -1.0 <= r["logit"] <= 1.0
+    assert abs(r["score"] - 1 / (1 + math.exp(-r["logit"]))) < 1e-4
+    assert r["label"] == (r["score"] >= 0.5)
+
+
+def test_quality_classifier_is_deterministic(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="x y z x")])
+    a = filters.quality_classifier(docs, "doc_id", "text").collect()
+    b = filters.quality_classifier(docs, "doc_id", "text").collect()
+    assert a == b
+
+
+# ------------------------------------------------------ substring dedup
+def test_substring_dup_stats_hand_case(spark):
+    # k=3 windows; doc1 and doc2 share "a b c"; doc3 repeats its own window
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d"),  # windows: "a b c", "b c d"
+            Row(doc_id=2, text="a b c"),  # window:  "a b c"
+            Row(doc_id=3, text="x y x y x y x"),  # "x y x" appears 3x ...
+            Row(doc_id=4, text="q r"),  # too short: 0 windows
+        ]
+    )
+    out = _by_id(
+        dedup.substring_dup_stats(docs, "doc_id", "text", k=3).collect()
+    )
+    assert out[1]["n_windows"] == 2 and out[1]["n_dup_windows"] == 1
+    assert out[1]["dup_fraction"] == 0.5
+    assert out[2]["n_windows"] == 1 and out[2]["n_dup_windows"] == 1
+    # doc3 windows: x y x | y x y | x y x | y x y | x y x → all dup
+    assert out[3]["n_windows"] == 5 and out[3]["n_dup_windows"] == 5
+    assert out[4]["n_windows"] == 0 and out[4]["dup_fraction"] == 0.0
