@@ -1335,6 +1335,88 @@ def lsh_exact_pairs(
     )
 
 
+def _bloom_positions(col: Column, m_bits: int, k: int) -> Column:
+    """Array of ``k`` deterministic bit positions in [0, m_bits) for a
+    string value: position_i = hash60(value || '#' || i) mod m — md5-based,
+    so any engine reproduces the exact filter."""
+    return F.array_distinct(
+        F.array(
+            *[
+                F.pmod(
+                    hash60(F.concat(col.cast("string"), F.lit(f"#{i}"))),
+                    F.lit(m_bits),
+                )
+                for i in range(k)
+            ]
+        )
+    )
+
+
+def bloom_gate(
+    build: DataFrame,
+    probe: DataFrame,
+    build_key: str,
+    probe_key: str,
+    m_bits: int = 65536,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-filter membership gate: flag every probe row as
+    ``maybe_member`` (possibly in the build set — Bloom's one-sided
+    guarantee: definite NO, probabilistic YES) without shuffling the
+    probe side against the build set.
+
+    The filter is the build side's DISTINCT lit-bit-position set — at
+    most ``m_bits`` rows (65536 ≈ 512 KiB of ints) regardless of build
+    cardinality — broadcast into a probe-side position join: a probe
+    row passes iff ALL its k positions are lit. md5-derived positions
+    make the filter deterministic, so the exact same false-positive set
+    falls out of any engine (the SQL oracle replicates decisions
+    bit-for-bit, FPs included).
+
+    100 TB shape: this is the shuffle-free alternative to a left-semi
+    join when the build side is huge but its BIT SET is small — the
+    probe side is touched map-side only (explode k positions → broadcast
+    hash join → per-row count), and the build side is read once. Tune
+    ``m_bits``/``k`` to the target FP rate ((1-e^{-kn/m})^k).
+    """
+    bpos = (
+        build.select(
+            F.explode(
+                _bloom_positions(F.col(build_key), m_bits, k)
+            ).alias("__p")
+        )
+        .distinct()
+    )
+    # dedup probe KEYS before exploding: duplicate probe rows would
+    # double-count position hits and fail the all-k test spuriously;
+    # callers re-attach the verdict to their row stream by key
+    pb = (
+        probe.select(probe_key)
+        .distinct()
+        .select(
+            F.col(probe_key),
+            _bloom_positions(F.col(probe_key), m_bits, k).alias("__ps"),
+        )
+    )
+    exploded = pb.select(
+        probe_key,
+        F.size("__ps").alias("__need"),
+        F.explode("__ps").alias("__p"),
+    )
+    hit_counts = (
+        exploded.join(F.broadcast(bpos), "__p", "left_semi")
+        .groupBy(probe_key)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    need = pb.select(probe_key, F.size("__ps").alias("__need"))
+    return need.join(hit_counts, probe_key, "left").select(
+        probe_key,
+        (F.coalesce("__hits", F.lit(0)) == F.col("__need")).alias(
+            "maybe_member"
+        ),
+    )
+
+
 def substring_dup_stats(
     df: DataFrame,
     id_col: str,

@@ -577,10 +577,14 @@ def hits(
     mx = scores.agg(
         F.max("hub").alias("__mh"), F.max("auth").alias("__ma")
     )
+    from etl_io_spark.functions.numeric import round_floor
+
+    # int/int score ratios terminate in decimal whenever the denominator
+    # is 2^a·5^b-friendly — floor-form half-up keeps engines identical
     return scores.crossJoin(F.broadcast(mx)).select(
         "node",
         "hub",
         "auth",
-        F.round(F.col("hub") / F.col("__mh"), round_to).alias("hub_norm"),
-        F.round(F.col("auth") / F.col("__ma"), round_to).alias("auth_norm"),
+        round_floor(F.col("hub") / F.col("__mh"), round_to).alias("hub_norm"),
+        round_floor(F.col("auth") / F.col("__ma"), round_to).alias("auth_norm"),
     )

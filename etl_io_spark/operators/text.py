@@ -1010,3 +1010,100 @@ def tokenizer_fertility(
         ratio6(F.sum("__bpe"), F.sum("__ws")).alias("fertility"),
         ratio6(F.sum("__ch"), F.sum("__bpe")).alias("chars_per_token"),
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: Sequence[str] = STOPWORDS,
+    top_k: int = 20,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores degree/frequency
+    (degree = Σ length of phrases containing it, frequency = occurrence
+    count); a phrase scores the sum of its words' scores. Returns the
+    corpus top-``top_k`` phrases by score: ``(phrase, n_occurrences,
+    score)``.
+
+    Determinism: word scores are quantized to integer MILLI-scores with
+    floor division (``deg·1000 // freq``) and phrase scores are exact
+    int64 sums of those — no float summation anywhere until the final
+    /1000.0 display conversion, so engines agree bit-for-bit (the same
+    trick as filters.quality_classifier). Ranking ties break on the
+    phrase string.
+
+    Plan: one positional token explode; phrase ids are a per-doc running
+    count of stopword separators (ONE doc-keyed window); word stats are
+    one word-keyed groupBy; phrase assembly is one (doc, phrase) groupBy
+    with in-array position sort; the final top-k is a TakeOrdered over
+    the phrase aggregate (bounded by distinct phrases, already
+    corpus-collapsed). All expression-level — no UDFs.
+    """
+    from pyspark.sql import Window as W
+
+    toked = spread_text(df).select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(tokens(text_col)).alias("__pos", "__tok"),
+    ).select(
+        "__doc", "__pos", F.lower(F.col("__tok")).alias("__w")
+    )
+    is_stop = F.col("__w").isin(*[w.lower() for w in stopwords])
+    marked = toked.select(
+        "__doc",
+        "__pos",
+        "__w",
+        F.sum(is_stop.cast("int"))
+        .over(W.partitionBy("__doc").orderBy("__pos"))
+        .alias("__pid"),
+        is_stop.alias("__stop"),
+    )
+    words = persist_tracked(marked.where(~F.col("__stop")))
+    # phrase length rides a second window on the SAME (doc) partitioning
+    sized = words.select(
+        "__doc",
+        "__pid",
+        "__pos",
+        "__w",
+        F.count(F.lit(1))
+        .over(W.partitionBy("__doc", "__pid"))
+        .alias("__plen"),
+    )
+    stats = sized.groupBy("__w").agg(
+        F.count(F.lit(1)).alias("__freq"),
+        F.sum("__plen").alias("__deg"),
+    )
+    # integer milli-score: exact in any engine (floor division)
+    scored = sized.join(stats, "__w").select(
+        "__doc",
+        "__pid",
+        "__pos",
+        "__w",
+        F.expr("div(__deg * 1000, __freq)").alias("__ws"),
+    )
+    phrases = scored.groupBy("__doc", "__pid").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__w"))
+                ),
+                lambda e: e["__w"],
+            ),
+        ).alias("phrase"),
+        F.sum("__ws").alias("__ps"),
+    )
+    ranked = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("__ps").alias("__ps"),  # identical for equal phrases
+    )
+    w_rank = W.orderBy(F.col("__ps").desc(), F.col("phrase"))
+    return (
+        ranked.withColumn("__rn", F.row_number().over(w_rank))
+        .where(F.col("__rn") <= top_k)
+        .select(
+            "phrase",
+            "n_occurrences",
+            (F.col("__ps") / F.lit(1000.0)).alias("score"),
+        )
+    )

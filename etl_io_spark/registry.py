@@ -6958,3 +6958,275 @@ def _substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_dup_stats(
         _cat(spark, sf_dir).table("documents"), "doc_id", "text", k=8
     )
+
+
+# ==========================================================================
+# HITS hubs & authorities (operators/graph.py hits): 3 exact-integer
+# iterations over the DIRECTED customer→supplier trade pairs — the oracle
+# unrolls the same iterations with zero float noise; only the final
+# max-normalization divides (floor-form rounded)
+# ==========================================================================
+def _hits_oracle(iterations: int = 3) -> str:
+    head = """
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    h0 AS (SELECT c, CAST(1 AS BIGINT) AS v
+           FROM (SELECT DISTINCT c FROM pairs))"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+    a{i} AS (SELECT s, SUM(h{i - 1}.v) AS v
+             FROM pairs JOIN h{i - 1} USING (c) GROUP BY s),
+    h{i} AS (SELECT c, SUM(a{i}.v) AS v
+             FROM pairs JOIN a{i} USING (s) GROUP BY c)""")
+    k = iterations
+    return head + "".join(steps) + f""",
+    merged AS (
+      SELECT c AS node, v AS hub, CAST(0 AS BIGINT) AS auth FROM h{k}
+      UNION ALL
+      SELECT s AS node, CAST(0 AS BIGINT) AS hub, v AS auth FROM a{k}
+    ),
+    mx AS (SELECT MAX(hub) AS mh, MAX(auth) AS ma FROM merged)
+    SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+           hub, auth,
+           FLOOR(hub * 1.0 / mh * 1000000 + 0.5) / 1000000 AS hub_norm,
+           FLOOR(auth * 1.0 / ma * 1000000 + 0.5) / 1000000 AS auth_norm
+    FROM merged, mx
+    """
+
+
+@register("hits_trade_graph", _hits_oracle())
+def _hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (graph.hits, 3 iterations) over the
+    directed customer→supplier trade pairs: hub customers buy from
+    authoritative suppliers. Exact BIGINT scores through every
+    iteration (parity-first formulation — see the operator docstring);
+    parity-tagged int64 node keys, labels reconstructed at the end."""
+    from etl_io_spark.operators import graph
+
+    scores = graph.hits(_trade_pairs(spark, sf_dir), iterations=3)
+    return scores.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), F.expr("node DIV 2").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("s"), F.expr("node DIV 2").cast("string")))
+        .alias("node"),
+        "hub",
+        "auth",
+        "hub_norm",
+        "auth_norm",
+    )
+
+
+# ==========================================================================
+# Bloom-filter membership gate (operators/dedup.py bloom_gate): md5-derived
+# bit positions make the filter — and its false positives — deterministic,
+# so the oracle reproduces every decision. m=256/k=2 is chosen small enough
+# that the FP path is actually exercised at test scale.
+# ==========================================================================
+def _bloom_oracle(m_bits: int = 256, k: int = 2) -> str:
+    def pos(expr: str, i: int) -> str:
+        return (
+            _H.format(s=f"CAST({expr} AS VARCHAR) || '#{i}'") + f" % {m_bits}"
+        )
+
+    b_list = ", ".join(pos("c_custkey", i) for i in range(k))
+    p_list = ", ".join(pos("o_custkey", i) for i in range(k))
+    return f"""
+    WITH build AS (
+      SELECT DISTINCT c_custkey FROM customer
+      JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_0'
+    ),
+    bpos AS (
+      SELECT DISTINCT UNNEST(list_distinct([{b_list}])) AS p FROM build
+    ),
+    probe AS (SELECT DISTINCT o_custkey FROM orders),
+    need AS (
+      SELECT o_custkey, len(list_distinct([{p_list}])) AS need FROM probe
+    ),
+    ppos AS (
+      SELECT o_custkey, UNNEST(list_distinct([{p_list}])) AS p FROM probe
+    ),
+    hits AS (
+      SELECT pp.o_custkey, COUNT(*) AS h
+      FROM ppos pp JOIN bpos USING (p) GROUP BY pp.o_custkey
+    )
+    SELECT n.o_custkey, COALESCE(h.h, 0) = n.need AS maybe_member
+    FROM need n LEFT JOIN hits h ON n.o_custkey = h.o_custkey
+    """
+
+
+@register("bloom_gate_orders", _bloom_oracle())
+def _bloom_gate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership gate (dedup.bloom_gate): ordering customers probed
+    against NATION_0's customer set through a 256-bit / 2-hash filter —
+    the shuffle-free semi-join alternative whose bit set broadcasts no
+    matter how large the build side grows. Deliberately small filter so
+    false positives occur and are oracle-verified bit-for-bit."""
+    cat = _cat(spark, sf_dir)
+    build = cat.table("customer").join(
+        cat.table("nation").where(F.col("n_name") == "NATION_0"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return dedup.bloom_gate(
+        build,
+        cat.table("orders"),
+        "c_custkey",
+        "o_custkey",
+        m_bits=256,
+        k=2,
+    )
+
+
+# ==========================================================================
+# ACF of the event-count series + CUSUM mean-shift screen
+# (operators/timeseries.py autocorrelation / cusum_changepoint)
+# ==========================================================================
+def _acf_oracle(max_lag: int = 6, bucket: str = "hour") -> str:
+    lag_cols = ", ".join(
+        f"LAG(CAST(n AS DOUBLE), {k}) OVER (ORDER BY b) AS l{k}"
+        for k in range(1, max_lag + 1)
+    )
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({k} AS INT) AS lag,
+           ROUND((SELECT CORR(CAST(n AS DOUBLE), l{k}) FROM lagged), 6) + 0.0
+             AS acf,
+           (SELECT COUNT(*) FROM lagged) AS n_buckets"""
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH counts AS (
+      SELECT date_trunc('{bucket}', CAST(ts AS TIMESTAMP)) AS b,
+             COUNT(*) AS n
+      FROM events GROUP BY b
+    ),
+    lagged AS (SELECT n, {lag_cols} FROM counts)
+{rows}
+    """
+
+
+@register("acf_events", _acf_oracle())
+def _acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (timeseries.autocorrelation): hourly
+    event-count series correlated with itself at lags 1..6 — the raw
+    stream collapses to span-bounded buckets FIRST, so the windowed part
+    never sees data volume."""
+    return timeseries.autocorrelation(
+        _cat(spark, sf_dir).table("events"), max_lag=6, bucket="hour"
+    )
+
+
+@register(
+    "cusum_changepoint_events",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, ts, event_id,
+             value - AVG(value) OVER (PARTITION BY event_type) AS dv,
+             STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS sd,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ),
+    w AS (
+      SELECT event_type, ts, event_id, sd, n,
+             SUM(dv) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             ) AS s
+      FROM d
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY ABS(s) DESC, ts, event_id
+             ) AS rn
+      FROM w
+    )
+    SELECT event_type, n AS n_rows, ts AS peak_ts,
+           ROUND(s, 6) + 0.0 AS peak_cusum,
+           CASE WHEN sd > 0
+                THEN ROUND(ABS(s) / (sd * SQRT(n)), 6) + 0.0 END
+             AS cusum_stat
+    FROM r WHERE rn = 1
+    """,
+)
+def _cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift screen (timeseries.cusum_changepoint): per
+    event_type, the demeaned ordered prefix sum's peak location and
+    Brownian-bridge-normalized statistic — one keyed shuffle, two window
+    passes on the same partitioning."""
+    return timeseries.cusum_changepoint(_cat(spark, sf_dir).table("events"))
+
+
+# ==========================================================================
+# RAKE keyword extraction (operators/text.py rake_keywords): stopword-run
+# phrase segmentation, integer milli-scores (deg*1000 // freq) so phrase
+# sums are exact int64 in both engines
+# ==========================================================================
+_RAKE_SW = "('the','a','and','of','to','in','is','it')"
+
+
+@register(
+    "rake_keywords_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS l FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             UNNEST(generate_series(1, len(l))) AS pos,
+             UNNEST(list_transform(l, x -> lower(x))) AS w
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id, pos, w,
+             (w IN {_RAKE_SW}) AS st,
+             SUM(CASE WHEN w IN {_RAKE_SW} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+      FROM tok
+    ),
+    sized AS (
+      SELECT doc_id, pid, pos, w,
+             COUNT(*) OVER (PARTITION BY doc_id, pid) AS plen
+      FROM m WHERE NOT st
+    ),
+    stats AS (
+      SELECT w, COUNT(*) AS freq, SUM(plen) AS deg FROM sized GROUP BY w
+    ),
+    sc AS (
+      SELECT s.doc_id, s.pid, s.pos, s.w,
+             (st2.deg * 1000) // st2.freq AS ws
+      FROM sized s JOIN stats st2 USING (w)
+    ),
+    ph AS (
+      SELECT doc_id, pid,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             SUM(ws) AS ps
+      FROM sc GROUP BY doc_id, pid
+    ),
+    rk AS (
+      SELECT phrase, COUNT(*) AS n_occurrences, MIN(ps) AS ps
+      FROM ph GROUP BY phrase
+    ),
+    fin AS (
+      SELECT phrase, n_occurrences, ps,
+             ROW_NUMBER() OVER (ORDER BY ps DESC, phrase) AS rn
+      FROM rk
+    )
+    SELECT phrase, n_occurrences, ps / 1000.0 AS score
+    FROM fin WHERE rn <= 20
+    """,
+)
+def _rake_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keywords (text.rake_keywords): corpus top-20 stopword-free
+    phrases by degree/frequency score — integer milli-score arithmetic
+    end to end, so both engines rank identically."""
+    return text.rake_keywords(
+        _cat(spark, sf_dir).table("documents"), "doc_id", "text", top_k=20
+    )

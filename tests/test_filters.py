@@ -110,3 +110,58 @@ def test_substring_dup_stats_hand_case(spark):
     # doc3 windows: x y x | y x y | x y x | y x y | x y x → all dup
     assert out[3]["n_windows"] == 5 and out[3]["n_dup_windows"] == 5
     assert out[4]["n_windows"] == 0 and out[4]["dup_fraction"] == 0.0
+
+
+# ------------------------------------------------------------- bloom gate
+def test_bloom_gate_no_false_negatives(spark):
+    build = spark.createDataFrame([Row(k=i) for i in range(50)])
+    probe = spark.createDataFrame([Row(p=i) for i in range(200)])
+    out = {
+        r["p"]: r["maybe_member"]
+        for r in dedup.bloom_gate(
+            build, probe, "k", "p", m_bits=256, k=2
+        ).collect()
+    }
+    # Bloom's one-sided guarantee: every true member flagged
+    assert all(out[i] for i in range(50))
+    # and the filter actually rejects most non-members at this sizing
+    rejected = sum(1 for i in range(50, 200) if not out[i])
+    assert rejected > 100
+
+
+def test_bloom_gate_duplicate_probe_rows(spark):
+    build = spark.createDataFrame([Row(k=1)])
+    probe = spark.createDataFrame([Row(p=1), Row(p=1), Row(p=2)])
+    out = {
+        r["p"]: r["maybe_member"]
+        for r in dedup.bloom_gate(
+            build, probe, "k", "p", m_bits=256, k=4
+        ).collect()
+    }
+    assert out[1] is True  # duplicates must not break the all-k test
+    assert len(out) == 2
+
+
+# ------------------------------------------------------------------ RAKE
+def test_rake_keywords_hand_case(spark):
+    from etl_io_spark.operators import text as txt
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="deep learning of deep networks"),
+            Row(doc_id=2, text="deep learning is great"),
+        ]
+    )
+    out = {
+        r["phrase"]: r
+        for r in txt.rake_keywords(docs, "doc_id", "text", top_k=10).collect()
+    }
+    # "deep learning" occurs twice (docs 1 and 2); "of"/"is" split phrases
+    assert out["deep learning"]["n_occurrences"] == 2
+    # deg(deep)=2+2+2? doc1: phrases [deep learning], [deep networks] ->
+    # deep in two length-2 phrases + doc2 [deep learning]: deg=6, freq=3
+    # -> ws=2000; learning: deg=4 freq=2 -> 2000; networks: deg=2 freq=1
+    # -> 2000; great: deg=1 freq=1 -> 1000
+    assert out["deep learning"]["score"] == 4.0
+    assert out["deep networks"]["score"] == 4.0
+    assert out["great"]["score"] == 1.0
