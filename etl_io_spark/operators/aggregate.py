@@ -703,6 +703,76 @@ def incremental_agg_update(
     )
 
 
+def countmin_compare(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 10,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) built in-plan and
+    evaluated against exact counts for the top-``top_k`` heaviest keys:
+    ``(key, exact_n, cm_estimate, overcount)``. The estimate is
+    min over ``depth`` rows of the (row, md5-bucket) cell counts — always
+    ≥ the true count (one-sided error ≤ e·N/width with prob 1−e^−depth).
+
+    Scale story: the sketch is a ``depth×width`` integer grid — a
+    partial-aggregable groupBy over md5-derived cells that never grows
+    with key cardinality, mergeable across shards/days by cell-wise
+    addition (the same contract as the bitmap rollups above). Point
+    queries join the broadcast grid. md5 bucketing makes the sketch —
+    including its collisions — engine-deterministic, so the SQL oracle
+    reproduces every estimate exactly.
+    """
+    from etl_io_spark.operators.text import hash60
+
+    keyed = df.select(F.col(key_col).cast("string").alias("__k"))
+    cell_arr = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(
+                    hash60(F.concat(F.col("__k"), F.lit(f"#{r}"))),
+                    F.lit(width),
+                ).alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+    cells = keyed.select(F.explode(cell_arr).alias("__cell")).select(
+        F.col("__cell.r").alias("r"), F.col("__cell.c").alias("c")
+    )
+    sketch = cells.groupBy("r", "c").agg(F.count(F.lit(1)).alias("n"))
+    exact = keyed.groupBy("__k").agg(F.count(F.lit(1)).alias("exact_n"))
+    from pyspark.sql import Window as W
+
+    top = (
+        exact.withColumn(
+            "__rn",
+            F.row_number().over(
+                W.orderBy(F.col("exact_n").desc(), F.col("__k"))
+            ),
+        )
+        .where(F.col("__rn") <= top_k)
+        .drop("__rn")
+    )
+    probe = top.select("__k", "exact_n", F.explode(cell_arr).alias("__cell"))
+    est = (
+        probe.join(
+            F.broadcast(sketch),
+            (F.col("__cell.r") == sketch["r"]) & (F.col("__cell.c") == sketch["c"]),
+        )
+        .groupBy("__k", "exact_n")
+        .agg(F.min("n").alias("cm_estimate"))
+    )
+    return est.select(
+        F.col("__k").alias(key_col),
+        "exact_n",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_n")).alias("overcount"),
+    )
+
+
 def agg_snapshot(
     df: DataFrame, keys: Sequence[str], measure: str, round_to: int = 2
 ) -> DataFrame:

@@ -160,6 +160,59 @@ def decode_media(df: DataFrame, decoder: Decoder = fake_decode) -> DataFrame:
     return spread(df).mapInPandas(run, DECODED_SCHEMA)
 
 
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+
+def perceptual_hash(
+    df: DataFrame,
+    decoder: Decoder = fake_decode,
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per media item: decode,
+    nearest-neighbor downsample to hash_w×hash_h, threshold each cell at
+    the tile mean, pack the bits into one int64 — byte-identical payloads
+    and visually-identical-after-resize payloads collide, which makes
+    GROUP BY phash the media near-dup primitive (the pixel analogue of
+    MinHash band buckets).
+
+    One Arrow-batched mapInPandas pass (decode + resize + hash fused — the
+    pixels never round-trip to the JVM); downstream grouping shuffles 16
+    bytes per item no matter the media size. Deterministic given the
+    decoder, so exact-duplicate payloads are guaranteed collisions under
+    ``fake_decode`` too."""
+    n_bits = hash_w * hash_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for d, w, h in zip(pdf["data"], pdf["width"], pdf["height"]):
+                img = decoder(d, w, h)
+                ys = (np.arange(hash_h) * h // hash_h).astype(int)
+                xs = (np.arange(hash_w) * w // hash_w).astype(int)
+                tile = img[np.ix_(ys, xs)].astype(np.float64)
+                bits = (tile > tile.mean()).ravel()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                if n_bits >= 64 and val >= (1 << 63):  # wrap to signed int64
+                    val -= 1 << 64
+                hashes.append(val)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    return spread(df).mapInPandas(run, PHASH_SCHEMA)
+
+
 def resize_media(
     df: DataFrame, out_w: int, out_h: int, decoder: Decoder = fake_decode
 ) -> DataFrame:

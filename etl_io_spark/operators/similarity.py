@@ -911,3 +911,62 @@ def semdedup_kmeans(
         .transform(persist_tracked)
     )
     return _semdedup_keep_within_cells(bk, threshold, round_to)
+
+
+def power_iteration_top_pc(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram matrix
+    via fixed-count power iteration — the dominant-variance axis used for
+    embedding diagnostics (anisotropy checks, whitening, ABTT-style
+    common-direction removal). Returns ``(dim, loading)`` with loadings
+    normalized so the largest-|.| component is exactly 1 (sign fixed by
+    that component — the usual eigenvector sign convention, and
+    engine-deterministic).
+
+    Plan: long-form explode → one self-join Gram aggregation (dims² rows
+    — 4096 at dim 64; at corpus scale swap in the Arrow-BLAS
+    ``distributed_gram`` and keep the same iteration tail) → each
+    iteration is one broadcast join + one dim-keyed partial aggregation
+    over dims² rows, a fixed finite plan any SQL engine can unroll. v₀ is
+    all-ones, so iteration 1 folds into a row sum.
+    """
+    pts = spread(emb).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(vec_col)).alias("__d", "__x"),
+    ).select("__id", "__d", F.col("__x").cast("double").alias("__x"))
+    a = pts.select("__id", F.col("__d").alias("d1"), F.col("__x").alias("x1"))
+    b = pts.select("__id", F.col("__d").alias("d2"), F.col("__x").alias("x2"))
+    gram = persist_tracked(
+        a.join(b, "__id")
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("x1") * F.col("x2")).alias("g"))
+    )
+    # v0 = 1 for every dim -> first matvec is a plain row-sum
+    v = gram.groupBy("d1").agg(F.sum("g").alias("v")).select(
+        F.col("d1").alias("dim"), "v"
+    )
+    for _ in range(iterations - 1):
+        v = (
+            gram.join(
+                F.broadcast(v), gram["d2"] == v["dim"]
+            )
+            .groupBy("d1")
+            .agg(F.sum(F.col("g") * F.col("v")).alias("v"))
+            .select(F.col("d1").alias("dim"), "v")
+        )
+    # normalize by the max-|loading| component (smallest dim on ties)
+    mx = v.agg(
+        F.max_by(
+            "v", F.struct(F.abs("v").alias("a"), (-F.col("dim")).alias("nd"))
+        ).alias("__mx")
+    )
+    from etl_io_spark.functions.numeric import round_pz
+
+    return v.crossJoin(F.broadcast(mx)).select(
+        "dim", round_pz(F.col("v") / F.col("__mx"), round_to).alias("loading")
+    )

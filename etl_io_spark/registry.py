@@ -7230,3 +7230,115 @@ def _rake_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rake_keywords(
         _cat(spark, sf_dir).table("documents"), "doc_id", "text", top_k=20
     )
+
+
+# ==========================================================================
+# Count-min sketch vs exact heavy hitters (operators/aggregate.py
+# countmin_compare): md5-bucketed cells make the sketch — collisions and
+# all — engine-deterministic
+# ==========================================================================
+def _countmin_oracle(depth: int = 4, width: int = 256, top_k: int = 10) -> str:
+    rs = ", ".join(str(r) for r in range(depth))
+    cs = ", ".join(
+        _H.format(s=f"k || '#{r}'") + f" % {width}" for r in range(depth)
+    )
+    return f"""
+    WITH keyed AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    cells AS (
+      SELECT UNNEST([{rs}]) AS r, UNNEST([{cs}]) AS c FROM keyed
+    ),
+    sketch AS (SELECT r, c, COUNT(*) AS n FROM cells GROUP BY r, c),
+    exact AS (SELECT k, COUNT(*) AS exact_n FROM keyed GROUP BY k),
+    top AS (
+      SELECT k, exact_n FROM (
+        SELECT k, exact_n,
+               ROW_NUMBER() OVER (ORDER BY exact_n DESC, k) AS rn
+        FROM exact) WHERE rn <= {top_k}
+    ),
+    probe AS (
+      SELECT k, exact_n, UNNEST([{rs}]) AS r, UNNEST([{cs}]) AS c FROM top
+    ),
+    est AS (
+      SELECT p.k, p.exact_n, MIN(s.n) AS cm_estimate
+      FROM probe p JOIN sketch s ON p.r = s.r AND p.c = s.c
+      GROUP BY p.k, p.exact_n
+    )
+    SELECT k AS user_id, exact_n, cm_estimate,
+           cm_estimate - exact_n AS overcount
+    FROM est
+    """
+
+
+@register("countmin_users_events", _countmin_oracle())
+def _countmin_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (aggregate.countmin_compare): 4×256
+    md5-bucketed cell grid over the event stream, point-queried for the
+    top-10 users against exact counts — the mergeable fixed-size
+    frequency sketch next to the bitmap distinct rollups."""
+    return agg.countmin_compare(
+        _cat(spark, sf_dir).table("events"), "user_id",
+        depth=4, width=256, top_k=10,
+    )
+
+
+# ==========================================================================
+# Top principal direction via power iteration (operators/similarity.py
+# power_iteration_top_pc) — iterative linear algebra as joins + partial
+# aggregations, SQL-unrollable because the iteration count is fixed
+# ==========================================================================
+_TOP_PC_SQL = """
+    WITH pts AS (
+      SELECT vec_id,
+             UNNEST(generate_series(0, len(embedding) - 1)) AS d,
+             UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      FROM embeddings
+    ),
+    gram AS (
+      SELECT a.d AS d1, b.d AS d2, SUM(a.x * b.x) AS g
+      FROM pts a JOIN pts b USING (vec_id) GROUP BY a.d, b.d
+    ),
+    v1 AS (SELECT d1 AS dim, SUM(g) AS v FROM gram GROUP BY d1),
+    v2 AS (SELECT g.d1 AS dim, SUM(g.g * v1.v) AS v
+           FROM gram g JOIN v1 ON g.d2 = v1.dim GROUP BY g.d1),
+    v3 AS (SELECT g.d1 AS dim, SUM(g.g * v2.v) AS v
+           FROM gram g JOIN v2 ON g.d2 = v2.dim GROUP BY g.d1),
+    mx AS (SELECT v AS m FROM v3 ORDER BY abs(v) DESC, dim LIMIT 1)
+    SELECT CAST(dim AS INT) AS dim,
+           ROUND(v / (SELECT m FROM mx), 6) + 0.0 AS loading
+    FROM v3
+"""
+
+
+@register("embedding_top_pc", _TOP_PC_SQL)
+def _embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding Gram matrix
+    (similarity.power_iteration_top_pc, 3 fixed power iterations):
+    per-dim loadings normalized to the max-|.| component — the
+    anisotropy/common-direction diagnostic before whitening."""
+    from etl_io_spark.operators import similarity as sim
+
+    return sim.power_iteration_top_pc(
+        _cat(spark, sf_dir).table("embeddings"), iterations=3
+    )
+
+
+# ==========================================================================
+# Perceptual-hash media dedup (operators/multimodal.py perceptual_hash):
+# aHash over the deterministic fake decode — rows-only (the decode is an
+# Arrow mapInPandas stage, not SQL-expressible)
+# ==========================================================================
+@register("media_phash_dedup")
+def _media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aHash perceptual dedup (multimodal.perceptual_hash): decode +
+    8×8 downsample + mean-threshold bits fused in one Arrow pass, then
+    GROUP BY the 64-bit fingerprint — identical payloads are guaranteed
+    collisions, so duplicate texts' media twins collapse."""
+    docs = _cat(spark, sf_dir).table("documents")
+    hashed = mm.perceptual_hash(mm.synthesize_media(docs))
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("media_id").alias("keep_id"),
+        )
+    )

@@ -165,3 +165,68 @@ def test_rake_keywords_hand_case(spark):
     assert out["deep learning"]["score"] == 4.0
     assert out["deep networks"]["score"] == 4.0
     assert out["great"]["score"] == 1.0
+
+
+# ------------------------------------------------------------ count-min
+def test_countmin_never_undercounts(spark):
+    from etl_io_spark.operators import aggregate as agg
+
+    rows = [Row(k="hot")] * 40 + [Row(k=f"u{i}") for i in range(30)]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["k"]: r
+        for r in agg.countmin_compare(
+            df, "k", depth=4, width=64, top_k=5
+        ).collect()
+    }
+    assert out["hot"]["exact_n"] == 40
+    for r in out.values():
+        assert r["cm_estimate"] >= r["exact_n"]  # one-sided error
+        assert r["overcount"] == r["cm_estimate"] - r["exact_n"]
+
+
+# ----------------------------------------------------- power iteration
+def test_power_iteration_matches_numpy(spark):
+    import numpy as np
+
+    from etl_io_spark.operators import similarity as sim
+
+    rng = [[float((i * 7 + j * 3) % 5) + (1.0 if j == 0 else 0.0)
+            for j in range(4)] for i in range(12)]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(rng)]
+    )
+    out = {
+        r["dim"]: r["loading"]
+        for r in sim.power_iteration_top_pc(
+            df, iterations=8
+        ).collect()
+    }
+    X = np.array(rng)
+    G = X.T @ X
+    v = np.ones(4)
+    for _ in range(8):
+        v = G @ v
+    v = v / v[int(np.argmax(np.abs(v)))]
+    for d in range(4):
+        assert abs(out[d] - round(v[d], 6)) <= 2e-6
+
+
+# ------------------------------------------------------ perceptual hash
+def test_perceptual_hash_identical_payloads_collide(spark):
+    from etl_io_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="same words here"),
+            Row(doc_id=16, text="same words here"),  # same width/height mod
+            Row(doc_id=32, text="different content entirely"),
+        ]
+    )
+    media = mm.synthesize_media(docs)
+    out = {r["media_id"]: r["phash"] for r in mm.perceptual_hash(media).collect()}
+    assert out[0] == out[16]
+    assert out[0] != out[32]
+    # deterministic across runs
+    again = {r["media_id"]: r["phash"] for r in mm.perceptual_hash(media).collect()}
+    assert out == again
