@@ -461,3 +461,53 @@ def dsir_logratio(
             round_pz(F.avg("__lr"), round_to).alias("dsir_logratio"),
         )
     )
+
+
+def target_encode_oof(
+    df: DataFrame,
+    id_col: str,
+    cat_col: str,
+    target_col: str,
+    folds: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-safe categorical encoder
+    (each fold's encoding averages the OTHER folds' targets, so a row
+    never sees its own label): ``(category, fold, n_rows, oof_mean)``.
+
+    Folds are md5-assigned from the row id (deterministic, reproducible
+    in any engine — the same device as split_assign). ONE (cat, fold)
+    partial-aggregable groupBy; per-category totals ride an unordered
+    window over the tiny aggregate, and the leave-fold-out mean is pure
+    arithmetic: (Σ_all − Σ_fold) / (n_all − n_fold). A category living
+    entirely in one fold has no out-of-fold data → NULL (callers back
+    off to the global prior). Cost is one shuffle of |rows| pre-combined
+    to |cats|·folds — at 100 TB this is the cheapest leakage-safe
+    encoder there is.
+
+    Means of fixed-decimal measures are int/int-like terminating ratios
+    → floor-form rounding (functions/numeric.round_floor).
+    """
+    from etl_io_spark.functions.numeric import round_floor
+
+    fold = F.pmod(hash60(F.col(id_col).cast("string")), F.lit(folds))
+    per = df.select(
+        F.col(cat_col).alias("category"),
+        fold.alias("fold"),
+        F.col(target_col).cast("double").alias("__t"),
+    ).groupBy("category", "fold").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__t").alias("__s"),
+    )
+    w = Window.partitionBy("category")
+    oof = (F.sum("__s").over(w) - F.col("__s")) / (
+        F.sum("n_rows").over(w) - F.col("n_rows")
+    )
+    return per.select(
+        "category",
+        F.col("fold").cast("int").alias("fold"),
+        "n_rows",
+        F.when(
+            F.sum("n_rows").over(w) > F.col("n_rows"), round_floor(oof, round_to)
+        ).alias("oof_mean"),
+    )

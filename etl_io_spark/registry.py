@@ -7351,3 +7351,45 @@ def _media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("media_id").alias("keep_id"),
         )
     )
+
+
+# ==========================================================================
+# Out-of-fold target encoding (operators/training.py target_encode_oof):
+# the leakage-safe categorical encoder, md5 folds, leave-fold-out means
+# ==========================================================================
+@register(
+    "target_encode_orders",
+    f"""
+    WITH per AS (
+      SELECT o_orderpriority AS category,
+             {_H.format(s='CAST(o_orderkey AS VARCHAR)')} % 5 AS fold,
+             COUNT(*) AS n_rows,
+             SUM(o_totalprice) AS s
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT category, fold, n_rows, s,
+             SUM(s) OVER (PARTITION BY category) AS ts,
+             SUM(n_rows) OVER (PARTITION BY category) AS tn
+      FROM per
+    )
+    SELECT category, CAST(fold AS INT) AS fold, n_rows,
+           CASE WHEN tn > n_rows THEN
+             FLOOR((ts - s) / (tn - n_rows) * 1000000 + 0.5) / 1000000
+           END AS oof_mean
+    FROM tot
+    """,
+)
+def _target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding (training.target_encode_oof):
+    o_orderpriority encoded by leave-fold-out mean o_totalprice over 5
+    md5 folds — each row's encoding never includes its own label."""
+    from etl_io_spark.operators import training
+
+    return training.target_encode_oof(
+        _cat(spark, sf_dir).table("orders"),
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        folds=5,
+    )

@@ -262,3 +262,32 @@ def compact_parquet(
         out = df.repartition(n)
     out.write.mode("overwrite").parquet(out_path)
     return n
+
+
+def write_bucketed(
+    df,
+    table: str,
+    bucket_cols,
+    n_buckets: int = 8,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) parquet table sink — the layout
+    that makes repeated joins/aggregations on ``bucket_cols`` exchange-free:
+    two tables bucketed the same way join with NO shuffle (and no sort,
+    when ``sort`` pre-orders the buckets), because Spark's bucketing
+    contract hash-places rows at WRITE time. At 100 TB this converts every
+    recurring fact⋈fact join on the bucket key from the cluster's biggest
+    shuffle into a local zip — the write-once/join-many trade.
+
+    Catalog-table sink (``saveAsTable``): bucket metadata lives in the
+    metastore; plain ``parquet(path)`` writes cannot carry it."""
+    w = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *([bucket_cols] if isinstance(bucket_cols, str) else bucket_cols))
+    )
+    if sort:
+        cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
+        w = w.sortBy(*cols)
+    w.saveAsTable(table)

@@ -59,3 +59,42 @@ def test_spread_result_correct_when_forced(spark, sf_dir):
         .count()
     )
     assert sorted(base.collect()) == sorted(spreaded.collect())
+
+
+def test_bucketed_join_plans_no_exchange(spark, sf_dir):
+    """Two tables bucketed on the join key join WITHOUT any shuffle
+    exchange (and without sorts, thanks to sortBy) — the write-once /
+    join-many layout contract write_bucketed exists for."""
+    from etl_io_spark.catalog import TableCatalog
+    from etl_io_spark.sources.writers import write_bucketed
+
+    cat = TableCatalog(spark, sf_dir)
+    try:
+        write_bucketed(
+            cat.table("orders").select("o_custkey", "o_totalprice"),
+            "t_orders_b",
+            "o_custkey",
+            n_buckets=4,
+        )
+        write_bucketed(
+            cat.table("customer").select("c_custkey", "c_nationkey"),
+            "t_cust_b",
+            "c_custkey",
+            n_buckets=4,
+        )
+        a = spark.table("t_orders_b")
+        b = spark.table("t_cust_b")
+        joined = a.join(b, a["o_custkey"] == b["c_custkey"]).groupBy(
+            "c_nationkey"
+        ).count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the join itself must not exchange; the only allowed exchange is
+        # the final single-partition/groupBy on c_nationkey
+        join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+        assert "Exchange hashpartitioning(c_custkey" not in plan
+        n = joined.count()
+        assert n > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")

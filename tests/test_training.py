@@ -294,3 +294,36 @@ def test_dsir_logratio_scores_target_like_docs_higher(spark):
     assert out[3]["dsir_logratio"] > out[4]["dsir_logratio"]
     # identical text scores identically regardless of slice membership
     assert out[1]["dsir_logratio"] == out[3]["dsir_logratio"]
+
+
+def test_target_encode_oof_leaves_own_fold_out(spark):
+    from pyspark.sql import Row
+
+    from etl_io_spark.operators import training
+
+    rows = [Row(id=i, cat="a", y=float(i % 3)) for i in range(60)] + [
+        Row(id=100 + i, cat="b", y=10.0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    out = training.target_encode_oof(df, "id", "cat", "y", folds=5).collect()
+    per = {(r["category"], r["fold"]): r for r in out}
+    # rebuild expected from the same md5 fold function
+    from etl_io_spark.operators.text import hash60
+    import pyspark.sql.functions as F
+
+    folds = {
+        r["id"]: r["f"]
+        for r in df.select(
+            "id", F.pmod(hash60(F.col("id").cast("string")), F.lit(5)).alias("f")
+        ).collect()
+    }
+    data = [(r.id, r.cat, r.y) for r in rows]
+    for (cat, fold), r in per.items():
+        others = [y for (i, c, y) in data if c == cat and folds[i] != fold]
+        if not others:
+            assert r["oof_mean"] is None
+        else:
+            import math
+
+            expect = math.floor(sum(others) / len(others) * 1e6 + 0.5) / 1e6
+            assert abs(r["oof_mean"] - expect) < 1e-9, (cat, fold)
