@@ -128,7 +128,21 @@ HEADLINE = [
     "semdedup_embeddings",
     "ccnet_buckets_docs",
     "corpus_datacard",
-    "tokenizer_fertility",
+    "tokenizer_fertility",    "substring_dedup_docs",
+    "bloom_gate_orders",
+    "semdedup_kmeans",
+    "embedding_top_pc",
+    "c4_filters_docs",
+    "gopher_rules_docs",
+    "quality_classifier_docs",
+    "rake_keywords_docs",
+    "hits_trade_graph",
+    "countmin_users_events",
+    "acf_events",
+    "cusum_changepoint_events",
+    "media_phash_dedup",
+    "target_encode_orders",
+    "dedup_jaccard_prefix",
 ]
 
 

@@ -538,27 +538,47 @@ def hits(
     exactly the src partition and authorities the dst partition.
     Persistence contract: see the module docstring.
     """
+    # the two half-steps group on OPPOSITE keys, so one partitioning
+    # cannot serve both: pin the distinct edge list twice, once
+    # hash-partitioned per grouping key (2 upfront |E| shuffles), and
+    # stream the |V|-row score table into each half-step as a broadcast —
+    # the loop body then plans ZERO shuffle exchanges (the LPA/PageRank
+    # fusion treatment). Cache cost is 2·|E| rows of two int64s.
     e = (
         pairs.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
         .distinct()
         .transform(persist_tracked)
     )
-    hub = e.select(F.col("__s").alias("node")).distinct().select(
-        "node", F.lit(1).cast("bigint").alias("v")
-    )
-    for _ in range(iterations):
-        auth = (
-            e.join(hub, e["__s"] == hub["node"])
-            .groupBy("__d")
-            .agg(F.sum("v").alias("v"))
-            .select(F.col("__d").alias("node"), "v")
-        )
+    e_by_d = persist_tracked(e.repartition(F.col("__d")))
+    e_by_s = persist_tracked(e.repartition(F.col("__s")))
+    hub = None
+    for i in range(iterations):
+        # iteration 1 folds the all-ones hub vector into a plain count —
+        # no join and no initial node-set build at all
+        if i == 0:
+            auth = (
+                e_by_d.groupBy("__d")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+                .select(F.col("__d").alias("node"), "v")
+            )
+        else:
+            auth = (
+                e_by_d.join(F.broadcast(hub), e_by_d["__s"] == F.col("node"))
+                .groupBy("__d")
+                .agg(F.sum("v").alias("v"))
+                .select(F.col("__d").alias("node"), "v")
+            )
         hub = (
-            e.join(auth, e["__d"] == auth["node"])
+            e_by_s.join(F.broadcast(auth), e_by_s["__d"] == F.col("node"))
             .groupBy("__s")
             .agg(F.sum("v").alias("v"))
             .select(F.col("__s").alias("node"), "v")
         )
+        # both score tables are re-referenced by the NEXT half-step AND the
+        # final hub⋈auth merge — lazily checkpointing the |V|-row tables
+        # flattens the otherwise exponentially-nested broadcast lineage
+        auth = checkpoint_tracked(auth)
+        hub = checkpoint_tracked(hub)
     # full-outer merge: on general digraphs a node can hold BOTH scores;
     # missing side = 0 (bipartite graphs degenerate to a disjoint union)
     scores = (
