@@ -1058,8 +1058,10 @@ def rake_keywords(
         .alias("__pid"),
         is_stop.alias("__stop"),
     )
-    words = persist_tracked(marked.where(~F.col("__stop")))
-    # phrase length rides a second window on the SAME (doc) partitioning
+    words = marked.where(~F.col("__stop"))
+    # phrase length rides a second window on the SAME (doc) partitioning.
+    # ``sized`` feeds BOTH the word-stats aggregation and the scoring
+    # join — pin it, or the tokenize→explode→window chain runs twice
     sized = words.select(
         "__doc",
         "__pid",
@@ -1069,12 +1071,16 @@ def rake_keywords(
         .over(W.partitionBy("__doc", "__pid"))
         .alias("__plen"),
     )
+    sized = persist_tracked(sized)
     stats = sized.groupBy("__w").agg(
         F.count(F.lit(1)).alias("__freq"),
         F.sum("__plen").alias("__deg"),
     )
-    # integer milli-score: exact in any engine (floor division)
-    scored = sized.join(stats, "__w").select(
+    # integer milli-score: exact in any engine (floor division). stats is
+    # vocab-sized — broadcast it, so after the one doc-keyed window
+    # exchange everything through phrase assembly stays map-side
+    # (HashPartitioning(doc) satisfies the (doc, pid) grouping too)
+    scored = sized.join(F.broadcast(stats), "__w").select(
         "__doc",
         "__pid",
         "__pos",
