@@ -703,6 +703,98 @@ def incremental_agg_update(
     )
 
 
+def basket_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    k: int = 50,
+    round_to: int = 6,
+) -> DataFrame:
+    """Directional association rules A→B over market baskets: support
+    count, confidence ``P(B|A) = n_ab / n_a`` and lift
+    ``P(A,B)/(P(A)P(B)) = N·n_ab/(n_a·n_b)`` — the actionable layer on
+    top of raw co-occurrence (``cooccurrence_pairs`` ranks pairs;
+    rules rank DIRECTIONS: lift > 1 means genuinely associated, high
+    confidence means B is predictable from A). Top-``k`` rules by
+    (confidence, lift) with deterministic tie-breaks.
+
+    Plan shape: the canonical pair counts come from the same
+    single-fact-shuffle expansion as cooccurrence_pairs; each unordered
+    pair then fans out map-side into its two directions, item supports
+    join in as a BROADCAST (the item-count table is vocabulary-sized),
+    and N is a 1-row broadcast aggregate — nothing beyond the two
+    basket shuffles touches fact-proportional data.
+
+    Confidence/lift are int-ratio quantities → floor-form rounding.
+    """
+    from etl_io_spark.functions.numeric import round_floor
+
+    b = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    pairs = _basket_pair_counts(df, basket_col, item_col, min_count)
+    supports = b.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    n_baskets_total = b.agg(
+        F.countDistinct("__b").alias("__N")
+    )
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                    F.col("n_baskets"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                    F.col("n_baskets"),
+                ),
+            )
+        ).alias("__r")
+    ).select("__r.antecedent", "__r.consequent", "__r.n_baskets")
+    joined = (
+        directed.join(
+            F.broadcast(
+                supports.select(
+                    F.col("__i").alias("antecedent"), F.col("__n").alias("__na")
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                supports.select(
+                    F.col("__i").alias("consequent"), F.col("__n").alias("__nb")
+                )
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_baskets_total))
+    )
+    out = joined.select(
+        "antecedent",
+        "consequent",
+        "n_baskets",
+        round_floor(
+            F.col("n_baskets") / F.col("__na").cast("double"), round_to
+        ).alias("confidence"),
+        round_floor(
+            F.col("__N").cast("double")
+            * F.col("n_baskets")
+            / (F.col("__na").cast("double") * F.col("__nb")),
+            round_to,
+        ).alias("lift"),
+    )
+    return out.orderBy(
+        F.col("confidence").desc(),
+        F.col("lift").desc(),
+        "antecedent",
+        "consequent",
+    ).limit(k)
+
+
 def countmin_compare(
     df: DataFrame,
     key_col: str,

@@ -154,3 +154,41 @@ def scd2_snapshot_at(
         (F.col(from_col) <= d)
         & (F.col(to_col).isNull() | (F.col(to_col) > d))
     )
+
+
+def temporal_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time dimension join (the READ side of SCD2 at fact
+    granularity): each fact row picks the dimension version whose
+    validity interval contains its timestamp —
+    ``fact.key = dim.key AND valid_from <= fact.ts < valid_to``.
+
+    The physical plan is a plain EQUI-join on the key with the interval
+    predicate as a post-join filter: per fact row the pre-filter match
+    set is that key's version count (small by SCD construction), so
+    unlike a pure range join nothing quadratic can happen and the
+    broadcast/sort-merge choice is AQE's as usual. Versions must be
+    non-overlapping per key (scd2_merge's invariant) for the result to
+    stay 1:1 under ``how='inner'``; facts outside every interval drop
+    (or survive null-extended under ``how='left'``).
+
+    Complements ``scd2_snapshot_at`` (one constant snapshot date for the
+    whole query) — here the lookup date varies per row.
+    """
+    d = dim
+    for c in d.columns:
+        if c == key:
+            d = d.withColumnRenamed(c, f"__dim_{c}")
+    cond = (
+        (fact[ts_col] >= d[valid_from])
+        & (fact[ts_col] < d[valid_to])
+        & (fact[key] == d[f"__dim_{key}"])
+    )
+    return fact.join(d, cond, how).drop(f"__dim_{key}")

@@ -344,3 +344,52 @@ def funnel_latency(
         _disc(0.5, "median_s"),
         _disc(0.9, "p90_s"),
     )
+
+
+def session_entry_exit(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    gap: str = "30 minutes",
+    round_to: int = 6,
+) -> DataFrame:
+    """Landing/exit-page analytics over sessionized events: for every
+    (entry_type, exit_type) combination, the number of sessions, the
+    bounce count (single-event sessions) and their shares — the classic
+    web-analytics entry/exit matrix, generalized to any event stream.
+
+    Rides :func:`sessionize` (one keyed shuffle); the per-session
+    entry/exit reduce via ``min_by``/``max_by`` over (ts, id) is
+    partial-aggregable (no second window sort), and the final matrix is
+    states² rows with shares computed against a 1-row broadcast total.
+    Tie-breaks on (ts, id) keep both engines deterministic when events
+    share a timestamp. Shares are int/int ratios → floor-form rounding.
+    """
+    from etl_io_spark.functions.numeric import round_floor
+
+    sess = sessionize(df, key_col, ts_col, gap)
+    order_key = F.struct(F.col(ts_col), F.col(id_col))
+    per_session = sess.groupBy(key_col, "session_id").agg(
+        F.min_by(type_col, order_key).alias("entry_type"),
+        F.max_by(type_col, order_key).alias("exit_type"),
+        F.count(F.lit(1)).alias("__n_events"),
+    )
+    matrix = per_session.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("__n_events") == 1).cast("int")).alias("n_bounces"),
+    )
+    total = matrix.agg(F.sum("n_sessions").alias("__tot"))
+    return matrix.crossJoin(F.broadcast(total)).select(
+        "entry_type",
+        "exit_type",
+        "n_sessions",
+        F.col("n_bounces").cast("bigint").alias("n_bounces"),
+        round_floor(
+            F.col("n_sessions") / F.col("__tot").cast("double"), round_to
+        ).alias("session_share"),
+        round_floor(
+            F.col("n_bounces") / F.col("n_sessions").cast("double"), round_to
+        ).alias("bounce_rate"),
+    )

@@ -7393,3 +7393,185 @@ def _target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         folds=5,
     )
+
+
+# ==========================================================================
+# Association rules over order baskets (operators/aggregate.py
+# basket_rules): confidence + lift on the single-fact-shuffle pair counts
+# ==========================================================================
+@register(
+    "basket_rules_parts",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pc AS (
+      SELECT a.l_partkey AS item_a, c.l_partkey AS item_b,
+             COUNT(*) AS n_baskets
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    ic AS (SELECT l_partkey, COUNT(*) AS n FROM b GROUP BY 1),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS N FROM b),
+    directed AS (
+      SELECT item_a AS antecedent, item_b AS consequent, n_baskets FROM pc
+      UNION ALL
+      SELECT item_b AS antecedent, item_a AS consequent, n_baskets FROM pc
+    )
+    SELECT d.antecedent, d.consequent, d.n_baskets,
+           FLOOR(d.n_baskets / CAST(ia.n AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS confidence,
+           FLOOR(CAST(nb.N AS DOUBLE) * d.n_baskets
+                 / (CAST(ia.n AS DOUBLE) * ib.n) * 1000000 + 0.5)
+             / 1000000 AS lift
+    FROM directed d
+    JOIN ic ia ON d.antecedent = ia.l_partkey
+    JOIN ic ib ON d.consequent = ib.l_partkey
+    CROSS JOIN nb
+    ORDER BY confidence DESC, lift DESC, antecedent, consequent
+    LIMIT 50
+    """,
+)
+def _basket_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules A→B over order baskets (aggregate.basket_rules):
+    confidence + lift from one fact-shuffle pair expansion plus
+    broadcast item supports; floor-form int-ratio rounding."""
+    return agg.basket_rules(
+        _cat(spark, sf_dir).table("lineitem"), "l_orderkey", "l_partkey",
+        min_count=2, k=50,
+    )
+
+
+# ==========================================================================
+# Session entry/exit matrix (operators/window.py session_entry_exit):
+# landing/exit types + bounce rates over 30-minute sessions
+# ==========================================================================
+@register(
+    "session_entry_exit",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id
+      FROM events
+    ),
+    lagged AS (
+      SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM e
+    ),
+    marked AS (
+      SELECT *,
+             CASE WHEN prev IS NULL
+                       OR ts > prev + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM lagged
+    ),
+    sess AS (
+      SELECT *, SUM(brk) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ),
+    rn AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM sess
+    ),
+    per AS (
+      SELECT user_id, session_id,
+             MAX(CASE WHEN rf = 1 THEN event_type END) AS entry_type,
+             MAX(CASE WHEN rl = 1 THEN event_type END) AS exit_type,
+             COUNT(*) AS n_events
+      FROM rn GROUP BY user_id, session_id
+    ),
+    m AS (
+      SELECT entry_type, exit_type, COUNT(*) AS n_sessions,
+             SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces
+      FROM per GROUP BY entry_type, exit_type
+    ),
+    t AS (SELECT SUM(n_sessions) AS tot FROM m)
+    SELECT entry_type, exit_type, n_sessions,
+           CAST(n_bounces AS BIGINT) AS n_bounces,
+           FLOOR(n_sessions / CAST(tot AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS session_share,
+           FLOOR(n_bounces / CAST(n_sessions AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS bounce_rate
+    FROM m CROSS JOIN t
+    """,
+)
+def _session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry/exit matrix with bounce rates (window.session_entry_exit):
+    sessionize -> partial-aggregable min_by/max_by entry-exit reduce ->
+    states^2 matrix with broadcast-total shares."""
+    return win.session_entry_exit(
+        _cat(spark, sf_dir).table("events"),
+        "user_id", "ts", "event_type", "event_id",
+    )
+
+
+# ==========================================================================
+# Point-in-time dimension join (operators/scd.py temporal_join): orders
+# joined to a two-version SCD2 customer history at o_orderdate
+# ==========================================================================
+@register(
+    "temporal_dim_join_orders",
+    """
+    WITH hist AS (
+      SELECT c_custkey,
+             'legacy' AS segment,
+             TIMESTAMP '1990-01-01' AS valid_from,
+             TIMESTAMP '1994-01-01'
+               + INTERVAL (c_custkey % 1460) DAY AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'current',
+             TIMESTAMP '1994-01-01' + INTERVAL (c_custkey % 1460) DAY,
+             TIMESTAMP '9999-01-01'
+      FROM customer
+    )
+    SELECT h.segment, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN hist h
+      ON o.o_custkey = h.c_custkey
+     AND o.o_orderdate >= h.valid_from AND o.o_orderdate < h.valid_to
+    GROUP BY h.segment
+    """,
+)
+def _temporal_dim_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row point-in-time SCD2 lookup (scd.temporal_join): a
+    deterministic two-version customer history (cutover date derived
+    from the key), each order matched to the version valid at its
+    o_orderdate; revenue per dimension version."""
+    cat = _cat(spark, sf_dir)
+    cust = cat.table("customer").select("c_custkey")
+    cut = F.expr(
+        "TIMESTAMP '1994-01-01' + make_interval(0,0,0, CAST(c_custkey % 1460 AS INT))"
+    )
+    hist = cust.select(
+        "c_custkey",
+        F.lit("legacy").alias("segment"),
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        cut.alias("valid_to"),
+    ).unionAll(
+        cust.select(
+            "c_custkey",
+            F.lit("current").alias("segment"),
+            cut.alias("valid_from"),
+            F.lit("9999-01-01").cast("timestamp").alias("valid_to"),
+        )
+    )
+    orders = cat.table("orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    from etl_io_spark.operators import scd
+
+    joined = scd.temporal_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        hist,
+        "c_custkey",
+        "o_orderdate",
+    )
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

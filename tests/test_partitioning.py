@@ -98,3 +98,31 @@ def test_bucketed_join_plans_no_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """A table partitioned on the join key prunes its partitions at
+    RUNTIME from the dim side's filter (DPP): the scan's PartitionFilters
+    must carry a dynamicpruning subquery rather than reading all
+    partitions."""
+    from pyspark.sql import Row, functions as F
+
+    from etl_io_spark.catalog import TableCatalog
+
+    path = str(tmp_path / "orders_by_prio")
+    TableCatalog(spark, sf_dir).table("orders").write.mode(
+        "overwrite"
+    ).partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [Row(prio="1-URGENT", label="u"), Row(prio="2-HIGH", label="h")]
+    ).where(F.col("label") == "u")
+    joined = fact.join(dim, fact["o_orderpriority"] == dim["prio"]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    n = joined.collect()[0]["n"]
+    # matches only the 1-URGENT partition's rows
+    urgent = fact.where(F.col("o_orderpriority") == "1-URGENT").count()
+    assert n == urgent > 0
