@@ -230,3 +230,104 @@ def test_perceptual_hash_identical_payloads_collide(spark):
     # deterministic across runs
     again = {r["media_id"]: r["phash"] for r in mm.perceptual_hash(media).collect()}
     assert out == again
+
+
+# ------------------------------------------------------------------ HITS
+def test_hits_bipartite_hand_case(spark):
+    from etl_io_spark.operators import graph
+
+    # c1 buys from s1, s2; c2 buys from s2 only → s2 is the authority
+    edges = spark.createDataFrame(
+        [Row(src=10, dst=21), Row(src=10, dst=23), Row(src=12, dst=23)]
+    )
+    out = {r["node"]: r for r in graph.hits(edges, iterations=2).collect()}
+    # iteration math (exact ints): a1(s21)=1, a1(s23)=2;
+    # h1(c10)=3, h1(c12)=2; a2(21)=3, a2(23)=5; h2(10)=8, h2(12)=5
+    assert out[21]["auth"] == 3 and out[23]["auth"] == 5
+    assert out[10]["hub"] == 8 and out[12]["hub"] == 5
+    assert out[23]["auth_norm"] == 1.0 and out[10]["hub_norm"] == 1.0
+
+
+# ---------------------------------------------------------- basket rules
+def test_basket_rules_hand_case(spark):
+    from etl_io_spark.operators import aggregate as agg
+
+    rows = [
+        Row(b=1, i="x"), Row(b=1, i="y"),
+        Row(b=2, i="x"), Row(b=2, i="y"),
+        Row(b=3, i="x"),
+        Row(b=4, i="z"),
+    ]
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in agg.basket_rules(
+            spark.createDataFrame(rows), "b", "i", min_count=2, k=10
+        ).collect()
+    }
+    # n_xy=2, n_x=3, n_y=2, N=4
+    r = out[("y", "x")]
+    assert r["n_baskets"] == 2 and r["confidence"] == 1.0
+    assert abs(r["lift"] - 4 * 2 / (2 * 3)) < 2e-6
+    r2 = out[("x", "y")]
+    assert abs(r2["confidence"] - 2 / 3) < 2e-6
+
+
+# ------------------------------------------------------- session matrix
+def test_session_entry_exit_hand_case(spark):
+    import datetime as dt
+
+    from etl_io_spark.operators import window as win
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(i, u, minutes, typ):
+        return Row(
+            event_id=i, user_id=u, ts=t0 + dt.timedelta(minutes=minutes),
+            event_type=typ,
+        )
+
+    rows = [
+        ev(1, 1, 0, "view"), ev(2, 1, 5, "click"),  # session 1: view→click
+        ev(3, 1, 60, "purchase"),                   # session 2: bounce
+        ev(4, 2, 0, "view"),                        # session 1: bounce
+    ]
+    out = {
+        (r["entry_type"], r["exit_type"]): r
+        for r in win.session_entry_exit(
+            spark.createDataFrame(rows), "user_id", "ts", "event_type",
+            "event_id",
+        ).collect()
+    }
+    assert out[("view", "click")]["n_sessions"] == 1
+    assert out[("view", "click")]["n_bounces"] == 0
+    assert out[("purchase", "purchase")]["n_bounces"] == 1
+    assert out[("view", "view")]["n_bounces"] == 1
+    assert abs(out[("view", "view")]["bounce_rate"] - 1.0) < 1e-9
+
+
+# -------------------------------------------------------- temporal join
+def test_temporal_join_picks_valid_version(spark):
+    import datetime as dt
+
+    from etl_io_spark.operators import scd
+
+    d = dt.datetime
+    dim = spark.createDataFrame(
+        [
+            Row(k=1, seg="v1", valid_from=d(2020, 1, 1), valid_to=d(2022, 1, 1)),
+            Row(k=1, seg="v2", valid_from=d(2022, 1, 1), valid_to=d(9999, 1, 1)),
+        ]
+    )
+    fact = spark.createDataFrame(
+        [
+            Row(k=1, ts=d(2021, 6, 1), v=10.0),
+            Row(k=1, ts=d(2022, 1, 1), v=20.0),  # boundary: inclusive from
+            Row(k=2, ts=d(2021, 1, 1), v=30.0),  # no dim row
+        ]
+    )
+    inner = scd.temporal_join(fact, dim, "k", "ts").collect()
+    got = {(r["ts"].year, r["seg"]) for r in inner}
+    assert got == {(2021, "v1"), (2022, "v2")}
+    left = scd.temporal_join(fact, dim, "k", "ts", how="left").collect()
+    assert len(left) == 3
+    assert any(r["seg"] is None for r in left)
