@@ -703,6 +703,69 @@ def incremental_agg_update(
     )
 
 
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cross-group quantile normalization: replace each row's value with
+    the GLOBAL distribution's value at the row's within-group quantile —
+    after it, every group has (up to discretization) the same marginal
+    distribution. The standard batch-effect/domain-shift corrector
+    (microarray-era quantile normalization, feature alignment across
+    data sources).
+
+    Per row: within-group rank rn (ties broken by ``id_col`` —
+    deterministic in any engine), quantile q = (rn − 0.5)/n_group,
+    normalized value = the global sorted value at 1-based rank
+    ceil(q·N) (the quantile_disc convention — see funnel_latency).
+
+    Plan: one keyed window (group ranks), one GLOBAL row_number window
+    over the N distinct-position values, and one broadcastable
+    rank-equi-join. The global sort is the honest cost of EXACT
+    normalization and is flagged in PLANS.md; the 100 TB variant swaps
+    the ranked global table for approx_percentile anchors at fixed
+    q-grid points (same join shape, no global sort).
+    """
+    from pyspark.sql import Window as W
+
+    from etl_io_spark.functions.numeric import round_floor
+
+    n_total = df.count()
+    wg = W.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = df.select(
+        id_col,
+        group_col,
+        value_col,
+        F.row_number().over(wg).alias("__rn"),
+        F.count(F.lit(1)).over(W.partitionBy(group_col)).alias("__ng"),
+    ).withColumn(
+        "__grank",
+        F.ceil(
+            (F.col("__rn") - F.lit(0.5))
+            / F.col("__ng")
+            * F.lit(float(n_total))
+        ).cast("bigint"),
+    )
+    global_sorted = df.select(
+        F.col(value_col).alias("__gv"), F.col(id_col).alias("__gid")
+    ).select(
+        "__gv",
+        F.row_number().over(W.orderBy("__gv", "__gid")).alias("__grank"),
+    )
+    return ranked.join(F.broadcast(global_sorted), "__grank").select(
+        id_col,
+        group_col,
+        value_col,
+        round_floor(
+            (F.col("__rn") - F.lit(0.5)) / F.col("__ng"), round_to
+        ).alias("q"),
+        F.col("__gv").alias("normalized_value"),
+    )
+
+
 def basket_rules(
     df: DataFrame,
     basket_col: str,

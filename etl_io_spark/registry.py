@@ -7575,3 +7575,40 @@ def _temporal_dim_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# ==========================================================================
+# Cross-source quantile normalization (operators/aggregate.py
+# quantile_normalize): per-source doc-length ranks mapped onto the global
+# length distribution — the batch-effect corrector
+# ==========================================================================
+@register(
+    "quantile_normalize_chars",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS ng
+      FROM documents
+    ),
+    g AS (
+      SELECT n_chars AS gv,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS grank
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS nt FROM documents)
+    SELECT r.doc_id, r.source, r.n_chars,
+           FLOOR((r.rn - 0.5) / r.ng * 1000000 + 0.5) / 1000000 AS q,
+           g.gv AS normalized_value
+    FROM ranked r CROSS JOIN n
+    JOIN g ON g.grank = CAST(CEIL((r.rn - 0.5) / r.ng * nt) AS BIGINT)
+    """,
+)
+def _quantile_normalize_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (aggregate.quantile_normalize): per-source
+    n_chars ranks mapped to the corpus-global length distribution —
+    after it every source has the same marginal length profile."""
+    return agg.quantile_normalize(
+        _cat(spark, sf_dir).table("documents"), "source", "n_chars", "doc_id"
+    )

@@ -331,3 +331,25 @@ def test_temporal_join_picks_valid_version(spark):
     left = scd.temporal_join(fact, dim, "k", "ts", how="left").collect()
     assert len(left) == 3
     assert any(r["seg"] is None for r in left)
+
+
+# -------------------------------------------------- quantile normalize
+def test_quantile_normalize_aligns_marginals(spark):
+    from etl_io_spark.operators import aggregate as agg
+
+    rows = [Row(id=i, g="a", v=float(i)) for i in range(10)] + [
+        Row(id=100 + i, g="b", v=float(1000 + i * 7)) for i in range(10)
+    ]
+    out = agg.quantile_normalize(
+        spark.createDataFrame(rows), "g", "v", "id"
+    ).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["g"], []).append(r["normalized_value"])
+    # equal group sizes + shared global grid → identical sorted marginals
+    assert sorted(by_group["a"]) == sorted(by_group["b"])
+    # rank order preserved within each group
+    a = sorted((r for r in out if r["g"] == "a"), key=lambda r: r["v"])
+    assert [r["normalized_value"] for r in a] == sorted(
+        r["normalized_value"] for r in a
+    )
