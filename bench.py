@@ -143,6 +143,10 @@ HEADLINE = [
     "media_phash_dedup",
     "target_encode_orders",
     "dedup_jaccard_prefix",
+    "basket_rules_parts",
+    "session_entry_exit",
+    "temporal_dim_join_orders",
+    "quantile_normalize_chars",
 ]
 
 
