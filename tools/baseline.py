@@ -98,6 +98,14 @@ def main() -> None:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # optional key subset (same CLI shape as tools/check.py) — lets a new
+    # query's measured row be appended without re-running the full table
+    names = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if names:
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown keys: {unknown}")
+        qs = {k: qs[k] for k in names}
 
     # ---- pass 1: DuckDB ALONE, before any JVM exists. A resident (even
     # idle) 32-thread Spark JVM was measured to inflate sub-second DuckDB
