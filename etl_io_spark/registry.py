@@ -7612,3 +7612,59 @@ def _quantile_normalize_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.quantile_normalize(
         _cat(spark, sf_dir).table("documents"), "source", "n_chars", "doc_id"
     )
+
+
+# ==========================================================================
+# Within-session event-type co-occurrence (window.sessionize →
+# aggregate.cooccurrence_pairs composition): which behaviors happen in
+# the same session — the session-scoped market basket
+# ==========================================================================
+@register(
+    "session_baskets_events",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    ),
+    lagged AS (
+      SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             SUM(CASE WHEN prev IS NULL
+                           OR ts > prev + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM lagged
+    ),
+    b AS (
+      SELECT DISTINCT user_id * 100000 + session_id AS basket, event_type
+      FROM sess
+    )
+    SELECT a.event_type AS item_a, c.event_type AS item_b,
+           COUNT(*) AS n_baskets
+    FROM b a JOIN b c
+      ON a.basket = c.basket AND a.event_type < c.event_type
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY n_baskets DESC, item_a, item_b
+    LIMIT 50
+    """,
+)
+def _session_baskets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped market basket (sessionize → cooccurrence_pairs):
+    event-type pairs co-occurring within the same 30-minute session —
+    the composition witness for the behavioral and basket families
+    (basket key = user_id·1e5 + session ordinal, one int64)."""
+    ev = _cat(spark, sf_dir).table("events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    sess = win.sessionize(ev, "user_id", "ts")
+    with_basket = sess.select(
+        (F.col("user_id") * 100000 + F.col("session_id")).alias("basket"),
+        "event_type",
+    )
+    return agg.cooccurrence_pairs(
+        with_basket, "basket", "event_type", min_count=2, k=50
+    )
