@@ -147,6 +147,7 @@ HEADLINE = [
     "session_entry_exit",
     "temporal_dim_join_orders",
     "quantile_normalize_chars",
+    "session_baskets_events",
 ]
 
 
