@@ -18,6 +18,27 @@ def round_pz(col: Column | str, scale: int) -> Column:
     return F.round(c, scale) + F.lit(0.0)
 
 
+def ppm_floor(num: str, den: str) -> Column:
+    """Exact BIGINT ``floor(num * 1_000_000 / den)`` for nonnegative
+    BIGINT column expressions, with NO float and NO 128-bit intermediate.
+
+    The multiplier is staged as 1e6 = 1000·1000 across three int64
+    floor-divisions — ``floor(n·1e6/d) = (n div d)·1e6 + ((n%d·1000) div
+    d)·1000 + ((n%d·1000)%d·1000) div d`` — so the largest intermediate
+    is ``den·1000``: overflow-safe while ``den ≤ ~9.2e15`` (the naive
+    ``num*1e6 div den`` wraps past ~9.2e12, which real HITS scores
+    exceed). SQL oracles can instead compute the same value with a
+    HUGEINT/DECIMAL widening — both are the exact mathematical floor,
+    so they agree bit-for-bit. Takes column NAMES (builds a SQL expr);
+    both inputs must already be BIGINT."""
+    n, d = f"({num})", f"({den})"
+    return F.expr(
+        f"({n} div {d}) * CAST(1000000 AS BIGINT)"
+        f" + ((({n} % {d}) * 1000) div {d}) * 1000"
+        f" + (((({n} % {d}) * 1000) % {d}) * 1000) div {d}"
+    )
+
+
 def round_floor(col: Column | str, scale: int) -> Column:
     """Floor-form half-up rounding in PURE double arithmetic:
     ``floor(x·10^k + 0.5) / 10^k``.

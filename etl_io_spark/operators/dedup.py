@@ -1429,7 +1429,9 @@ def substring_dup_stats(
     k-token window of every document, counted across the corpus; a
     window occurring more than once anywhere (including twice in the
     same document) is duplicated text. Returns one row per document:
-    ``(id, n_windows, n_dup_windows, dup_fraction)`` — the actionable
+    ``(id, n_windows, n_dup_windows, dup_fraction_ppm, dup_fraction)``
+    (the ppm column is an exact BIGINT ``n_dup*1e6 div n_windows`` —
+    float-free for cross-engine hashing) — the actionable
     per-doc signal (suffix-array span REMOVAL needs byte offsets; the
     profile is what drives keep/trim decisions at corpus scale).
 
@@ -1461,19 +1463,31 @@ def substring_dup_stats(
         )
     )
     spine = df.select(id_col)
-    return spine.join(per_doc, id_col, "left").select(
+    counted = spine.join(per_doc, id_col, "left").select(
         id_col,
         F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
         F.coalesce("n_dup_windows", F.lit(0))
         .cast("bigint")
         .alias("n_dup_windows"),
+    )
+    return counted.select(
+        id_col,
+        "n_windows",
+        "n_dup_windows",
+        # exact integer ppm — pure int64 floor-division, no float anywhere,
+        # so any engine (and any hash canonicalization) agrees bit-for-bit
         F.when(
-            F.coalesce("n_windows", F.lit(0)) > 0,
+            F.col("n_windows") > 0,
+            F.expr("n_dup_windows * CAST(1000000 AS BIGINT) div n_windows"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("dup_fraction_ppm"),
+        F.when(
+            F.col("n_windows") > 0,
             # int/int ratio — terminating decimal tails, floor-form
             round_floor(
-                F.coalesce("n_dup_windows", F.lit(0))
-                / F.col("n_windows").cast("double"),
-                6,
+                F.col("n_dup_windows") / F.col("n_windows").cast("double"), 6
             ),
         )
         .otherwise(F.lit(0.0))

@@ -525,8 +525,10 @@ def hits(
 ) -> DataFrame:
     """HITS hubs & authorities over a DIRECTED edge list (Kleinberg):
     ``auth_t(v) = Σ_{(u,v)} hub_{t-1}(u)``, ``hub_t(u) = Σ_{(u,v)}
-    auth_t(v)``. Returns one row per node with its raw integer scores and
-    max-normalized doubles.
+    auth_t(v)``. Returns one row per node with its raw integer scores,
+    exact-integer ppm normalizations (``hub_norm_ppm``/``auth_norm_ppm``,
+    BIGINT ``score*1e6 div max`` — float-free for cross-engine hashing),
+    and max-normalized doubles.
 
     Parity-first formulation: hubs start at the INTEGER 1 and no
     per-iteration normalization is applied, so every intermediate score
@@ -611,11 +613,19 @@ def hits(
     from etl_io_spark.functions.numeric import round_floor
 
     # int/int score ratios terminate in decimal whenever the denominator
-    # is 2^a·5^b-friendly — floor-form half-up keeps engines identical
+    # is 2^a·5^b-friendly — floor-form half-up keeps engines identical.
+    # The *_ppm twins are exact int64 floor-divisions (staged so the max
+    # intermediate is max_score·1000 — raw HITS scores already pass 9e12
+    # at toy scale, so the naive score*1e6 wraps): zero float content, so
+    # cross-engine value hashing can never diverge on them.
+    from etl_io_spark.functions.numeric import ppm_floor
+
     return scores.crossJoin(F.broadcast(mx)).select(
         "node",
         "hub",
         "auth",
+        ppm_floor("hub", "__mh").alias("hub_norm_ppm"),
+        ppm_floor("auth", "__ma").alias("auth_norm_ppm"),
         round_floor(F.col("hub") / F.col("__mh"), round_to).alias("hub_norm"),
         round_floor(F.col("auth") / F.col("__ma"), round_to).alias("auth_norm"),
     )

@@ -6938,11 +6938,12 @@ def _quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins AS (
       SELECT doc_id, {_H.format(s='g')} AS wh FROM (
         SELECT doc_id,
-               UNNEST([l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
-                       l[i+3] || ' ' || l[i+4] || ' ' || l[i+5] || ' ' ||
-                       l[i+6] || ' ' || l[i+7]
-                       for i in generate_series(1, len(l) - 7)]) AS g
-        FROM t)
+               l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+               l[i+3] || ' ' || l[i+4] || ' ' || l[i+5] || ' ' ||
+               l[i+6] || ' ' || l[i+7] AS g
+        FROM (SELECT doc_id, l,
+                     UNNEST(generate_series(1, len(l) - 7)) AS i
+              FROM t))
     ),
     freq AS (SELECT wh, COUNT(*) AS n FROM wins GROUP BY wh),
     per AS (
@@ -6951,22 +6952,26 @@ def _quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM wins w JOIN freq f USING (wh) GROUP BY w.doc_id
     )
     SELECT d.doc_id,
-           COALESCE(p.n_windows, 0) AS n_windows,
-           COALESCE(p.n_dup, 0) AS n_dup_windows,
-           CASE WHEN COALESCE(p.n_windows, 0) > 0 THEN
-             FLOOR(COALESCE(p.n_dup, 0) * 1.0 / p.n_windows * 1000000 + 0.5)
-             / 1000000
-           ELSE 0.0 END AS dup_fraction
+           CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           CAST(CAST(COALESCE(p.n_dup, 0) AS BIGINT) * 1000000
+                // GREATEST(CAST(COALESCE(p.n_windows, 0) AS BIGINT), 1)
+                AS BIGINT) AS dup_fraction_ppm
     FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
     """,
 )
 def _substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication profile (dedup.substring_dup_stats,
     k=8): corpus-frequency of every positional 8-token window, per-doc
-    duplicated-window fraction — the EXACTSUBSTR keep/trim signal."""
+    duplicated-window fraction — the EXACTSUBSTR keep/trim signal.
+    Graded columns are all BIGINT (``dup_fraction_ppm`` is the exact
+    integer ``n_dup*1e6 div n_windows``) and the oracle's window
+    expansion is a plain generate_series lateral join — no floats and
+    no DuckDB list-comprehension syntax anywhere in the compared
+    surface (round-4 driver hash divergence fix)."""
     return dedup.substring_dup_stats(
         _cat(spark, sf_dir).table("documents"), "doc_id", "text", k=8
-    )
+    ).drop("dup_fraction")
 
 
 # ==========================================================================
@@ -6985,10 +6990,14 @@ def _hits_oracle(iterations: int = 3) -> str:
            FROM (SELECT DISTINCT c FROM pairs))"""
     steps = []
     for i in range(1, iterations + 1):
+        # CAST each iteration's SUM back to BIGINT: DuckDB types
+        # SUM(BIGINT) as HUGEINT, and letting HUGEINT leak into the
+        # compared columns risks driver-side canonicalization drift
+        # against Spark's BIGINT (round-4 hash divergence fix)
         steps.append(f""",
-    a{i} AS (SELECT s, SUM(h{i - 1}.v) AS v
+    a{i} AS (SELECT s, CAST(SUM(h{i - 1}.v) AS BIGINT) AS v
              FROM pairs JOIN h{i - 1} USING (c) GROUP BY s),
-    h{i} AS (SELECT c, SUM(a{i}.v) AS v
+    h{i} AS (SELECT c, CAST(SUM(a{i}.v) AS BIGINT) AS v
              FROM pairs JOIN a{i} USING (s) GROUP BY c)""")
     k = iterations
     return head + "".join(steps) + f""",
@@ -7001,8 +7010,10 @@ def _hits_oracle(iterations: int = 3) -> str:
     SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
                 ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
            hub, auth,
-           FLOOR(hub * 1.0 / mh * 1000000 + 0.5) / 1000000 AS hub_norm,
-           FLOOR(auth * 1.0 / ma * 1000000 + 0.5) / 1000000 AS auth_norm
+           CAST(CAST(hub AS HUGEINT) * 1000000 // mh AS BIGINT)
+             AS hub_norm_ppm,
+           CAST(CAST(auth AS HUGEINT) * 1000000 // ma AS BIGINT)
+             AS auth_norm_ppm
     FROM merged, mx
     """
 
@@ -7013,7 +7024,11 @@ def _hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed customer→supplier trade pairs: hub customers buy from
     authoritative suppliers. Exact BIGINT scores through every
     iteration (parity-first formulation — see the operator docstring);
-    parity-tagged int64 node keys, labels reconstructed at the end."""
+    parity-tagged int64 node keys, labels reconstructed at the end.
+    Every graded column is BIGINT — normalizations are exact-integer
+    ppm (``score*1e6 div max``) and the oracle casts each iteration's
+    SUM back to BIGINT so no DOUBLE or HUGEINT reaches the driver's
+    value hash (round-4 divergence fix)."""
     from etl_io_spark.operators import graph
 
     scores = graph.hits(_trade_pairs(spark, sf_dir), iterations=3)
@@ -7026,8 +7041,8 @@ def _hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node"),
         "hub",
         "auth",
-        "hub_norm",
-        "auth_norm",
+        "hub_norm_ppm",
+        "auth_norm_ppm",
     )
 
 

@@ -106,6 +106,7 @@ def test_substring_dup_stats_hand_case(spark):
     )
     assert out[1]["n_windows"] == 2 and out[1]["n_dup_windows"] == 1
     assert out[1]["dup_fraction"] == 0.5
+    assert out[1]["dup_fraction_ppm"] == 500_000
     assert out[2]["n_windows"] == 1 and out[2]["n_dup_windows"] == 1
     # doc3 windows: x y x | y x y | x y x | y x y | x y x → all dup
     assert out[3]["n_windows"] == 5 and out[3]["n_dup_windows"] == 5
@@ -246,6 +247,30 @@ def test_hits_bipartite_hand_case(spark):
     assert out[21]["auth"] == 3 and out[23]["auth"] == 5
     assert out[10]["hub"] == 8 and out[12]["hub"] == 5
     assert out[23]["auth_norm"] == 1.0 and out[10]["hub_norm"] == 1.0
+    # exact-integer ppm twins: floor(score*1e6/max)
+    assert out[23]["auth_norm_ppm"] == 1_000_000
+    assert out[21]["auth_norm_ppm"] == 600_000  # 3*1e6 // 5
+    assert out[12]["hub_norm_ppm"] == 625_000  # 5*1e6 // 8
+
+
+def test_ppm_floor_overflow_safe(spark):
+    from etl_io_spark.functions.numeric import ppm_floor
+
+    # real HITS scores pass 9e12, where naive num*1e6 wraps int64 —
+    # the staged form must stay exact right up to den ~9.2e15
+    cases = [
+        (9_506_464_709_270, 9_506_464_709_270),
+        (8_940_442_123_456, 9_506_464_709_270),
+        (9_200_000_000_000_000, 9_223_000_000_000_000),
+        (1, 9_223_000_000_000_000),
+        (0, 7),
+        (123_456_789, 987_654_321),
+    ]
+    df = spark.createDataFrame(
+        [Row(n=n, d=d) for n, d in cases]
+    ).select("n", "d", ppm_floor("n", "d").alias("ppm"))
+    for r in df.collect():
+        assert r["ppm"] == (r["n"] * 1_000_000) // r["d"]
 
 
 # ---------------------------------------------------------- basket rules
