@@ -1222,14 +1222,81 @@ def _semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("semdedup_kmeans")
+def _kmeans_ctes(
+    k: int = 4, iterations: int = 3, dims: int = 64
+) -> tuple[str, str]:
+    """CTE body of the unrolled fixed-iteration Lloyd's replica plus the
+    name of the final assignment CTE — shared by the plain
+    kmeans_embeddings oracle and the composed semdedup_kmeans oracle."""
+    head = f"""pts AS (
+      SELECT vec_id, gs.i - 1 AS dim, CAST(embedding[gs.i] AS DOUBLE) AS val
+      FROM embeddings, generate_series(1, {dims}) gs(i)
+    ),
+    c0 AS (
+      SELECT vec_id AS c, gs.i - 1 AS dim,
+             CAST(embedding[gs.i] AS DOUBLE) AS mu
+      FROM embeddings, generate_series(1, {dims}) gs(i) WHERE vec_id < {k}
+    )"""
+    steps = []
+    for t in range(1, iterations + 1):
+        steps.append(f""",
+    a{t} AS (
+      SELECT vec_id, c FROM (
+        SELECT p.vec_id, c.c,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY SUM((p.val - c.mu) * (p.val - c.mu)), c.c) AS rn
+        FROM pts p JOIN c{t - 1} c ON p.dim = c.dim
+        GROUP BY p.vec_id, c.c
+      ) WHERE rn = 1
+    )""")
+        if t < iterations:
+            steps.append(f""",
+    c{t} AS (
+      SELECT a.c, p.dim, AVG(p.val) AS mu
+      FROM pts p JOIN a{t} a ON p.vec_id = a.vec_id
+      GROUP BY a.c, p.dim
+    )""")
+    return head + "".join(steps), f"a{iterations}"
+
+
+def _semdedup_kmeans_oracle(
+    k: int = 4,
+    iterations: int = 3,
+    dims: int = 64,
+    threshold: float = 0.4,
+) -> str:
+    """Composed replica: the unrolled fixed-iteration Lloyd's CTEs
+    (shared with kmeans_embeddings via _kmeans_ctes) feed the same
+    within-cell dominance macro as _semdedup_oracle."""
+    ctes, final = _kmeans_ctes(k, iterations, dims)
+    dot = _DOT.format(a="a.embedding", b="b.embedding")
+    return f"""
+    WITH {ctes},
+    bk AS (
+      SELECT e.vec_id, e.embedding, asn.c AS bucket
+      FROM embeddings e JOIN {final} asn ON e.vec_id = asn.vec_id
+    ),
+    dom AS (
+      SELECT DISTINCT a.vec_id
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+      WHERE ROUND({dot}, 6) >= {threshold}
+    )
+    SELECT bk.vec_id, bk.bucket, (d.vec_id IS NULL) AS keep
+    FROM bk LEFT JOIN dom d ON bk.vec_id = d.vec_id
+    """
+
+
+@register("semdedup_kmeans", _semdedup_kmeans_oracle())
 def _semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with TRAINED k-means cells (similarity.semdedup_kmeans) —
     the paper's actual clustering, upgrading semdedup_embeddings' md5
-    hyperplane cells. Rows-only key: the fixed-iteration Lloyd's is
-    deterministic, but its SQL unroll is already graded via
-    kmeans_embeddings; the cell QUALITY is graded by the
-    recall-vs-brute-force pytest (test_asof_ivf.py)."""
+    hyperplane cells. Fully oracled (round-5 fix for the in-window
+    `no_oracle` slot): the fixed-iteration Lloyd's is deterministic, so
+    the oracle composes kmeans_embeddings' unrolled-CTE replica with
+    semdedup_embeddings' within-cell dominance rule; cell QUALITY is
+    additionally graded by the recall-vs-brute-force pytest
+    (test_asof_ivf.py)."""
     return similarity.semdedup_kmeans(
         _cat(spark, sf_dir).table("embeddings"),
         threshold=0.4,
@@ -3483,43 +3550,11 @@ def _embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_oracle(k: int = 4, iterations: int = 3, dims: int = 64) -> str:
-    head = f"""
-    WITH pts AS (
-      SELECT vec_id, gs.i - 1 AS dim, CAST(embedding[gs.i] AS DOUBLE) AS val
-      FROM embeddings, generate_series(1, {dims}) gs(i)
-    ),
-    c0 AS (
-      SELECT vec_id AS c, gs.i - 1 AS dim,
-             CAST(embedding[gs.i] AS DOUBLE) AS mu
-      FROM embeddings, generate_series(1, {dims}) gs(i) WHERE vec_id < {k}
-    )"""
-    steps = []
-    for t in range(1, iterations + 1):
-        steps.append(f""",
-    a{t} AS (
-      SELECT vec_id, c FROM (
-        SELECT p.vec_id, c.c,
-               ROW_NUMBER() OVER (
-                 PARTITION BY p.vec_id
-                 ORDER BY SUM((p.val - c.mu) * (p.val - c.mu)), c.c) AS rn
-        FROM pts p JOIN c{t - 1} c ON p.dim = c.dim
-        GROUP BY p.vec_id, c.c
-      ) WHERE rn = 1
-    )""")
-        if t < iterations:
-            steps.append(f""",
-    c{t} AS (
-      SELECT a.c, p.dim, AVG(p.val) AS mu
-      FROM pts p JOIN a{t} a ON p.vec_id = a.vec_id
-      GROUP BY a.c, p.dim
-    )""")
-    return (
-        head
-        + "".join(steps)
-        + f"""
-    SELECT vec_id, c AS cluster FROM a{iterations}
+    ctes, final = _kmeans_ctes(k, iterations, dims)
+    return f"""
+    WITH {ctes}
+    SELECT vec_id, c AS cluster FROM {final}
     """
-    )
 
 
 @register("kmeans_embeddings", _kmeans_oracle())
