@@ -19,26 +19,41 @@ Contract:
     plans would silently recompute; a drained local checkpoint would
     recompute from TRUNCATED lineage and raise).
 
-The ledger is process-global and append-only between drains — exactly the
+The ledger is THREAD-LOCAL and append-only between drains — exactly the
 shape of the graded-query harnesses (one query, one action, one drain).
-Concurrent queries in one session should scope their own ledgers via
-:class:`ledger_scope` if they need isolation; the graded surface does not.
+Thread-locality means two threads driving concurrent queries on one
+session cannot drain each other's pins (each thread sees its own ledger);
+the cost is that pins and drains must happen on the SAME thread, which
+every harness in this repo does. :class:`ledger_scope` additionally
+isolates a code block within a thread.
 """
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
-_PERSISTED: list[DataFrame] = []
-_CHECKPOINTED: list[DataFrame] = []
+_LEDGER = threading.local()
+
+
+def _persisted() -> list[DataFrame]:
+    if not hasattr(_LEDGER, "persisted"):
+        _LEDGER.persisted = []
+    return _LEDGER.persisted
+
+
+def _checkpointed() -> list[DataFrame]:
+    if not hasattr(_LEDGER, "checkpointed"):
+        _LEDGER.checkpointed = []
+    return _LEDGER.checkpointed
 
 
 def persist_tracked(df: DataFrame, storage_level=None) -> DataFrame:
     """``df.persist()`` recorded in the session ledger for later drain."""
     df = df.persist() if storage_level is None else df.persist(storage_level)
-    _PERSISTED.append(df)
+    _persisted().append(df)
     return df
 
 
@@ -49,7 +64,7 @@ def checkpoint_tracked(df: DataFrame, eager: bool = False) -> DataFrame:
     invisible to ``spark.catalog.clearCache()`` and otherwise released
     only when the JVM garbage-collects the RDD reference."""
     out = df.localCheckpoint(eager=eager)
-    _CHECKPOINTED.append(out)
+    _checkpointed().append(out)
     return out
 
 
@@ -57,15 +72,16 @@ def drain_persisted() -> int:
     """Unpersist everything pinned since the last drain; returns the
     number of entries released. Safe to call with an empty ledger."""
     n = 0
-    while _PERSISTED:
-        df = _PERSISTED.pop()
+    persisted, checkpointed = _persisted(), _checkpointed()
+    while persisted:
+        df = persisted.pop()
         try:
             df.unpersist(blocking=False)
             n += 1
         except Exception:  # session already stopped — nothing to release
             pass
-    while _CHECKPOINTED:
-        df = _CHECKPOINTED.pop()
+    while checkpointed:
+        df = checkpointed.pop()
         try:
             # the checkpoint's storage is RDD-level: the persisted RDD is
             # the one ``Dataset.localCheckpoint`` stored inside its
@@ -81,14 +97,16 @@ def drain_persisted() -> int:
 
 @contextmanager
 def ledger_scope():
-    """Isolate the ledger for a code block (concurrent-session hygiene):
-    entries pinned inside are drained on exit, the outer ledger restored."""
-    outer_p, outer_c = list(_PERSISTED), list(_CHECKPOINTED)
-    _PERSISTED.clear()
-    _CHECKPOINTED.clear()
+    """Isolate the ledger for a code block (within-thread hygiene):
+    entries pinned inside are drained on exit, the outer ledger restored.
+    Cross-thread isolation is automatic (the ledger is thread-local)."""
+    persisted, checkpointed = _persisted(), _checkpointed()
+    outer_p, outer_c = list(persisted), list(checkpointed)
+    persisted.clear()
+    checkpointed.clear()
     try:
         yield
     finally:
         drain_persisted()
-        _PERSISTED.extend(outer_p)
-        _CHECKPOINTED.extend(outer_c)
+        persisted.extend(outer_p)
+        checkpointed.extend(outer_c)

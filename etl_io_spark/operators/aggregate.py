@@ -709,6 +709,7 @@ def quantile_normalize(
     value_col: str,
     id_col: str,
     round_to: int = 6,
+    broadcast_global: bool = True,
 ) -> DataFrame:
     """Cross-group quantile normalization: replace each row's value with
     the GLOBAL distribution's value at the row's within-group quantile —
@@ -727,7 +728,11 @@ def quantile_normalize(
     rank-equi-join. The global sort is the honest cost of EXACT
     normalization and is flagged in PLANS.md; the 100 TB variant swaps
     the ranked global table for approx_percentile anchors at fixed
-    q-grid points (same join shape, no global sort).
+    q-grid points (same join shape, no global sort). The ranked global
+    table is N rows — force-broadcast by default (right for the typical
+    feature-column N), with ``broadcast_global=False`` to degrade to a
+    shuffle rank-join past the driver's broadcast budget (same
+    escape-hatch pattern as broadcast_docs/broadcast_ranks).
     """
     from pyspark.sql import Window as W
 
@@ -755,7 +760,9 @@ def quantile_normalize(
         "__gv",
         F.row_number().over(W.orderBy("__gv", "__gid")).alias("__grank"),
     )
-    return ranked.join(F.broadcast(global_sorted), "__grank").select(
+    if broadcast_global:
+        global_sorted = F.broadcast(global_sorted)
+    return ranked.join(global_sorted, "__grank").select(
         id_col,
         group_col,
         value_col,

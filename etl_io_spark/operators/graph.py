@@ -298,7 +298,8 @@ def shortest_hops(
     ``broadcast_frontier=False`` on graphs whose node set exceeds
     driver/executor broadcast budgets (billions of nodes) — the joins
     fall back to shuffle strategy and AQE picks the physical plan.
-    Frontier rounds are eagerly localCheckpoint-ed: each is ≤|V| rows,
+    Frontier rounds are lazily localCheckpoint-ed (materialized by the
+    next round's action): each is ≤|V| rows,
     consumed three times (output union, next expand, every later
     anti-join), and checkpointing keeps the nested-broadcast lineage
     from re-deriving earlier rounds.

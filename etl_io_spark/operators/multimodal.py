@@ -187,6 +187,11 @@ def perceptual_hash(
     decoder, so exact-duplicate payloads are guaranteed collisions under
     ``fake_decode`` too."""
     n_bits = hash_w * hash_h
+    if n_bits > 64:
+        raise ValueError(
+            f"perceptual_hash packs bits into one int64: hash_w*hash_h "
+            f"must be <= 64, got {hash_w}x{hash_h}={n_bits}"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -168,7 +168,9 @@ def temporal_join(
     """Point-in-time dimension join (the READ side of SCD2 at fact
     granularity): each fact row picks the dimension version whose
     validity interval contains its timestamp —
-    ``fact.key = dim.key AND valid_from <= fact.ts < valid_to``.
+    ``fact.key = dim.key AND valid_from <= fact.ts < valid_to``, with a
+    NULL ``valid_to`` treated as open-ended (the current version, as
+    ``scd2_merge`` emits and ``scd2_snapshot_at`` reads it).
 
     The physical plan is a plain EQUI-join on the key with the interval
     predicate as a post-join filter: per fact row the pre-filter match
@@ -186,9 +188,12 @@ def temporal_join(
     for c in d.columns:
         if c == key:
             d = d.withColumnRenamed(c, f"__dim_{c}")
+    # NULL valid_to is an OPEN row (scd2_merge emits them; matches
+    # scd2_snapshot_at) — a bare `ts < valid_to` would be NULL for the
+    # current version and silently drop/null-extend its facts
     cond = (
         (fact[ts_col] >= d[valid_from])
-        & (fact[ts_col] < d[valid_to])
+        & (d[valid_to].isNull() | (fact[ts_col] < d[valid_to]))
         & (fact[key] == d[f"__dim_{key}"])
     )
     return fact.join(d, cond, how).drop(f"__dim_{key}")

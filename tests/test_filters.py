@@ -358,6 +358,25 @@ def test_temporal_join_picks_valid_version(spark):
     assert any(r["seg"] is None for r in left)
 
 
+def test_temporal_join_null_valid_to_is_open(spark):
+    # scd2_merge emits the CURRENT version with valid_to=NULL — facts in
+    # that interval must match (ADVICE r4: bare ts < NULL dropped them)
+    import datetime as dt
+
+    from etl_io_spark.operators import scd
+
+    d = dt.datetime
+    dim = spark.createDataFrame(
+        [
+            Row(k=1, seg="old", valid_from=d(2020, 1, 1), valid_to=d(2022, 1, 1)),
+            Row(k=1, seg="cur", valid_from=d(2022, 1, 1), valid_to=None),
+        ]
+    )
+    fact = spark.createDataFrame([Row(k=1, ts=d(2023, 6, 1), v=1.0)])
+    inner = scd.temporal_join(fact, dim, "k", "ts").collect()
+    assert len(inner) == 1 and inner[0]["seg"] == "cur"
+
+
 # -------------------------------------------------- quantile normalize
 def test_quantile_normalize_aligns_marginals(spark):
     from etl_io_spark.operators import aggregate as agg
@@ -378,3 +397,34 @@ def test_quantile_normalize_aligns_marginals(spark):
     assert [r["normalized_value"] for r in a] == sorted(
         r["normalized_value"] for r in a
     )
+
+
+def test_quantile_normalize_shuffle_fallback_matches_broadcast(spark):
+    from etl_io_spark.operators import aggregate as agg
+
+    rows = [Row(id=i, g="a", v=float(i * 3 % 7)) for i in range(12)] + [
+        Row(id=50 + i, g="b", v=float(i)) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows)
+    bc = sorted(map(tuple, agg.quantile_normalize(df, "g", "v", "id").collect()))
+    sh = sorted(
+        map(
+            tuple,
+            agg.quantile_normalize(
+                df, "g", "v", "id", broadcast_global=False
+            ).collect(),
+        )
+    )
+    assert bc == sh
+
+
+def test_perceptual_hash_rejects_over_64_bits(spark):
+    import pytest
+
+    from etl_io_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [Row(media_id=1, data=bytearray(b"xy"), width=4, height=4)]
+    )
+    with pytest.raises(ValueError, match="<= 64"):
+        mm.perceptual_hash(media, hash_w=9, hash_h=9)
