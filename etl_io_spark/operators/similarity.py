@@ -928,23 +928,35 @@ def power_iteration_top_pc(
     that component — the usual eigenvector sign convention, and
     engine-deterministic).
 
-    Plan: long-form explode → one self-join Gram aggregation (dims² rows
-    — 4096 at dim 64; at corpus scale swap in the Arrow-BLAS
-    ``distributed_gram`` and keep the same iteration tail) → each
-    iteration is one broadcast join + one dim-keyed partial aggregation
-    over dims² rows, a fixed finite plan any SQL engine can unroll. v₀ is
+    Plan (fused, round-5): the Gram accumulates MAP-SIDE — a double
+    posexplode emits each row's rank-1 outer product (dims² terms per
+    row) straight into a partial aggregation, so the only
+    corpus-proportional work never shuffles (the old self-join moved
+    2·N·dims rows through an __id exchange); the shuffled volume is
+    dims²·partitions partials. The dims²-row Gram is then repartitioned
+    ONCE on d1 and persisted: every matvec round is a broadcast of the
+    dims-row vector + a d1-keyed aggregation that reuses that
+    partitioning — ZERO per-round shuffle exchanges (the HITS/LPA
+    fusion treatment). At corpus scale swap in the Arrow-BLAS
+    ``distributed_gram`` and keep the same iteration tail. v₀ is
     all-ones, so iteration 1 folds into a row sum.
     """
-    pts = spread(emb).select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(F.col(vec_col)).alias("__d", "__x"),
-    ).select("__id", "__d", F.col("__x").cast("double").alias("__x"))
-    a = pts.select("__id", F.col("__d").alias("d1"), F.col("__x").alias("x1"))
-    b = pts.select("__id", F.col("__d").alias("d2"), F.col("__x").alias("x2"))
+    outer = (
+        spread(emb)
+        .select(
+            F.posexplode(F.col(vec_col)).alias("d1", "__x1"),
+            F.col(vec_col).alias("__v"),
+        )
+        .select(
+            "d1",
+            F.col("__x1").cast("double").alias("x1"),
+            F.posexplode(F.col("__v")).alias("d2", "__x2"),
+        )
+    )
     gram = persist_tracked(
-        a.join(b, "__id")
-        .groupBy("d1", "d2")
-        .agg(F.sum(F.col("x1") * F.col("x2")).alias("g"))
+        outer.groupBy("d1", "d2")
+        .agg(F.sum(F.col("x1") * F.col("__x2").cast("double")).alias("g"))
+        .repartition(F.col("d1"))
     )
     # v0 = 1 for every dim -> first matvec is a plain row-sum
     v = gram.groupBy("d1").agg(F.sum("g").alias("v")).select(
