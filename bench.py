@@ -3,10 +3,17 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Protocol: one shared SparkSession (startup excluded — the driver grades query
-throughput, not JVM boot), each query timed to full materialization via a
-count-ish action that forces every operator. Headline set spans scan/filter,
-join, agg, window, pivot, events windowing and the north-star extensions.
+Protocol: one shared SparkSession (startup excluded — the driver grades
+query throughput, not JVM boot); per key, MEDIAN OF 3 fresh-plan runs
+(early-stop once a run passes SLOW_CUTOFF_S — long runs self-amortize
+warmup noise), each run timed to full materialization via the noop sink
+and followed by an untimed cache drain. Same protocol as
+tools/baseline.py, so BENCH_rN rows are comparable to BASELINE.md rows:
+single-run suites mis-attributed suite-position noise to plans
+(pricing_summary read 0.74 s isolated vs 2.38 s in-suite in round 4
+with an unchanged plan). The headline value is the sum of per-key
+medians. Headline set spans scan/filter, join, agg, window, pivot,
+events windowing and the north-star extensions.
 """
 
 from __future__ import annotations
@@ -186,21 +193,33 @@ def main() -> None:
         ).save()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    slow_cutoff = float(os.environ.get("BENCH_SLOW_CUTOFF", "20"))
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        df = qs[name](spark, SF_DIR)
-        t0 = time.perf_counter()
-        # noop sink forces full evaluation of every output column —
-        # a count() would let Catalyst prune the projections being timed.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # drop caches a query materialized (untimed): later queries should
-        # neither pay GC pressure for them nor reuse them; the drain also
-        # releases localCheckpoint RDD storage, invisible to clearCache.
-        caching.drain_persisted()
-        spark.catalog.clearCache()
+        times = []
+        for i in range(runs):
+            # FRESH plan per run — re-executing one DataFrame object
+            # reuses its shuffle-stage outputs and skips whole stages
+            # (see tools/baseline.py _warm)
+            df = qs[name](spark, SF_DIR)
+            t0 = time.perf_counter()
+            # noop sink forces full evaluation of every output column —
+            # a count() would let Catalyst prune the projections being
+            # timed.
+            df.write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+            # drop caches the run materialized (untimed): repeats and
+            # later queries should neither pay GC pressure for them nor
+            # reuse them; the drain also releases localCheckpoint RDD
+            # storage, invisible to clearCache.
+            caching.drain_persisted()
+            spark.catalog.clearCache()
+            if times[-1] > slow_cutoff:
+                break
+        timings[name] = round(sorted(times)[len(times) // 2], 3)
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full per-query table for the judge (BASELINE.md cross-reference).
