@@ -373,6 +373,7 @@ def neardup_pairs_cosine_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Exact all-pairs cosine near-dup via blocked BLAS: each partition's
     vectors multiply against a broadcast corpus matrix (numpy matmul in an
@@ -381,10 +382,13 @@ def neardup_pairs_cosine_blocked(
 
     Scale contract: the RIGHT side (the broadcast matrix) must fit in
     executor memory — at 64-dim float64 that is ~0.5 GiB per million
-    vectors, so this is the right tool up to tens of millions of vectors;
-    beyond that, chunk the right side or use the LSH-bucketed
-    ``neardup_pairs_cosine`` path. The left side streams through
-    partitions unbounded.
+    vectors, so this is the right tool up to a few million vectors.
+    The corpus is COUNTED first and anything above ``max_broadcast_rows``
+    automatically dispatches to :func:`neardup_pairs_cosine_blockpair`
+    (identical output contract, no driver collect, no corpus broadcast)
+    instead of relying on the caller having read this docstring — the
+    gate costs one count() of a two-column projection. The left side
+    streams through partitions unbounded.
 
     Rounding parity: the raw dot is emitted with a small epsilon margin
     and the final ROUND + threshold filter happen as Catalyst expressions
@@ -394,7 +398,16 @@ def neardup_pairs_cosine_blocked(
     import pandas as pd
 
     sc = emb.sparkSession.sparkContext
-    pdf = emb.select(id_col, vec_col).toPandas()
+    slim = emb.select(id_col, vec_col)
+    if slim.count() > max_broadcast_rows:
+        return neardup_pairs_cosine_blockpair(
+            emb,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_to=round_to,
+        )
+    pdf = slim.toPandas()
     ids_all = pdf[id_col].to_numpy()
     mat_all = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
     b = sc.broadcast((ids_all, mat_all))
