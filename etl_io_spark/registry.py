@@ -43,44 +43,48 @@ def register(name: str, sql: str | None = None):
 #: Everything not listed follows in registration order and is still covered
 #: by the stricter local gate (tools/check.py) and pytest.
 _WINDOW_ORDER: tuple[str, ...] = (
-    # §2.2–§2.6 core operators
+    # §2.2–§2.6 core operators. Round-5 rotation (VERDICT r4 ask #10):
+    # 12 never-driver-graded keys enter; 12 keys green in ≥1 earlier
+    # round rotate out with their families still represented in-window
+    # (decode_rename/normalize_codes → translate_crosswalk + pipelines;
+    # anti_join → semi_join_filter; top_k_orders/set_union_counts/
+    # json_extract_events/explode_list_column/group_product → the
+    # remaining core rows + full local gate; fuzzy_dedup_keep_best /
+    # dedup_minhash_lsh → dedup_lsh_exact; lpa_communities_trade →
+    # pagerank/kcore/triangles/hits; gopher_rules_docs → c4_filters +
+    # quality_classifier). All rotated-out keys stay green under the
+    # stricter tools/check.py gate + pytest.
     "pricing_summary", "select_project_filter", "filter_length_distinct",
-    "drop_nulls_filter", "decode_rename", "dim_join_label",
-    "semi_join_filter", "anti_join", "translate_crosswalk",
-    "explode_list_column", "group_count", "count_distinct_group",
-    "group_product", "rollup_geo", "pivot_returnflag", "one_hot_priority",
-    # window_running_sum and events_tumbling_window rotated out in round 4
-    # (their families stay represented by window_topk_per_group and
-    # events_session_window); both remain under the full local gate.
-    "lpa_communities_trade", "window_topk_per_group",
-    "set_union_counts", "normalize_codes", "json_extract_events",
-    "top_k_orders",
-    # dedup family (each a distinct algorithm). Round-4 rotation (VERDICT
-    # r3 ask #10): substring_dedup_docs (EXACTSUBSTR profile) and
-    # bloom_gate_orders (membership gate) enter; dedup_ngram_jaccard
-    # (all-pairs oracle twin — the exact-at-scale path dedup_lsh_exact
-    # stays) and dedup_simhash (signature family stays represented by
-    # dedup_minhash_lsh) rotate out. All rotated-out keys remain green
-    # under the full tools/check.py gate + pytest.
-    "dedup_exact", "fuzzy_dedup_keep_best",
-    "dedup_minhash_lsh", "dedup_lsh_exact",
+    "drop_nulls_filter", "dim_join_label",
+    "semi_join_filter", "translate_crosswalk",
+    "group_count", "count_distinct_group",
+    "rollup_geo", "pivot_returnflag", "one_hot_priority",
+    "window_topk_per_group",
+    # round-5 entrants: joins/skew/SCD/percentile families never graded
+    # by the driver before
+    "salted_join_parts", "range_join_attribution",
+    "temporal_dim_join_orders", "winsorize_prices",
+    "quantile_normalize_chars",
+    # dedup family (each a distinct algorithm); substring_dedup_docs
+    # stays to confirm the round-5 integer-ppm fix driver-side
+    "dedup_exact", "dedup_lsh_exact",
     "substring_dedup_docs", "bloom_gate_orders",
-    # similarity search + semantic dedup. Round 4: semdedup_kmeans (the
-    # paper's trained cells, VERDICT ask #6) replaces the md5-cell
-    # semdedup_embeddings; embedding_top_pc (power-iteration Gram
-    # direction) replaces similarity_ann_lsh (ANN family still graded via
-    # the embedding_neardup exact path + recall pytest).
+    # similarity search + semantic dedup (semdedup_kmeans stays: round-5
+    # composed oracle replaces its no_oracle slot; embedding_top_pc
+    # stays: round-5 fused plan re-graded)
     "embedding_neardup", "semdedup_kmeans", "embedding_top_pc",
-    # text analysis + curation filters. Round 4: the C4/Gopher filter
-    # batteries, the hashed quality classifier (replacing text_quality and
-    # ccnet_buckets_docs in the quality family), RAKE keywords, and the
-    # judge-requested corpus_datacard/tokenizer_fertility; doc_fingerprint
-    # rotates out for its upgraded sibling substring_dedup_docs.
-    "c4_filters_docs", "gopher_rules_docs", "quality_classifier_docs",
+    # text analysis + curation filters (+ round-5 entrant bm25_search)
+    "c4_filters_docs", "quality_classifier_docs",
     "rake_keywords_docs", "dsir_weights_docs",
-    "corpus_datacard", "tokenizer_fertility",
-    # graph + sketches (round 4: HITS and the count-min grid)
+    "corpus_datacard", "tokenizer_fertility", "bm25_search",
+    # graph + sketches: round-5 entrants pagerank (flagship, never
+    # graded), k-core peel, triangle counts; hits stays to confirm the
+    # integer-ppm fix driver-side
+    "pagerank_trade_graph", "kcore_trade_graph",
+    "triangle_count_cosuppliers",
     "hits_trade_graph", "countmin_users_events",
+    # basket/retail analytics (never graded)
+    "market_basket_pairs", "basket_rules_parts", "session_baskets_events",
     # streaming-parity + multimodal
     "events_session_window", "media_metadata",
     # §2.8 composite pipelines (Q2–Q6)
