@@ -58,9 +58,18 @@ def pagerank(
     """
     # the edge list is typically derived (joins + distinct upstream) and is
     # referenced by nodes, outdeg, fan AND every iteration's rank join —
-    # persist it so the derivation runs once, not once per reference
+    # persist it so the derivation runs once, not once per reference.
+    # coalesce to the shuffle parallelism first: symmetrize unions two
+    # map-side projections of the distinct relation, leaving 2-4x
+    # shuffle.partitions tiny partitions in the cache, and every one of
+    # the 3+ downstream passes over the cache then pays a task wave per
+    # 32 partitions (measured 2x on the whole setup at sf0.1)
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     e = persist_tracked(
         edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+        .coalesce(n_shuffle)
     )
     # ``assume_symmetric``: the caller guarantees every node appears as a
     # src (true for symmetrize() output) — distinct(src) is then the node
@@ -480,10 +489,19 @@ def degree_assortativity(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .transform(persist_tracked)  # consumed by both union branches × three consumers
     )
-    both = canon.select("a", "b").unionAll(
-        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    # persist the doubled-endpoint view (not canon): it is what both
+    # downstream passes (degree agg, endpoint join) actually scan, the
+    # union's two branches then run the distinct once instead of twice,
+    # and coalescing to the shuffle parallelism keeps the cache at one
+    # task wave per pass (the union would otherwise double it)
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    both = persist_tracked(
+        canon.select("a", "b")
+        .unionAll(canon.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .coalesce(n_shuffle)
     )
     # |V|-row table consumed three times (two endpoint joins + the node
     # count) — persist it or each consumer re-runs the union + agg
