@@ -151,6 +151,7 @@ HEADLINE = [
     "target_encode_orders",
     "dedup_jaccard_prefix",
     "basket_rules_parts",
+    "triangle_count_cosuppliers",
     "session_entry_exit",
     "temporal_dim_join_orders",
     "quantile_normalize_chars",
