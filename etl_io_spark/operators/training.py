@@ -400,19 +400,20 @@ def dsir_logratio(
     ``(id, n_features, dsir_logratio)``; docs with no tokens are absent.
 
     Shape: one map-side feature explode (tokens + zip_with bigrams — no
-    self-join) feeds ONE bucket-count partial agg (raw and target
-    counted together via a conditional count) whose output is
-    ``buckets``-sized. The SCORE pass never shuffles or joins at all
-    (round-5): the per-bucket log-ratios collapse into a single
-    ``buckets``-length array (one 1-row broadcast), and each document
-    folds ``Σ lr[bucket(f)]`` over its own feature array with
-    ``aggregate`` + ``element_at`` — pure whole-stage-codegen map work.
-    The feature stream is evaluated twice (count pass + score pass) —
-    recomputing beats persisting a corpus-proportional relation (A/B
-    measured this round: the persisted-histogram variant was 1.5×
-    slower); everything else is bounded by the bucket count. The
-    feature hash is the md5-derived ``hash60`` so the DuckDB oracle
-    reproduces every bucket exactly.
+    self-join), ONE bucket-count partial agg (raw and target counted
+    together via a conditional count) whose output is ``buckets``-sized,
+    a broadcast ratio join back onto the feature stream, one per-doc
+    partial agg. The feature stream is evaluated twice (count pass +
+    score pass); two restructurings were A/B-measured and REJECTED in
+    round 5 (interleaved median-of-5 at sf0.1): persisting a per-doc
+    bucket histogram (1.5× slower — forces a full-stream shuffle the
+    exploded plan never pays) and scoring map-side via a broadcast
+    lr-array folded with ``aggregate``/``element_at`` (12% slower —
+    higher-order-function lambdas evaluate interpreted, outside
+    whole-stage codegen, while the exploded join stays codegen'd).
+    Recomputing the explode beats both; everything after it is bounded
+    by the bucket count. The feature hash is the md5-derived ``hash60``
+    so the DuckDB oracle reproduces every bucket exactly.
     """
     toks = tokens(text_col)
     bigrams = F.zip_with(
@@ -443,56 +444,27 @@ def dsir_logratio(
         F.coalesce(F.sum("__cr"), F.lit(0)).alias("__nr"),
         F.coalesce(F.sum("__ct"), F.lit(0)).alias("__nt"),
     )
-    # a bucket spine keeps POSITIONS aligned for the array lookup below:
-    # empty buckets still get an (unused) smoothed lr so lr_arr[i] is the
-    # ratio of bucket i for every i in [0, buckets)
-    spine = df.sparkSession.range(buckets).select(
-        F.col("id").alias("__bk")
-    )
-    ratio = (
-        spine.join(counts, "__bk", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "__bk",
-            F.log(
-                (
-                    (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("__nt") + F.lit(float(buckets)))
-                )
-                / (
-                    (F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("__nr") + F.lit(float(buckets)))
-                )
-            ).alias("__lr"),
-        )
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "__bk",
+        F.log(
+            (
+                (F.col("__ct") + F.lit(1.0))
+                / (F.col("__nt") + F.lit(float(buckets)))
+            )
+            / (
+                (F.col("__cr") + F.lit(1.0))
+                / (F.col("__nr") + F.lit(float(buckets)))
+            )
+        ).alias("__lr"),
     )
     from etl_io_spark.functions.numeric import round_pz
 
-    # collapse the per-bucket ratios into ONE buckets-length array (a
-    # 1-row broadcast); each doc then scores itself map-side by folding
-    # lr[bucket(f)] over its own feature array — no join, no shuffle,
-    # no second explode on the score path
-    lr_arr = ratio.sort("__bk").agg(F.collect_list("__lr").alias("__lrs"))
-    bks = F.transform(
-        F.concat(F.col("__u"), F.col("__b")),
-        lambda f: (hash60(f) % buckets).cast("int"),
-    )
     return (
-        base.select(F.col(id_col), bks.alias("__bks"))
-        .where(F.size("__bks") > 0)
-        .crossJoin(F.broadcast(lr_arr))
-        .select(
-            id_col,
-            F.size("__bks").cast("bigint").alias("n_features"),
-            round_pz(
-                F.aggregate(
-                    "__bks",
-                    F.lit(0.0),
-                    lambda acc, x: acc + F.element_at("__lrs", x + 1),
-                )
-                / F.size("__bks"),
-                round_to,
-            ).alias("dsir_logratio"),
+        feats.join(F.broadcast(ratio), "__bk")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            round_pz(F.avg("__lr"), round_to).alias("dsir_logratio"),
         )
     )
 
