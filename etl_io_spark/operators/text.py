@@ -1033,71 +1033,58 @@ def rake_keywords(
     trick as filters.quality_classifier). Ranking ties break on the
     phrase string.
 
-    Plan: one positional token explode; phrase ids are a per-doc running
-    count of stopword separators (ONE doc-keyed window); word stats are
-    one word-keyed groupBy; phrase assembly is one (doc, phrase) groupBy
-    with in-array position sort; the final top-k is a TakeOrdered over
-    the phrase aggregate (bounded by distinct phrases, already
-    corpus-collapsed). All expression-level — no UDFs.
+    Plan (windowless, round-5): phrase segmentation happens entirely
+    MAP-SIDE in array/string expressions — stopwords in the lowered
+    token array become a sentinel, ``array_join`` + ``split`` on the
+    sentinel yields each document's phrase list, and one posexplode
+    emits (phrase_index, phrase) rows. The previous formulation ran TWO
+    doc-keyed window functions (a running stopword count and a phrase
+    length), which forced a full shuffle+sort of every token row; this
+    plan's only corpus-proportional shuffles are the vocab-sized word
+    aggregation and the (doc, phrase) score aggregation. The per-phrase
+    word relation is pinned — it feeds both the word stats and the
+    scoring join. All expression-level — no UDFs.
     """
     from pyspark.sql import Window as W
 
-    toked = spread_text(df).select(
+    stop_lower = [w.lower() for w in stopwords]
+    toks = tokens(text_col)
+    sent = F.transform(
+        toks,
+        lambda t: F.when(
+            F.lower(t).isin(*stop_lower), F.lit("\x01")
+        ).otherwise(F.lower(t)),
+    )
+    phrases_arr = F.filter(
+        F.split(F.array_join(sent, " "), "\\s*\x01\\s*"),
+        lambda p: p != F.lit(""),
+    )
+    occ = spread_text(df).select(
         F.col(id_col).alias("__doc"),
-        F.posexplode(tokens(text_col)).alias("__pos", "__tok"),
-    ).select(
-        "__doc", "__pos", F.lower(F.col("__tok")).alias("__w")
+        F.posexplode(phrases_arr).alias("__pid", "__phrase"),
     )
-    is_stop = F.col("__w").isin(*[w.lower() for w in stopwords])
-    marked = toked.select(
-        "__doc",
-        "__pos",
-        "__w",
-        F.sum(is_stop.cast("int"))
-        .over(W.partitionBy("__doc").orderBy("__pos"))
-        .alias("__pid"),
-        is_stop.alias("__stop"),
+    pw = persist_tracked(
+        occ.select(
+            "__doc", "__pid", "__phrase", F.split("__phrase", " ").alias("__wa")
+        ).select(
+            "__doc",
+            "__pid",
+            "__phrase",
+            F.size("__wa").alias("__plen"),
+            F.explode("__wa").alias("__w"),
+        )
     )
-    words = marked.where(~F.col("__stop"))
-    # phrase length rides a second window on the SAME (doc) partitioning.
-    # ``sized`` feeds BOTH the word-stats aggregation and the scoring
-    # join — pin it, or the tokenize→explode→window chain runs twice
-    sized = words.select(
-        "__doc",
-        "__pid",
-        "__pos",
-        "__w",
-        F.count(F.lit(1))
-        .over(W.partitionBy("__doc", "__pid"))
-        .alias("__plen"),
-    )
-    sized = persist_tracked(sized)
-    stats = sized.groupBy("__w").agg(
+    stats = pw.groupBy("__w").agg(
         F.count(F.lit(1)).alias("__freq"),
         F.sum("__plen").alias("__deg"),
     )
     # integer milli-score: exact in any engine (floor division). stats is
-    # vocab-sized — broadcast it, so after the one doc-keyed window
-    # exchange everything through phrase assembly stays map-side
-    # (HashPartitioning(doc) satisfies the (doc, pid) grouping too)
-    scored = sized.join(F.broadcast(stats), "__w").select(
-        "__doc",
-        "__pid",
-        "__pos",
-        "__w",
-        F.expr("div(__deg * 1000, __freq)").alias("__ws"),
-    )
-    phrases = scored.groupBy("__doc", "__pid").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("__pos", "__w"))
-                ),
-                lambda e: e["__w"],
-            ),
-        ).alias("phrase"),
-        F.sum("__ws").alias("__ps"),
+    # vocab-sized — broadcast it, so scoring is map-side into one
+    # (doc, phrase) aggregation
+    phrases = (
+        pw.join(F.broadcast(stats), "__w")
+        .groupBy("__doc", "__pid", F.col("__phrase").alias("phrase"))
+        .agg(F.sum(F.expr("div(__deg * 1000, __freq)")).alias("__ps"))
     )
     ranked = phrases.groupBy("phrase").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
