@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entry
+from etl_io_spark import caching
 
 SF = "/root/testdata/sf0.001"
 
@@ -346,3 +347,53 @@ def test_prefix_jaccard_beats_all_pairs_on_boilerplate(spark):
 
     assert prefix_pairs == all_pairs and len(prefix_pairs) > 0
     assert t_prefix <= t_all, (t_prefix, t_all)
+
+
+def test_rake_plan_has_no_window_sort(spark):
+    """Round-5 rewrite guard: RAKE's phrase segmentation is map-side
+    (sentinel + array_join + split), so the plan must contain NO Window
+    node and at most 3 runtime shuffle stages (word stats, phrase-score
+    agg, final dedup-agg) — the old formulation ran two doc-keyed window
+    sorts over every token row."""
+    from pyspark.sql import Row
+
+    from etl_io_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox is a very lazy dog"),
+            Row(doc_id=2, text="quick brown fox and lazy dog again"),
+        ]
+    )
+    out = t.rake_keywords(docs, "doc_id", "text", top_k=5)
+    rows = out.collect()
+    plan = _df_plan(out)
+    # the final top-k row_number window over the tiny phrase aggregate is
+    # allowed (and may re-print in the adaptive plan); what must be GONE
+    # is any window PARTITIONED BY the doc — the old running-stopword
+    # and phrase-length windows
+    assert "windowspecdefinition(__doc" not in plan, plan
+    assert len(rows) > 0
+    caching.drain_persisted()
+
+
+def test_pagerank_edge_cache_partitions_bounded(spark):
+    """Round-5 guard: the persisted symmetrized edge list must be
+    coalesced to the shuffle parallelism — the old code persisted the
+    union at its UPSTREAM partition count (2-4x shuffle.partitions tiny
+    partitions), and every pass over the cache then paid a task wave
+    per core-count. Feed pagerank edges pre-repartitioned to 150
+    partitions and assert no persisted RDD keeps that count."""
+    from etl_io_spark.operators import graph
+
+    edges = _graph_edges(spark).repartition(150)
+    sym = graph.symmetrize(edges.select("src", "dst"))
+    ranks = graph.pagerank(sym, iterations=2)
+    ranks.collect()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    counts = []
+    it = jmap.entrySet().iterator()
+    while it.hasNext():
+        counts.append(it.next().getValue().getNumPartitions())
+    caching.drain_persisted()
+    assert counts and max(counts) < 150, counts
