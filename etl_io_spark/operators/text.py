@@ -147,8 +147,10 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     score = quality_score_expr(text_col)
     return spread(df).select(
         F.col(id_col),
-        F.length(text_col).alias("n_chars"),
-        n_words.alias("n_words"),
+        # bigint, matching SQL engines' LENGTH/len types — keeps the
+        # compared schema drift-free for type-aware value hashing
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        n_words.cast("bigint").alias("n_words"),
         F.round(mean_wlen, 4).alias("mean_word_len"),
         F.round(punct_ratio(text_col), 4).alias("punct_ratio"),
         F.round(stopword_ratio(text_col), 4).alias("stopword_ratio"),

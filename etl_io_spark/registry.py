@@ -1343,9 +1343,10 @@ _SW_ALT = "|".join(text.STOPWORDS)
            ROUND(mean_word_len, 4) AS mean_word_len,
            ROUND(punct_ratio, 4) AS punct_ratio,
            ROUND(stopword_ratio, 4) AS stopword_ratio,
-           ROUND((CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+           ROUND(CAST((CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
                  + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
-                 + (CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END), 2)
+                 + (CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END)
+                 AS DOUBLE), 2)
              AS quality_score
     FROM f
     """,
