@@ -797,9 +797,13 @@ def segment_dedup(
 def _band_key_rows(
     sig: DataFrame, id_col: str, num_perm: int, bands: int
 ) -> DataFrame:
-    """(id, band, bkey) rows from a wide signature table: band key = md5
-    of the ordered in-band minhashes — the same construction (and exact
-    bytes) as minhash_lsh_candidates, factored for reuse."""
+    """(id, ..., sig, band, bkey) rows from a wide signature table: band
+    key = md5 of the ordered in-band minhashes — the same construction
+    (and exact bytes) as minhash_lsh_candidates, factored for reuse. The
+    signature (and any extra columns) ride along so consumers can score
+    candidates inline at the band join without recomputing signatures;
+    Catalyst prunes them for consumers that only project (id, band,
+    bkey)."""
     rows_per_band = num_perm // bands
     band_structs = F.array(
         *[
@@ -820,8 +824,15 @@ def _band_key_rows(
             for b in range(bands)
         ]
     )
-    return sig.select(id_col, F.explode(band_structs).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    keep = [c for c in sig.columns if c not in (id_col, "sig")]
+    return sig.select(
+        id_col, *keep, "sig", F.explode(band_structs).alias("bk")
+    ).select(
+        id_col,
+        *keep,
+        "sig",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bkey").alias("bkey"),
     )
 
 
