@@ -274,17 +274,27 @@ def test_pagerank_runs_constant_shuffles(spark):
     assert b6 - b4 == 2  # exactly one broadcast per extra iteration
 
 
-def test_triangle_wedge_stage_is_broadcast(spark):
-    """With broadcast_edges (default), the O(m^1.5) wedge stream must be
-    generated and closure-checked via broadcast joins — no
-    hashpartitioning exchange keyed on the wedge (u, v) pair."""
+def test_triangle_count_is_map_side_intersection(spark):
+    """With broadcast_edges (default), triangle counting is the forward
+    algorithm over broadcast adjacency arrays: the edge pass joins the
+    adjacency table via BroadcastHashJoin and the O(m^1.5) wedge work
+    happens inside array_intersect — the plan must contain NO wedge-pair
+    exchange and no row-multiplying self-join of the oriented edges
+    (the only allowed shuffles are the adjacency groupBy and the final
+    1-row aggregates)."""
     from etl_io_spark.operators import graph
 
     out = graph.triangle_stats(_graph_edges(spark))
-    plan = _df_plan(out)
-    assert "Exchange hashpartitioning(u" not in plan
     r = out.collect()[0]
+    plan = _df_plan(out)
+    assert "array_intersect" in plan
+    assert "LeftSemi" not in plan  # the closure semi-join is gone
+    # the oriented edge list must not self-join into a wedge row stream
+    assert "Exchange hashpartitioning(u#" not in plan or plan.count(
+        "BroadcastHashJoin"
+    ) >= 2  # adjacency joins broadcast; only the groupBy(u) exchanges
     assert r["n_triangles"] >= 0 and r["n_nodes"] == 200
+    caching.drain_persisted()
 
 
 def test_prefix_jaccard_beats_all_pairs_on_boilerplate(spark):
