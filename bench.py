@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -220,7 +221,10 @@ def main() -> None:
             spark.catalog.clearCache()
             if times[-1] > slow_cutoff:
                 break
-        timings[name] = round(sorted(times)[len(times) // 2], 3)
+        # statistics.median averages the middle pair when the early-stop
+        # leaves an even-length sample (a slow run 2 breaks the loop);
+        # the old sorted()[n//2] picked the SLOWEST of two runs there.
+        timings[name] = round(statistics.median(times), 3)
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full per-query table for the judge (BASELINE.md cross-reference).

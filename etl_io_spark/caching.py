@@ -37,17 +37,32 @@ from pyspark.sql import DataFrame
 
 _LEDGER = threading.local()
 
+#: Strong registry of every thread's ledger lists, so a teardown path can
+#: release pins made by threads that never drained (e.g. a foreachBatch
+#: worker that died mid-query). Strong on purpose: if the lists were only
+#: reachable through the dead thread's ``threading.local`` slot they would
+#: be garbage-collected Python-side while the JVM blocks stayed pinned —
+#: exactly the leak :func:`drain_all` exists to fix. The lists are tiny
+#: and emptied by every drain, so the registry holds no data at rest.
+_ALL_LEDGERS: list[tuple[list[DataFrame], list[DataFrame]]] = []
+_ALL_LEDGERS_LOCK = threading.Lock()
 
-def _persisted() -> list[DataFrame]:
+
+def _lists() -> tuple[list[DataFrame], list[DataFrame]]:
     if not hasattr(_LEDGER, "persisted"):
         _LEDGER.persisted = []
-    return _LEDGER.persisted
+        _LEDGER.checkpointed = []
+        with _ALL_LEDGERS_LOCK:
+            _ALL_LEDGERS.append((_LEDGER.persisted, _LEDGER.checkpointed))
+    return _LEDGER.persisted, _LEDGER.checkpointed
+
+
+def _persisted() -> list[DataFrame]:
+    return _lists()[0]
 
 
 def _checkpointed() -> list[DataFrame]:
-    if not hasattr(_LEDGER, "checkpointed"):
-        _LEDGER.checkpointed = []
-    return _LEDGER.checkpointed
+    return _lists()[1]
 
 
 def persist_tracked(df: DataFrame, storage_level=None) -> DataFrame:
@@ -69,10 +84,27 @@ def checkpoint_tracked(df: DataFrame, eager: bool = False) -> DataFrame:
 
 
 def drain_persisted() -> int:
-    """Unpersist everything pinned since the last drain; returns the
-    number of entries released. Safe to call with an empty ledger."""
+    """Unpersist everything pinned since the last drain on THIS thread;
+    returns the number of entries released. Safe on an empty ledger."""
+    return _drain(*_lists())
+
+
+def drain_all() -> int:
+    """Teardown-path drain: release pins from EVERY thread's ledger,
+    including threads that died without draining (whose JVM blocks would
+    otherwise stay pinned for the process lifetime). Only call when no
+    other thread is mid-query — a concurrent thread's pinned plan would
+    silently recompute (or, for local checkpoints, raise) afterwards."""
     n = 0
-    persisted, checkpointed = _persisted(), _checkpointed()
+    with _ALL_LEDGERS_LOCK:
+        ledgers = list(_ALL_LEDGERS)
+    for persisted, checkpointed in ledgers:
+        n += _drain(persisted, checkpointed)
+    return n
+
+
+def _drain(persisted: list[DataFrame], checkpointed: list[DataFrame]) -> int:
+    n = 0
     while persisted:
         df = persisted.pop()
         try:

@@ -29,9 +29,22 @@ def ppm_floor(num: str, den: str) -> Column:
     ``num*1e6 div den`` wraps past ~9.2e12, which real HITS scores
     exceed). SQL oracles can instead compute the same value with a
     HUGEINT/DECIMAL widening — both are the exact mathematical floor,
-    so they agree bit-for-bit. Takes column NAMES (builds a SQL expr);
-    both inputs must already be BIGINT."""
-    n, d = f"({num})", f"({den})"
+    so they agree bit-for-bit. Takes column NAMES or SQL expressions
+    (builds a SQL expr); bare identifiers are backtick-quoted so names
+    with spaces/dots survive, and both sides are explicitly CAST to
+    BIGINT so 32-bit inputs can't overflow the staged ``·1000``
+    products (they'd otherwise stay INT through ``%``/``*``). Inputs
+    must be nonnegative (the staged identity assumes floor == div)."""
+
+    def _q(expr: str) -> str:
+        # Quote bare identifiers; leave real expressions (anything with
+        # an operator, paren, space or existing quoting) untouched.
+        if expr.replace("_", "").isalnum() and not expr[0].isdigit():
+            return f"`{expr}`"
+        return expr
+
+    n = f"(CAST({_q(num)} AS BIGINT))"
+    d = f"(CAST({_q(den)} AS BIGINT))"
     return F.expr(
         f"({n} div {d}) * CAST(1000000 AS BIGINT)"
         f" + ((({n} % {d}) * 1000) div {d}) * 1000"

@@ -7723,3 +7723,26 @@ def _session_baskets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.cooccurrence_pairs(
         with_basket, "basket", "event_type", min_count=2, k=50
     )
+
+
+#: The ONLY keys allowed to skip the SQL oracle (driver grades rows-only).
+#: Gate (VERDICT r5 ask #9): every rows-only key must carry an
+#: accuracy-vs-exact test, named here so a future registration can't
+#: silently skip its oracle — adding a key with ``sql=None`` without
+#: extending this map (and writing the test) fails at import, which every
+#: pytest run and the driver's own entry import hit immediately.
+ROWS_ONLY_ACCURACY_TESTS: dict[str, str] = {
+    "approx_distinct_users": "tests/test_asof_ivf.py::test_approx_count_distinct_accuracy",
+    "approx_percentile_price": "tests/test_training.py::test_approx_percentile_accuracy",
+    "media_features": "tests/test_multimodal.py::test_extract_features",
+    "media_phash_dedup": "tests/test_multimodal.py::test_frame_dedup_counts_cross_media_repeats",
+    "sketch_rollup_users": "tests/test_analytics_ext.py::test_sketch_rollup_accuracy",
+    "winsorize_prices_approx": "tests/test_analytics_ext.py::test_winsorize_approx_tracks_exact",
+}
+
+_rows_only = {k for k, (_, sql) in _REGISTRY.items() if sql is None}
+assert _rows_only == set(ROWS_ONLY_ACCURACY_TESTS), (
+    "rows-only registry keys out of sync with ROWS_ONLY_ACCURACY_TESTS: "
+    f"unexpected={sorted(_rows_only - set(ROWS_ONLY_ACCURACY_TESTS))} "
+    f"stale={sorted(set(ROWS_ONLY_ACCURACY_TESTS) - _rows_only)}"
+)

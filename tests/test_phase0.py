@@ -55,3 +55,20 @@ def test_driver_contract(spark):
     qs, oracles = e.queries(), e.oracle_sql()
     assert "pricing_summary" in qs
     assert set(oracles) <= set(qs)
+
+
+def test_rows_only_keys_have_live_accuracy_tests():
+    """The registry's rows-only gate names one accuracy test per
+    oracle-less key; verify each named test function still exists so the
+    map can't point at deleted tests (VERDICT r5 ask #9)."""
+    import os
+
+    from etl_io_spark.registry import ROWS_ONLY_ACCURACY_TESTS
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for key, ref in ROWS_ONLY_ACCURACY_TESTS.items():
+        path, name = ref.split("::")
+        full = os.path.join(root, path)
+        assert os.path.exists(full), f"{key}: {path} missing"
+        with open(full) as fh:
+            assert f"def {name}(" in fh.read(), f"{key}: {ref} gone"

@@ -356,7 +356,13 @@ def test_prefix_jaccard_beats_all_pairs_on_boilerplate(spark):
     docs.unpersist()
 
     assert prefix_pairs == all_pairs and len(prefix_pairs) > 0
-    assert t_prefix <= t_all, (t_prefix, t_all)
+    # Perf guard, not a benchmark (ADVICE r5): a strict t_prefix<=t_all
+    # is flaky under load even when both plans are correct. At this
+    # corpus shape the structural gap is multiples (all-pairs joins
+    # |corpus|^2 rows per boilerplate shingle; prefix joins none), so a
+    # 1.5x tolerance absorbs scheduler noise while still failing if the
+    # prefix plan ever degenerates to all-pairs behaviour.
+    assert t_prefix <= t_all * 1.5, (t_prefix, t_all)
 
 
 def test_rake_plan_has_no_window_sort(spark):

@@ -118,7 +118,7 @@ def _flatten(v):
         yield v
 
 
-def _classes(scols, srows, orows) -> set[str]:
+def _classes(scols, srows, ocols, orows) -> set[str]:
     out: set[str] = set()
     float_cols = False
     for rows, side in ((srows, "s"), (orows, "o")):
@@ -138,14 +138,19 @@ def _classes(scols, srows, orows) -> set[str]:
                     out.add("DECIMAL")
     if float_cols:
         out.add("FLOAT_COLS")
-    # TYPE_DRIFT: per column, compare the first non-null Python type
+    # TYPE_DRIFT: per column, compare the first non-null Python type.
+    # Align both sides by sorted column NAME — the same mapping _canon
+    # uses — not by position: the two engines are free to emit columns
+    # in different orders (ADVICE r5).
     if srows and orows:
-        for i in range(min(len(srows[0]), len(orows[0]))):
+        sidx = sorted(range(len(scols)), key=lambda i: scols[i])
+        oidx = sorted(range(len(ocols)), key=lambda i: ocols[i])
+        for si, oi in zip(sidx, oidx):
             st = next(
-                (type(r[i]) for r in srows if r[i] is not None), None
+                (type(r[si]) for r in srows if r[si] is not None), None
             )
             ot = next(
-                (type(r[i]) for r in orows if r[i] is not None), None
+                (type(r[oi]) for r in orows if r[oi] is not None), None
             )
             if st and ot and st is not ot and not (
                 st in (list, tuple) and ot in (list, tuple)
@@ -205,7 +210,7 @@ def main(sf_dir: str, only, strict: bool) -> int:
             for rg, tok in REGIMES.items()
             if _canon(scols, srows, tok) != _canon(ocols, orows, tok)
         ]
-        cls = _classes(scols, srows, orows)
+        cls = _classes(scols, srows, ocols, orows)
         risky = bool(mismatch) or (
             "FLOAT_COLS" in cls and "TIE_EDGE" in cls
         )
