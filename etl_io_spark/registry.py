@@ -43,55 +43,47 @@ def register(name: str, sql: str | None = None):
 #: Everything not listed follows in registration order and is still covered
 #: by the stricter local gate (tools/check.py) and pytest.
 _WINDOW_ORDER: tuple[str, ...] = (
-    # §2.2–§2.6 core operators. Round-5 rotation (VERDICT r4 ask #10):
-    # 12 never-driver-graded keys enter; 12 keys green in ≥1 earlier
-    # round rotate out with their families still represented in-window
-    # (decode_rename/normalize_codes → translate_crosswalk + pipelines;
-    # anti_join → semi_join_filter; top_k_orders/set_union_counts/
-    # json_extract_events/explode_list_column/group_product → the
-    # remaining core rows + full local gate; fuzzy_dedup_keep_best /
-    # dedup_minhash_lsh → dedup_lsh_exact; lpa_communities_trade →
-    # pagerank/kcore/triangles/hits; gopher_rules_docs → c4_filters +
-    # quality_classifier). All rotated-out keys stay green under the
-    # stricter tools/check.py gate + pytest.
-    "pricing_summary", "select_project_filter", "filter_length_distinct",
-    "drop_nulls_filter", "dim_join_label",
-    "semi_join_filter", "translate_crosswalk",
-    "group_count", "count_distinct_group",
-    "rollup_geo", "pivot_returnflag", "one_hot_priority",
-    "window_topk_per_group",
-    # round-5 entrants: joins/skew/SCD/percentile families never graded
-    # by the driver before
-    "salted_join_parts", "range_join_attribution",
-    "temporal_dim_join_orders", "winsorize_prices",
-    "quantile_normalize_chars",
-    # dedup family (each a distinct algorithm); substring_dedup_docs
-    # stays to confirm the round-5 integer-ppm fix driver-side
-    "dedup_exact", "dedup_lsh_exact",
-    "substring_dedup_docs", "bloom_gate_orders",
-    # similarity search + semantic dedup (semdedup_kmeans stays: round-5
-    # composed oracle replaces its no_oracle slot; embedding_top_pc
-    # stays: round-5 fused plan re-graded)
-    "embedding_neardup", "semdedup_kmeans", "embedding_top_pc",
-    # text analysis + curation filters (+ round-5 entrant bm25_search)
-    "c4_filters_docs", "quality_classifier_docs",
-    "rake_keywords_docs", "dsir_weights_docs",
-    "corpus_datacard", "tokenizer_fertility", "bm25_search",
-    # graph + sketches: round-5 entrants pagerank (flagship, never
-    # graded), k-core peel, triangle counts; hits stays to confirm the
-    # integer-ppm fix driver-side
-    "pagerank_trade_graph", "kcore_trade_graph",
-    "triangle_count_cosuppliers",
-    "hits_trade_graph", "countmin_users_events",
-    # basket/retail analytics (never graded)
-    "market_basket_pairs", "basket_rules_parts", "session_baskets_events",
-    # streaming-parity + multimodal
-    "events_session_window", "media_metadata",
-    # §2.8 composite pipelines (Q2–Q6)
-    "awards_pipeline", "programs_pipeline", "units_count_pipeline",
-    "quant_pivot_pipeline", "qual_onehot_pipeline",
-    # raw-SQL passthrough (S4) + extension joins / CDC
-    "sql_passthrough", "asof_join_events", "scd2_customer_merge",
+    # Round-6 rotation (VERDICT r5 ask #1): the window drops from ~38
+    # repeat slots to 10 CORE SENTINELS — one regression canary per
+    # family, every one driver-green in r5 — and spends the other 40
+    # slots on keys NEVER driver-graded (90 of 218 had been graded
+    # entering this round), prioritizing the families with the most
+    # environment-sensitive oracles: recursive-CTE dedup/clustering,
+    # float-heavy statistics, TPC-H shapes, time-series windows, text
+    # scoring, graph, and training curation. All rotated-out keys stay
+    # green under the stricter local gate (tools/check.py exact
+    # equality, both SFs) + pytest; every first-time key below was swept
+    # with tools/hash_parity.py (4 canonicalization regimes) before
+    # entering the window (VERDICT r5 ask #6).
+    #
+    # -- core sentinels (10): scan/filter, broadcast join, agg, pivot,
+    #    window, dedup, similarity, graph, composite pipeline, raw SQL
+    "pricing_summary", "select_project_filter", "dim_join_label",
+    "group_count", "pivot_returnflag", "window_topk_per_group",
+    "dedup_exact", "embedding_neardup", "pagerank_trade_graph",
+    "awards_pipeline",
+    # -- first-time: dedup / clustering (recursive-CTE + banded oracles)
+    "incremental_dedup", "cross_source_dups", "dedup_jaccard_prefix",
+    "containment_pairs", "snm_neardup_docs", "segment_dedup_docs",
+    "dedup_yield", "incremental_neardup", "lsh_eval", "fuzzy_name_pairs",
+    # -- first-time: float-heavy statistics
+    "ks_test_values", "chisq_priority_month", "corr_matrix_lineitem",
+    "leadlag_correlation", "corr_stats_flags", "mutual_information_flags",
+    "revenue_gini", "zipf_exponent", "benford_totalprice",
+    "robust_anomaly_events",
+    # -- first-time: TPC-H-shape pipelines
+    "sole_late_suppliers", "above_avg_customers", "shipping_priority",
+    "regional_revenue", "nations_trade_volume", "small_quantity_revenue",
+    # -- first-time: time-series / sessionization
+    "ewma_events", "twap_events", "acf_events",
+    "cusum_changepoint_events", "resample_ffill_events",
+    "sessionize_events",
+    # -- first-time: text scoring
+    "lm_cross_entropy_docs", "char_entropy_docs", "oov_rate_docs",
+    "readability_docs",
+    # -- first-time: graph + training curation
+    "bfs_trade_reach", "assortativity_trade",
+    "target_encode_orders", "rendezvous_shards_docs",
 )
 
 
