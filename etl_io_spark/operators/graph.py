@@ -170,11 +170,58 @@ def symmetrize(
     ).distinct()
 
 
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """Undirected co-occurrence edge list: one ``(src, dst)`` row per
+    item pair sharing at least ``min_support`` groups, with
+    ``src < dst`` canonical order.
+
+    Join-free derivation (round-6; replaces the self-join-on-group
+    shape): ONE shuffle collects each group's distinct items into a
+    sorted array (``collect_set`` partial-aggregates map-side), then the
+    C(k, 2) pair stream is emitted by two codegen GENERATORS —
+    ``posexplode`` over the array and ``explode(slice(...))`` over its
+    tail — so pair expansion is map-side and the final pair count gets
+    map-side partial aggregation before its shuffle. The self-join
+    version paid the same O(Σ C(k_g, 2)) pair stream PLUS a distinct
+    shuffle and two join-side exchanges of the full (group, item)
+    relation, and its join output hit the aggregation with no partial
+    reduction. At 100 TB the dominant term is identical (the pair
+    stream is inherent to exact support counting); this shape just
+    stops paying three extra full-relation shuffles for it. Hub groups
+    (huge k_g) bound the blow-up: cap them upstream if the data has
+    degenerate groups."""
+    arrs = df.groupBy(group_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("__items")
+    )
+    pairs = arrs.select(
+        F.posexplode("__items").alias("__i", "src"), F.col("__items")
+    ).select(
+        "src",
+        # 0-based pos __i → pair partners start at 1-based index __i + 2
+        F.explode(
+            F.slice("__items", F.col("__i") + 2, F.size("__items"))
+        ).alias("dst"),
+    )
+    out = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("__support"))
+        .where(F.col("__support") >= min_support)
+        .drop("__support")
+    )
+    return out
+
+
 def triangle_stats(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     broadcast_edges: bool = True,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Exact triangle count + global clustering coefficient of the
     undirected simple graph given as an edge list (directions and
@@ -204,15 +251,34 @@ def triangle_stats(
     # the canonical edge set is consumed FOUR times (degree table via two
     # union branches, the orientation join, the edge count) and typically
     # sits on an expensive derivation (a co-occurrence self-join upstream)
-    # — pin it, or every consumer re-runs that derivation
-    canon = persist_tracked(
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
+    # — pin it, or every consumer re-runs that derivation.
+    # assume_canonical (round-6): callers whose edge list is ALREADY
+    # src < dst and duplicate-free (e.g. cooccurrence/self-join
+    # derivations emitting a.s < b.s through a groupBy) skip the
+    # least/greatest projection AND the distinct — one whole shuffle of
+    # |E| rows off the critical path.
+    # coalesce the cache to the shuffle parallelism: a derived edge list
+    # (AQE skew-split joins upstream) can arrive in 4x shuffle.partitions
+    # tiny partitions, and each of the 4 downstream cache passes then
+    # pays a task wave per 32 (measured: deg build 3.1s -> 0.3s at sf0.1)
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    if assume_canonical:
+        canon = persist_tracked(
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .coalesce(n_shuffle)
+        )
+    else:
+        canon = persist_tracked(
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .coalesce(n_shuffle)
+        )
     # |V|-row degree table: three consumers (two orientation joins + the
     # node/wedge stats aggregate)
     deg = persist_tracked(
@@ -233,11 +299,16 @@ def triangle_stats(
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # NOT persisted (round-6): both consumers (edge pass + adjacency
+    # build) derive it from the canon CACHE via two broadcast joins of
+    # the tiny deg table — pure map-side, no shuffle — so recomputing
+    # costs less than a third cache materialization wave; the two deg
+    # broadcasts canonicalize identically across branches and get
+    # ReusedExchange'd.
     oriented = ann.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ).transform(persist_tracked)  # consumed by the edge pass and the adjacency build
+    )
     maybe_bc = F.broadcast if broadcast_edges else (lambda df: df)
     # forward algorithm via adjacency intersection: per oriented edge
     # (u, v), triangles closed at that edge = |N+(u) ∩ N+(v)| — each
@@ -248,8 +319,15 @@ def triangle_stats(
     # measured multiples faster than the wedge self-join + closure
     # semi-join on dense graphs, because 58M wedge join records become
     # in-place array probes
-    adj = oriented.groupBy(F.col("u").alias("__n")).agg(
-        F.collect_list("v").alias("__nbrs")
+    # persisted (round-6): the adjacency table used to be rebuilt for
+    # EACH of the two broadcast exchanges below (their projections
+    # canonicalize differently, so no ReusedExchange) — each rebuild a
+    # full |E|-row shuffle. Pinning the |V|-row table makes both
+    # broadcast builds read the cache.
+    adj = persist_tracked(
+        oriented.groupBy(F.col("u").alias("__n")).agg(
+            F.collect_list("v").alias("__nbrs")
+        )
     )
     tri_per_edge = (
         oriented.select("u", "v")

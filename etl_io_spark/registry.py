@@ -4370,7 +4370,10 @@ def _triangle_count_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__support") >= 20)
         .drop("__support")
     )
-    return graph.triangle_stats(edges)
+    # src < dst and duplicate-free by construction (a.s < b.s through a
+    # groupBy) — the canonicalization shuffle inside triangle_stats is
+    # provably a no-op here
+    return graph.triangle_stats(edges, assume_canonical=True)
 
 
 # ==========================================================================
