@@ -611,6 +611,68 @@ def test_triangle_stats_hand_graph(spark):
     assert abs(r["clustering_coeff"] - round(12 / 15, 6)) < 1e-12
 
 
+def test_cooccurrence_edges_matches_self_join(spark):
+    """The join-free pair derivation (collect_set + two generators) must
+    emit exactly the canonical src<dst pair set the self-join-on-group
+    shape emits, at every support threshold."""
+    from pyspark.sql import functions as F
+
+    from etl_io_spark.operators import graph
+
+    rows = [  # (group, item) with dups + varying co-occurrence support
+        ("g1", 1), ("g1", 2), ("g1", 3), ("g1", 1),
+        ("g2", 1), ("g2", 2),
+        ("g3", 2), ("g3", 1),
+        ("g4", 4),
+    ]
+    df = spark.createDataFrame(rows, "g string, item int")
+    for min_support in (1, 2, 3, 4):
+        got = sorted(
+            map(
+                tuple,
+                graph.cooccurrence_edges(
+                    df, "g", "item", min_support=min_support
+                ).collect(),
+            )
+        )
+        ps = df.distinct()
+        want = sorted(
+            map(
+                tuple,
+                ps.alias("a")
+                .join(
+                    ps.alias("b"),
+                    (F.col("a.g") == F.col("b.g"))
+                    & (F.col("a.item") < F.col("b.item")),
+                )
+                .groupBy(
+                    F.col("a.item").alias("src"), F.col("b.item").alias("dst")
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") >= min_support)
+                .drop("n")
+                .collect(),
+            )
+        )
+        assert got == want, (min_support, got, want)
+    # support=1 sanity: {1,2,3} pairwise in g1, {1,2} again in g2/g3
+    got1 = graph.cooccurrence_edges(df, "g", "item", min_support=3).collect()
+    assert sorted(map(tuple, got1)) == [(1, 2)]
+
+
+def test_triangle_stats_assume_canonical_matches_default(spark):
+    """assume_canonical skips the least/greatest+distinct shuffle; on an
+    already-canonical edge list both paths must agree exactly."""
+    from etl_io_spark.operators import graph
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    a = graph.triangle_stats(df).collect()[0]
+    b = graph.triangle_stats(df, assume_canonical=True).collect()[0]
+    assert a.asDict() == b.asDict()
+    assert b["n_triangles"] == 4 and b["n_edges"] == 7
+
+
 def test_triangle_stats_triangle_free(spark):
     from etl_io_spark.operators import graph
 
