@@ -808,6 +808,16 @@ def lm_cross_entropy(
     language tag) through to the output WITHOUT a post-hoc doc_id join:
     they ride the bigram rows and join the final group key — free,
     because they are functionally dependent on ``id_col``.
+
+    Round-6 A/B (interleaved median-of-7 at sf0.1, do NOT retry):
+    persisting the occurrence stream (the dsir_logratio round-6 win) is
+    a WASH here (1.68 s recompute vs 1.79 s persisted) — unlike dsir's
+    256-bucket hash, both of this plan's passes shuffle ``occ`` anyway
+    (vocab-sized bigram groupBy; score join keyed on (w1, w2)), so the
+    cache saves only the tokenize/explode map work while adding a
+    materialization. Forcing a broadcast of the vocab-sized nll table
+    was also a wash (1.57 s). The remaining gap to DuckDB on this key
+    is per-query constant floor, not plan shape.
     """
     toks = F.col("__toks")
     bigrams = F.zip_with(

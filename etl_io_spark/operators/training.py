@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from etl_io_spark.caching import persist_tracked
 from etl_io_spark.operators.text import hash60, tokens
 from etl_io_spark.partitioning import spread
 
@@ -403,17 +404,19 @@ def dsir_logratio(
     self-join), ONE bucket-count partial agg (raw and target counted
     together via a conditional count) whose output is ``buckets``-sized,
     a broadcast ratio join back onto the feature stream, one per-doc
-    partial agg. The feature stream is evaluated twice (count pass +
-    score pass); two restructurings were A/B-measured and REJECTED in
-    round 5 (interleaved median-of-5 at sf0.1): persisting a per-doc
-    bucket histogram (1.5× slower — forces a full-stream shuffle the
-    exploded plan never pays) and scoring map-side via a broadcast
-    lr-array folded with ``aggregate``/``element_at`` (12% slower —
+    partial agg. The exploded (id, tgt, bucket) stream is PERSISTED
+    (round-6; MEMORY_AND_DISK, no shuffle to produce) so the tokenize +
+    md5 work runs once instead of once per pass — interleaved
+    median-of-5 at sf0.1: 2.71 s → 1.47 s. Two other restructurings
+    were A/B-measured and REJECTED in round 5: persisting a per-doc
+    bucket HISTOGRAM (1.5× slower — forces a full-stream shuffle this
+    plan never pays) and scoring map-side via a broadcast lr-array
+    folded with ``aggregate``/``element_at`` (12% slower —
     higher-order-function lambdas evaluate interpreted, outside
     whole-stage codegen, while the exploded join stays codegen'd).
-    Recomputing the explode beats both; everything after it is bounded
-    by the bucket count. The feature hash is the md5-derived ``hash60``
-    so the DuckDB oracle reproduces every bucket exactly.
+    The feature hash is the md5-derived ``hash60`` so the DuckDB oracle
+    reproduces every bucket exactly. Caller drains the pin via
+    ``caching.drain_persisted()`` (standard contract).
     """
     toks = tokens(text_col)
     bigrams = F.zip_with(
@@ -424,12 +427,14 @@ def dsir_logratio(
     base = spread(df).select(
         F.col(id_col), target_pred.alias("__tgt"), toks.alias("__u"), bigrams.alias("__b")
     )
-    feats = base.select(
-        id_col,
-        "__tgt",
-        F.explode(F.concat(F.col("__u"), F.col("__b"))).alias("__f"),
-    ).select(
-        id_col, "__tgt", (hash60(F.col("__f")) % buckets).alias("__bk")
+    feats = persist_tracked(
+        base.select(
+            id_col,
+            "__tgt",
+            F.explode(F.concat(F.col("__u"), F.col("__b"))).alias("__f"),
+        ).select(
+            id_col, "__tgt", (hash60(F.col("__f")) % buckets).alias("__bk")
+        )
     )
     # ONE pass over the feature stream counts raw and target together
     # (conditional count instead of a second filtered scan — the explode
