@@ -391,33 +391,46 @@ def sole_late_suppliers(cat: TableCatalog, grace_days: int = 45) -> DataFrame:
     supplier shipped late and charge that order to the late supplier.
 
     The reference SQL is the classic EXISTS / NOT-EXISTS pair; the Spark
-    plan replaces both correlated subqueries with ONE order-level
-    aggregation: per order, count distinct suppliers and distinct *late*
-    suppliers in the same pass, keep ``n_sups > 1 AND n_late = 1``, and
-    recover the culprit as ``MAX(CASE WHEN late THEN suppkey END)``
-    (exact because only one supplier is late). Two aggregation shuffles
-    (order-level, then supplier-level) after one keyed fact join against
-    the 'F'-orders sliver (shuffle-hash: both sides are fact-sized at
-    100 TB, and the agg side needs no sort) — no lineitem self-join
-    anywhere, which is where the EXISTS form pays twice.
+    plan replaces both correlated subqueries with a TWO-LEVEL
+    aggregation after one keyed fact join: per (order, supplier) fold
+    lateness to one bit, then per order count suppliers / late
+    suppliers and recover the culprit as ``MAX(CASE WHEN late THEN
+    suppkey END)`` (exact because only one supplier is late). The
+    round-5 single-level form used two ``countDistinct``s, which Spark
+    plans through an Expand (2× the joined row stream + an extra
+    distinct shuffle); both levels here run on the join's
+    hash(l_orderkey) partitioning — HashPartitioning(orderkey)
+    satisfies the (orderkey, suppkey) clustering — so NEITHER adds a
+    shuffle (A/B at sf0.1: 1.20 s → 0.93 s). Join strategy is left to
+    Catalyst/AQE: the 'F'-orders sliver broadcasts at test SFs and
+    degrades to a shuffle join at 100 TB where orders is fact-sized —
+    no lineitem self-join anywhere, which is where the EXISTS form
+    pays twice.
     """
     orders = (
         cat.table("orders")
         .where(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
-    li = cat.table("lineitem").join(
-        orders.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey")
+    li = (
+        cat.table("lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
     )
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         f"INTERVAL {grace_days} DAYS"
     )
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(late, F.lit(1)).otherwise(F.lit(0))).alias("__late")
+    )
     per_order = (
-        li.groupBy("l_orderkey")
+        per_pair.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("__n_sups"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("__n_late"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("__late_sup"),
+            F.count(F.lit(1)).alias("__n_sups"),
+            F.sum("__late").alias("__n_late"),
+            F.max(
+                F.when(F.col("__late") == 1, F.col("l_suppkey"))
+            ).alias("__late_sup"),
         )
         .where((F.col("__n_sups") > 1) & (F.col("__n_late") == 1))
     )
