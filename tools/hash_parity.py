@@ -32,6 +32,15 @@ Structural fragility classes per key (reported, not failing by default):
 Usage:  python tools/hash_parity.py [--sf DIR] [--strict] [names...]
   --strict  exit nonzero when any key has a regime disagreement OR is in
             FLOAT_COLS+TIE_EDGE (the class that bit round 4).
+
+END-OF-ROUND GATE (round-6 policy, VERDICT r5 ask #6): before a round
+ships, run this tool over (a) every oracle ADDED or CHANGED during the
+round and (b) every key entering the driver's 50-slot grading window for
+the first time (``registry._WINDOW_ORDER``), at sf0.01 AND — for
+float-heavy families — sf0.1 (some divergences only materialize at
+larger row counts). A key may not enter the window while flagged. The
+per-round sweep log is committed as ``HASHPARITY_r{N}.log`` at the repo
+root so the grading trail is auditable.
 """
 
 from __future__ import annotations
