@@ -188,10 +188,15 @@ def test_q17_decorrelates_to_window_not_self_join(spark):
 
 def test_q21_no_lineitem_self_join(spark):
     plan = _plan(spark, "sole_late_suppliers")
-    # EXISTS/NOT-EXISTS pair collapsed into one order-level aggregation:
+    # EXISTS/NOT-EXISTS pair collapsed into a two-level aggregation:
     # lineitem scanned once, no semi/anti join against a second scan of it
     assert plan.count("FileScan parquet") == 3  # lineitem, orders, supplier
-    assert "ShuffledHashJoin" in plan
+    # round-6: the countDistinct pair was replaced by per-(order, supp)
+    # then per-order aggregates — the Expand-based distinct plan (which
+    # doubled the joined row stream) must stay gone, and both levels run
+    # on the join's partitioning (join strategy itself is AQE's choice:
+    # broadcast at test SFs, shuffle at fact scale)
+    assert "Expand" not in plan
 
 
 def test_q8_dims_broadcast_single_fact_join(spark):
