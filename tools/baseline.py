@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import sys
+import statistics
 import threading
 import time
 
@@ -58,7 +59,9 @@ def _warm(fn, runs: int = 3, reset=None) -> float:
         times.append(time.perf_counter() - t0)
         if times[-1] > SLOW_CUTOFF_S:
             break
-    return sorted(times)[len(times) // 2]
+    # statistics.median: the early-stop can leave an even-length sample,
+    # where sorted()[n//2] reported the SLOWER of two runs (ADVICE r5)
+    return statistics.median(times)
 
 
 def _warm_oracle(con, sql: str) -> tuple[float, bool]:
@@ -78,7 +81,7 @@ def _warm_oracle(con, sql: str) -> tuple[float, bool]:
         times.append(time.perf_counter() - t0)
         if times[-1] > SLOW_CUTOFF_S:
             break
-    return sorted(times)[len(times) // 2], False
+    return statistics.median(times), False
 
 
 def _reset_storage(spark):
