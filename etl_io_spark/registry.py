@@ -6538,11 +6538,22 @@ def _lsh_eval_oracle(num_perm: int = 16, bands: int = 4) -> str:
 
 @register("lsh_eval", _lsh_eval_oracle())
 def _lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.caching import persist_tracked
+
     docs = _cat(spark, sf_dir).table("documents")
-    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).select("a", "b")
-    cand = dedup.minhash_lsh_candidates(
-        docs, "doc_id", "text", num_perm=16, bands=4
-    ).select("a", "b")
+    # both pair relations are consumed twice (their count + the common
+    # join) and each sits on a full shingle/signature pipeline — pin the
+    # tiny pair sets so each pipeline runs once (round-6: 3.2 -> ~1.7 s)
+    exact = persist_tracked(
+        dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.3
+        ).select("a", "b")
+    )
+    cand = persist_tracked(
+        dedup.minhash_lsh_candidates(
+            docs, "doc_id", "text", num_perm=16, bands=4
+        ).select("a", "b")
+    )
     common = cand.join(exact, ["a", "b"])
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
