@@ -381,6 +381,22 @@ def test_incremental_neardup_gate_flags_known_dup(spark):
     assert not out[11]["is_neardup"] and out[11]["match_id"] is None
 
 
+def test_incremental_neardup_gate_ties_to_lowest_corpus_id(spark):
+    """Two corpus docs with IDENTICAL text tie on est_jaccard; the
+    round-6 max(struct(est, -cid)) best-match must pick the LOWEST
+    corpus id — the same rule the old row_number window enforced."""
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(7, txt), (3, txt)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame([(10, txt)], "doc_id long, text string")
+    r = dedup.incremental_neardup_gate(
+        corpus, batch, "doc_id", "text"
+    ).collect()[0]
+    assert r["is_neardup"] and r["est_jaccard"] == 1.0
+    assert r["match_id"] == 3  # lowest id wins the tie
+
+
 # ------------------------------------------------------- semdedup / ccnet
 def test_semdedup_keeps_lowest_id_per_neardup_group(spark):
     v = [1.0, 0.0, 0.0, 0.0]
