@@ -356,13 +356,28 @@ def fuzzy_pairs(
     text_col: str,
     block_col: Column | str,
     max_distance: int = 2,
+    chunks: int | None = None,
 ) -> DataFrame:
     """Blocked fuzzy matching: exact-similarity (Levenshtein) comparison
     only WITHIN blocks sharing a cheap key — the classic record-linkage
     shape. The self-join is an equi-join on the block key, so pair cost is
     Σ block² instead of n²; pick a blocking key that bounds block size
     (phone prefix, sorted-token fingerprint, zip). Returns (a, b, dist)
-    with a < b."""
+    with a < b.
+
+    ``chunks`` (round-6): the equi-join's PARALLELISM is bounded by the
+    number of distinct blocks — fine when blocks are many (zip codes),
+    pathological when they are few and fat (25 nations → 25 working
+    tasks on a 1000-core cluster, each materializing a whole block²).
+    With ``chunks=C`` each block's pair grid is decomposed into C²
+    chunk-pairs (the probe side is hash-split into C chunks; the index
+    side is replicated C times, once per target chunk), so the join key
+    becomes (block, chunk) with block·C distinct values and every task
+    handles ~1/C² of a block's grid. Same output, C× replication of one
+    side's rows — the standard grid decomposition (see
+    similarity.neardup_pairs_cosine_blocked for the embedding twin).
+    Leave ``None`` when blocks are plentiful; the replication buys
+    nothing once #blocks ≥ cluster parallelism."""
     bc = F.col(block_col) if isinstance(block_col, str) else block_col
     keyed = df.select(
         F.col(id_col), F.col(text_col).alias("__t"), bc.alias("__blk")
@@ -373,11 +388,25 @@ def fuzzy_pairs(
     b = keyed.select(
         F.col(id_col).alias("b"), F.col("__t").alias("tb"), "__blk"
     )
+    if chunks and chunks > 1:
+        # replicate the a-side once per target chunk; split the b-side
+        # by hash — each (a, b) pair meets exactly once, at chunk
+        # (hash(b) % C)
+        grid = df.sparkSession.range(chunks).select(
+            F.col("id").cast("int").alias("__cb")
+        )
+        a = a.crossJoin(F.broadcast(grid))
+        b = b.withColumn(
+            "__cb", F.pmod(F.hash(F.col("b")), F.lit(chunks)).cast("int")
+        )
+        join_keys = ["__blk", "__cb"]
+    else:
+        join_keys = ["__blk"]
     # length prefilter is a free necessary condition (|len diff| bounds the
     # edit distance); the threshold form of levenshtein runs banded DP with
     # early exit (-1 when > max_distance) — O(k·n) per pair, not O(n²).
     pairs = (
-        a.join(b, "__blk")
+        a.join(b, join_keys)
         .where(
             (F.col("a") < F.col("b"))
             & (

@@ -186,6 +186,34 @@ def test_connected_components_idempotent(spark):
     )
 
 
+def test_fuzzy_pairs_chunked_matches_unchunked(spark):
+    """chunks=C decomposes each block's pair grid into C² chunk-pairs
+    (replicated index side, hash-split probe side) — parallelism hatch
+    for few-fat-blocks inputs; the pair set must be identical."""
+    rows = [
+        Row(id=i, name=f"name {'x' * (i % 4)}{i % 3}", blk=i % 2)
+        for i in range(1, 25)
+    ]
+    df = spark.createDataFrame(rows)
+    base = sorted(
+        map(
+            tuple,
+            dedup.fuzzy_pairs(df, "id", "name", "blk", max_distance=2).collect(),
+        )
+    )
+    assert len(base) > 0
+    for c in (2, 5):
+        got = sorted(
+            map(
+                tuple,
+                dedup.fuzzy_pairs(
+                    df, "id", "name", "blk", max_distance=2, chunks=c
+                ).collect(),
+            )
+        )
+        assert got == base, c
+
+
 def test_fuzzy_pairs_segmented_matches_blocked(spark):
     rows = [
         Row(id=1, name="jonathan smith", blk=1),
