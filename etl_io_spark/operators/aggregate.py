@@ -738,21 +738,27 @@ def quantile_normalize(
 
     from etl_io_spark.functions.numeric import round_floor
 
-    n_total = df.count()
+    # N rides in-plan as a one-row broadcast (round-6: the previous
+    # df.count() ran a job at plan-CONSTRUCTION time — eager even when
+    # the caller never executes, and invisible to bench.py's timed
+    # window)
+    tot = df.agg(F.count(F.lit(1)).cast("double").alias("__N"))
     wg = W.partitionBy(group_col).orderBy(value_col, id_col)
-    ranked = df.select(
-        id_col,
-        group_col,
-        value_col,
-        F.row_number().over(wg).alias("__rn"),
-        F.count(F.lit(1)).over(W.partitionBy(group_col)).alias("__ng"),
-    ).withColumn(
-        "__grank",
-        F.ceil(
-            (F.col("__rn") - F.lit(0.5))
-            / F.col("__ng")
-            * F.lit(float(n_total))
-        ).cast("bigint"),
+    ranked = (
+        df.select(
+            id_col,
+            group_col,
+            value_col,
+            F.row_number().over(wg).alias("__rn"),
+            F.count(F.lit(1)).over(W.partitionBy(group_col)).alias("__ng"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__grank",
+            F.ceil(
+                (F.col("__rn") - F.lit(0.5)) / F.col("__ng") * F.col("__N")
+            ).cast("bigint"),
+        )
     )
     global_sorted = df.select(
         F.col(value_col).alias("__gv"), F.col(id_col).alias("__gid")

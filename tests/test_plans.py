@@ -418,3 +418,49 @@ def test_pagerank_edge_cache_partitions_bounded(spark):
         counts.append(it.next().getValue().getNumPartitions())
     caching.drain_persisted()
     assert counts and max(counts) < 150, counts
+
+
+#: the ONLY keys whose CONSTRUCTION may run driver-synchronized Spark
+#: jobs: iterative fixed-point loops whose per-round results feed the
+#: next round's plan (and whose localCheckpoint under AQE executes its
+#: subtree's stages eagerly). Every OTHER registry key must build its
+#: plan with ZERO jobs — eager construction hides query cost outside
+#: bench.py's timed window (the round-6 bench-vs-baseline divergence,
+#: documented in both files) and runs work even for callers that never
+#: execute the plan. Round-6 cleanups this test locks in: oov_rate's
+#: vocab collect() and quantile_normalize's df.count() both became
+#: one-row broadcast relations.
+CONSTRUCTION_MAY_RUN_JOBS = {
+    "pagerank_trade_graph",
+    "bfs_trade_reach",
+    "kcore_trade_graph",
+    "hits_trade_graph",
+    "dedup_clusters",
+    "fuzzy_dedup_keep_best",
+    "entity_resolution",
+}
+
+
+def test_registry_construction_is_lazy(spark):
+    from etl_io_spark import caching, registry
+
+    st = spark.sparkContext.statusTracker()
+    qs = registry.queries()
+    # warm the memoized catalog first: the first key's construction pays
+    # the one-time per-session view registration (parquet schema-probe
+    # jobs), which is session setup, not query cost
+    qs["pricing_summary"](spark, "/root/testdata/sf0.001")
+    caching.drain_persisted()
+    spark.catalog.clearCache()
+    eager = []
+    for key in qs:
+        if key in CONSTRUCTION_MAY_RUN_JOBS:
+            continue
+        before = set(st.getJobIdsForGroup())
+        qs[key](spark, "/root/testdata/sf0.001")
+        caching.drain_persisted()
+        spark.catalog.clearCache()
+        new_jobs = set(st.getJobIdsForGroup()) - before
+        if new_jobs:
+            eager.append((key, len(new_jobs)))
+    assert eager == [], f"plan construction ran Spark jobs: {eager}"
