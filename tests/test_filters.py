@@ -273,6 +273,33 @@ def test_ppm_floor_overflow_safe(spark):
         assert r["ppm"] == (r["n"] * 1_000_000) // r["d"]
 
 
+def test_ppm_floor_quotes_identifiers_and_widens_int(spark):
+    """ADVICE r5 hardening: bare identifiers are backtick-quoted (names
+    that are also SQL keywords must work) and 32-bit inputs are widened
+    to BIGINT before the staged *1000 products (an INT den near 2^31
+    would otherwise overflow the intermediate)."""
+    from pyspark.sql import functions as F
+
+    from etl_io_spark.functions.numeric import ppm_floor
+
+    # 'order' is a SQL keyword — unquoted interpolation fails to parse
+    df = spark.createDataFrame(
+        [(7, 9)], "order int, div int"  # both names need quoting; INT type
+    ).select(ppm_floor("order", "div").alias("ppm"))
+    assert df.collect()[0]["ppm"] == 7 * 1_000_000 // 9
+    # INT inputs near 2^31: n % d * 1000 would overflow 32-bit arithmetic
+    big = 2_000_000_000  # fits INT, big*1000 does not
+    df2 = spark.createDataFrame(
+        [(big - 3, big)], "n int, d int"
+    ).select(ppm_floor("n", "d").alias("ppm"))
+    assert df2.collect()[0]["ppm"] == (big - 3) * 1_000_000 // big
+    # expressions (anything non-identifier) still pass through verbatim
+    df3 = spark.createDataFrame([(5, 8)], "n long, d long").select(
+        ppm_floor("n + 1", "d").alias("ppm")
+    )
+    assert df3.collect()[0]["ppm"] == 6 * 1_000_000 // 8
+
+
 # ---------------------------------------------------------- basket rules
 def test_basket_rules_hand_case(spark):
     from etl_io_spark.operators import aggregate as agg
