@@ -30,15 +30,20 @@ def ppm_floor(num: str, den: str) -> Column:
     exceed). SQL oracles can instead compute the same value with a
     HUGEINT/DECIMAL widening — both are the exact mathematical floor,
     so they agree bit-for-bit. Takes column NAMES or SQL expressions
-    (builds a SQL expr); bare identifiers are backtick-quoted so names
-    with spaces/dots survive, and both sides are explicitly CAST to
-    BIGINT so 32-bit inputs can't overflow the staged ``·1000``
-    products (they'd otherwise stay INT through ``%``/``*``). Inputs
-    must be nonnegative (the staged identity assumes floor == div)."""
+    (builds a SQL expr); only PLAIN identifiers ([A-Za-z_][A-Za-z0-9_]*,
+    including SQL keywords) are backtick-quoted — a name containing a
+    space/dot/hyphen is passed through verbatim and must be pre-quoted
+    by the caller (it is indistinguishable from an expression here;
+    ADVICE r6). Both sides are explicitly CAST to BIGINT so 32-bit
+    inputs can't overflow the staged ``·1000`` products (they'd
+    otherwise stay INT through ``%``/``*``). Inputs must be nonnegative
+    (the staged identity assumes floor == div)."""
 
     def _q(expr: str) -> str:
         # Quote bare identifiers; leave real expressions (anything with
         # an operator, paren, space or existing quoting) untouched.
+        if not expr:
+            raise ValueError("ppm_floor: empty column expression")
         if expr.replace("_", "").isalnum() and not expr[0].isdigit():
             return f"`{expr}`"
         return expr

@@ -907,10 +907,14 @@ def incremental_neardup_gate(
     join, so each side's shingle+minhash aggregation runs exactly once
     — the old plan re-evaluated it for the two rescore joins. The
     best-match-per-batch-doc step is a partial-aggregable
-    ``max(struct(est, -cid))`` (highest agreement, ties to lowest
+    ``min(struct(-est, cid))`` (highest agreement, ties to lowest
     corpus id — identical semantics to the old row_number window,
-    without the per-doc window sort). Multi-band collisions of the same
-    pair produce identical score rows and collapse in the same max.
+    without the per-doc window sort). The NEGATION is on the score —
+    always a double — never on the id, so string/uuid id columns order
+    correctly too (negating a string id would cast to NULL doubles and
+    silently return match_id=NULL; ADVICE r6). Multi-band collisions of
+    the same pair produce identical score rows and collapse in the same
+    min.
 
     Returns one row per batch doc: (id, is_neardup, match_id,
     est_jaccard) where match is the best-agreeing corpus doc (ties to the
@@ -959,17 +963,17 @@ def incremental_neardup_gate(
     best = (
         scored.groupBy("__bid")
         .agg(
-            F.max(
+            F.min(
                 F.struct(
-                    F.col("est_jaccard"),
-                    (-F.col("__cid")).alias("__neg_cid"),
+                    (-F.col("est_jaccard")).alias("__neg_est"),
+                    F.col("__cid"),
                 )
             ).alias("__m")
         )
         .select(
             "__bid",
-            (-F.col("__m.__neg_cid")).alias("__cid"),
-            F.col("__m.est_jaccard").alias("est_jaccard"),
+            F.col("__m.__cid").alias("__cid"),
+            (-F.col("__m.__neg_est")).alias("est_jaccard"),
         )
     )
     return (

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from etl_io_spark.caching import checkpoint_tracked, persist_tracked
+from etl_io_spark.partitioning import shuffle_parallelism
 
 
 def pagerank(
@@ -64,9 +65,7 @@ def pagerank(
     # shuffle.partitions tiny partitions in the cache, and every one of
     # the 3+ downstream passes over the cache then pays a task wave per
     # 32 partitions (measured 2x on the whole setup at sf0.1)
-    n_shuffle = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n_shuffle = shuffle_parallelism(edges)
     e = persist_tracked(
         edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
         .coalesce(n_shuffle)
@@ -261,9 +260,7 @@ def triangle_stats(
     # (AQE skew-split joins upstream) can arrive in 4x shuffle.partitions
     # tiny partitions, and each of the 4 downstream cache passes then
     # pays a task wave per 32 (measured: deg build 3.1s -> 0.3s at sf0.1)
-    n_shuffle = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n_shuffle = shuffle_parallelism(edges)
     if assume_canonical:
         canon = persist_tracked(
             edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -596,9 +593,7 @@ def degree_assortativity(
     # union's two branches then run the distinct once instead of twice,
     # and coalescing to the shuffle parallelism keeps the cache at one
     # task wave per pass (the union would otherwise double it)
-    n_shuffle = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n_shuffle = shuffle_parallelism(edges)
     both = persist_tracked(
         canon.select("a", "b")
         .unionAll(canon.select(F.col("b").alias("a"), F.col("a").alias("b")))

@@ -37,6 +37,18 @@ MIN_BYTES_PER_PARTITION = 8 * 1024 * 1024
 _UNKNOWN_SIZE = 1 << 60
 
 
+def shuffle_parallelism(df: DataFrame) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating non-numeric
+    values — some distributions set it to ``auto`` (Databricks AQE), which
+    would make a bare ``int(conf.get(...))`` raise at plan-construction
+    time (ADVICE r6). Falls back to the cluster's defaultParallelism."""
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
 def plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's size estimate for the optimized plan (file size for bare
     scans; propagated estimates above)."""

@@ -7747,8 +7747,11 @@ ROWS_ONLY_ACCURACY_TESTS: dict[str, str] = {
 }
 
 _rows_only = {k for k, (_, sql) in _REGISTRY.items() if sql is None}
-assert _rows_only == set(ROWS_ONLY_ACCURACY_TESTS), (
-    "rows-only registry keys out of sync with ROWS_ONLY_ACCURACY_TESTS: "
-    f"unexpected={sorted(_rows_only - set(ROWS_ONLY_ACCURACY_TESTS))} "
-    f"stale={sorted(set(ROWS_ONLY_ACCURACY_TESTS) - _rows_only)}"
-)
+if _rows_only != set(ROWS_ONLY_ACCURACY_TESTS):
+    # An explicit raise, not `assert` — asserts are compiled out under
+    # `python -O`, which would silently disable this guarantee (ADVICE r6).
+    raise RuntimeError(
+        "rows-only registry keys out of sync with ROWS_ONLY_ACCURACY_TESTS: "
+        f"unexpected={sorted(_rows_only - set(ROWS_ONLY_ACCURACY_TESTS))} "
+        f"stale={sorted(set(ROWS_ONLY_ACCURACY_TESTS) - _rows_only)}"
+    )

@@ -425,6 +425,30 @@ def test_incremental_neardup_gate_ties_to_lowest_corpus_id(spark):
     assert r["match_id"] == 3  # lowest id wins the tie
 
 
+def test_incremental_neardup_gate_string_ids(spark):
+    """The gate's API is id-type-agnostic: with STRING doc ids the
+    best-match aggregation must still return the real match and break
+    ties to the lexicographically-lowest corpus id. The round-6 shape
+    negated __cid inside max(struct(...)) — with string ids that
+    implicit-casts to NULL doubles and silently returns match_id=NULL
+    (ADVICE r6); the fix negates the always-double score instead."""
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [("doc-b", txt), ("doc-a", txt),
+         ("doc-z", "completely unrelated content about spark shuffles")],
+        "doc_id string, text string",
+    )
+    batch = spark.createDataFrame(
+        [("new-1", txt), ("new-2", "fresh text matching nothing at all")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.incremental_neardup_gate(
+        corpus, batch, "doc_id", "text").collect()}
+    assert out["new-1"]["is_neardup"] and out["new-1"]["est_jaccard"] == 1.0
+    assert out["new-1"]["match_id"] == "doc-a"  # lowest string id
+    assert not out["new-2"]["is_neardup"] and out["new-2"]["match_id"] is None
+
+
 # ------------------------------------------------------- semdedup / ccnet
 def test_semdedup_keeps_lowest_id_per_neardup_group(spark):
     v = [1.0, 0.0, 0.0, 0.0]

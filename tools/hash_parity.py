@@ -148,13 +148,19 @@ def _classes(scols, srows, ocols, orows) -> set[str]:
     if float_cols:
         out.add("FLOAT_COLS")
     # TYPE_DRIFT: per column, compare the first non-null Python type.
-    # Align both sides by sorted column NAME — the same mapping _canon
-    # uses — not by position: the two engines are free to emit columns
-    # in different orders (ADVICE r5).
+    # Align both sides by matching column NAME (dict lookup) — not by
+    # zipping the two sorted name lists: when the sides disagree on
+    # column count or names, a positional zip silently truncates or
+    # mispairs and under-reports drift for exactly the malformed-oracle
+    # cases this tool exists to catch (ADVICE r6). A name present on
+    # only one side is its own fragility class.
     if srows and orows:
-        sidx = sorted(range(len(scols)), key=lambda i: scols[i])
-        oidx = sorted(range(len(ocols)), key=lambda i: ocols[i])
-        for si, oi in zip(sidx, oidx):
+        smap = {c: i for i, c in enumerate(scols)}
+        omap = {c: i for i, c in enumerate(ocols)}
+        if set(smap) != set(omap):
+            out.add("COL_NAME_MISMATCH")
+        for name in sorted(set(smap) & set(omap)):
+            si, oi = smap[name], omap[name]
             st = next(
                 (type(r[si]) for r in srows if r[si] is not None), None
             )
