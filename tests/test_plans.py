@@ -275,7 +275,11 @@ def test_pagerank_runs_constant_shuffles(spark):
     s6, b6 = _runtime_stages(
         graph.pagerank(edges, iterations=6, assume_symmetric=True)
     )
-    assert s4 <= 4 and s6 == s4, (s4, s6)  # iteration-independent
+    # <=5: fan pre-partition + bounded setup stages + the one-row nconst
+    # global agg (round 7 — 1/N rides as a broadcast relation instead of
+    # a construction-time nodes.count(), costing one CONSTANT |V|->1-row
+    # exchange). The load-bearing invariant is iteration-INDEPENDENCE.
+    assert s4 <= 5 and s6 == s4, (s4, s6)
     assert b6 - b4 == 2  # exactly one broadcast per extra iteration
 
 
@@ -431,10 +435,12 @@ def test_pagerank_edge_cache_partitions_bounded(spark):
 #: vocab collect() and quantile_normalize's df.count() both became
 #: one-row broadcast relations.
 CONSTRUCTION_MAY_RUN_JOBS = {
-    "pagerank_trade_graph",
-    "bfs_trade_reach",
-    "kcore_trade_graph",
-    "hits_trade_graph",
+    # Only the connected-components family remains: its pointer-jumping
+    # loop reads a driver-side convergence count per round, which is
+    # inherent to loop-until-converged. Round 7 made pagerank / bfs /
+    # kcore / hits fully lazy (node-count → one-row broadcast relation;
+    # localCheckpoint → persist: the plan→RDD conversion under AQE runs
+    # every upstream stage eagerly at construction).
     "dedup_clusters",
     "fuzzy_dedup_keep_best",
     "entity_resolution",
