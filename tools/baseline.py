@@ -118,7 +118,13 @@ def main() -> None:
     con = duckdb.connect()
     for t in STAR_TABLES:
         p = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written tables are DIRECTORIES of part files (the 10x
+            # probe corpus); DuckDB needs the glob form there.
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}/*.parquet'"
+            )
+        elif os.path.exists(p):
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
     oracle_times: dict[str, tuple[float, bool]] = {}
     for name in qs:
