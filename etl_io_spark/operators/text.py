@@ -790,6 +790,7 @@ def lm_cross_entropy(
     alpha: float = 0.4,
     round_to: int = 6,
     carry: tuple[str, ...] = (),
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Per-document cross-entropy (nats/token) under an interpolated
     bigram language model trained on the corpus itself — the classic
@@ -805,27 +806,33 @@ def lm_cross_entropy(
     tokens have no bigrams and are absent from the output.
 
     Plan: one map-side bigram explode (zip_with over the token array and
-    its tail — no self-join), one groupBy to count bigrams; unigram slot
-    counts and the total reuse those bigram counts (vocabulary-sized
-    input). The per-doc pass joins each bigram occurrence to its counts
-    — the corpus-proportional cost is the bigram explode + one keyed
-    join, exactly the scan-shaped work any corpus LM scorer must do.
-    Mirrors pmi_collocations' shared-denominator construction.
+    its tail — no self-join), one groupBy to count bigrams; the unigram
+    slot counts are WINDOW sums over the bigram-count table (round 7 —
+    ``sum(c12) over (partition by w1)`` / ``(partition by w2)``: two
+    vocab-sized exchanges replacing the old derive-c1/derive-c2 plans
+    plus their two join repartitions, and the bg persist those joins
+    forced; interleaved A/B at sf0.1: 3.08 → 2.05 s median, identical
+    integer sums so every score is bit-identical). The per-doc pass
+    joins each bigram occurrence to the nll table — the
+    corpus-proportional cost is the bigram explode + one keyed join,
+    exactly the scan-shaped work any corpus LM scorer must do.
 
     ``carry`` threads extra per-document constant columns (e.g. a
     language tag) through to the output WITHOUT a post-hoc doc_id join:
     they ride the bigram rows and join the final group key — free,
     because they are functionally dependent on ``id_col``.
 
-    Round-6 A/B (interleaved median-of-7 at sf0.1, do NOT retry):
-    persisting the occurrence stream (the dsir_logratio round-6 win) is
-    a WASH here (1.68 s recompute vs 1.79 s persisted) — unlike dsir's
-    256-bucket hash, both of this plan's passes shuffle ``occ`` anyway
-    (vocab-sized bigram groupBy; score join keyed on (w1, w2)), so the
-    cache saves only the tokenize/explode map work while adding a
-    materialization. Forcing a broadcast of the vocab-sized nll table
-    was also a wash (1.57 s). The remaining gap to DuckDB on this key
-    is per-query constant floor, not plan shape.
+    Negative A/Bs (interleaved medians at sf0.1; do NOT retry):
+    persisting the occurrence stream is a wash in BOTH the old shape
+    (r6: 1.68 recompute vs 1.79 persisted) and the window shape (r7:
+    2.05 vs 2.47 — both passes shuffle ``occ`` anyway, the cache saves
+    only tokenize/explode while adding a materialization). Forcing a
+    broadcast of the vocab-sized nll or c1/c2 tables: wash (r6 1.57 s)
+    to 2x-worse (r7 broadcast-c1/c2 5.1 s — it needs the bg persist
+    back). md5-int join keys (hash60 both engines): wash — the hashing
+    CPU eats the fixed-width-shuffle savings. Co-partitioning occ by w2
+    to reuse the second window's partitioning in the join: wash under
+    AQE (it re-coalesces the two sides differently).
     """
     toks = F.col("__toks")
     bigrams = F.zip_with(
@@ -845,26 +852,39 @@ def lm_cross_entropy(
             F.col("__b.w2").alias("w2"),
         )
     )
-    bg = persist_tracked(occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
-    c1 = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    c2 = bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    from pyspark.sql import Window
+
+    bg = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     total = bg.agg(F.sum("c12").alias("__N"))
     p = (
         F.lit(alpha) * F.col("c12") / F.col("c1")
         + F.lit(1.0 - alpha) * F.col("c2") / F.col("__N")
     )
-    # fold the mixture into a VOCAB-sized per-bigram NLL table first: the
-    # marginal joins then touch only the cached bigram counts, and the
-    # corpus-proportional occurrence stream is joined ONCE (instead of
-    # three shuffles of it against bg/c1/c2 separately). Identical
-    # arithmetic — the same (c12, c1, c2, N) doubles feed the same
-    # mixture expression, just vocab-side instead of occurrence-side.
+    # fold the mixture into a VOCAB-sized per-bigram NLL table: the slot
+    # marginals are window sums OVER the bigram-count table (no separate
+    # c1/c2 aggregate plans, no join repartitions, no bg persist — the
+    # two bg consumers, window chain and total, share one physical
+    # aggregate via ReuseExchange), and the corpus-proportional
+    # occurrence stream is joined ONCE. Identical integer sums feed the
+    # identical mixture expression, so scores are bit-identical to the
+    # join formulation.
     nll_tab = (
-        bg.join(c1, "w1")
-        .join(c2, "w2")
+        bg.withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
+        .withColumn("c2", F.sum("c12").over(Window.partitionBy("w2")))
         .crossJoin(F.broadcast(total))
         .select("w1", "w2", (-F.log(p)).alias("__nll"))
     )
+    # ``broadcast_model``: the nll table IS the trained model, and its
+    # size is vocabulary-bounded (Heaps' law), not corpus-bounded —
+    # shipping the model to every worker is exactly how production
+    # KenLM/fastText gating deploys, and it removes the one
+    # corpus-proportional shuffle left in this plan (the occurrence-side
+    # join exchange). r7 interleaved A/B: wash at sf0.1 (2.16 vs 2.36 s
+    # median), 4.26 -> 3.00 s at 10x data (the join shuffle is the data
+    # term). Set False only for pathological vocabularies that exceed
+    # the broadcast budget — AQE then picks the join strategy.
+    if broadcast_model:
+        nll_tab = F.broadcast(nll_tab)
     scored = occ.join(nll_tab, ["w1", "w2"]).select(
         F.col(id_col), *carry_cols, "__nll"
     )
