@@ -18,13 +18,17 @@ events windowing and the north-star extensions.
 KNOWN DIVERGENCE vs BASELINE.md (round-6 finding, protocol frozen per
 VERDICT r5 ask #10): the timed window here opens AFTER `qs[name](...)`
 returns, so DRIVER-SYNCHRONIZED iterative keys — whose construction
-itself runs Spark actions (HITS per-iteration normalization collects,
-k-core peel rounds, connected-components rounds) — are understated:
-their iteration cost lands outside t0 (hits_trade_graph reads ~0.4 s
-here vs ~5-9 s fresh-standalone). tools/baseline.py times `fn()`
-INCLUDING construction, so its rows carry the full cost; this is the
-same class BASELINE.md's honest aggregates already exclude in both
-directions. Compare iterative keys against BASELINE.md, not this file.
+itself runs Spark actions — are understated: their iteration cost lands
+outside t0. tools/baseline.py times `fn()` INCLUDING construction, so
+its rows carry the full cost; this is the same class BASELINE.md's
+honest aggregates already exclude in both directions. Compare iterative
+keys against BASELINE.md, not this file. ROUND-7 UPDATE: the class
+shrank to the connected-components family only (dedup_clusters,
+entity_resolution, fuzzy_dedup_keep_best) — pagerank/bfs/kcore/hits now
+construct with ZERO jobs (localCheckpoint→persist; node-count→broadcast
+relation), so their bench rows carry the real cost for the first time
+(hits 0.35 → ~2.5 s here is that visibility shift, not a regression:
+the measured FULL call fell ~5.0 → ~2.7-3.7 s, BASELINE.md round-7).
 """
 
 from __future__ import annotations
