@@ -3031,6 +3031,157 @@ def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training.curate_corpus(docs, "doc_id", "text")
 
 
+def _curation_pipeline_oracle(
+    num_perm: int = 16, bands: int = 4, thr: float = 0.5
+) -> str:
+    """DuckDB replica of training.curation_pipeline's ACCOUNTING row: the
+    corpus_curation quality/dedup CTEs, the fuzzy_dedup_keep_best
+    minhash/band/recursive-CC machinery re-rooted on the exact-deduped
+    docs (quality = word count, the pipeline's keep-longest rule), the
+    split ring, and the pack_sequences cumsum windows — one end-to-end
+    conservation check the driver can grade."""
+    from etl_io_spark.operators import dedup as _d
+
+    rpb = num_perm // bands
+    p = _d.MINHASH_P
+    a = ", ".join(str(_d._perm_a(j)) for j in range(num_perm))
+    b = ", ".join(str(_d._perm_b(j)) for j in range(num_perm))
+    return f"""
+    WITH RECURSIVE f AS (
+      SELECT doc_id, text, len({_DUCK_TOKS}) AS nw,
+             CASE WHEN LENGTH(text) > 0
+                  THEN (LENGTH(text)
+                        - LENGTH(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                       * 1.0 / LENGTH(text)
+                  ELSE 0.0 END AS pr,
+             CASE WHEN len({_DUCK_TOKS}) > 0
+                  THEN len(regexp_extract_all(text, '\\b(the|a|and|of|to|in|is|it)\\b')) * 1.0
+                       / len({_DUCK_TOKS})
+                  ELSE 0.0 END AS sw
+      FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, text, nw FROM (
+        SELECT doc_id, text, nw,
+               ROUND((CASE WHEN nw BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN sw >= 0.05 THEN 0.3 ELSE 0.0 END)
+                   + (CASE WHEN pr <= 0.1 THEN 0.3 ELSE 0.0 END), 2) AS q
+        FROM f
+      ) WHERE nw >= 5 AND q >= 0.7
+    ),
+    deduped AS (
+      SELECT * FROM gated
+      QUALIFY doc_id = MIN(doc_id) OVER (
+        PARTITION BY CAST(('0x' || substring(md5(text),1,15)) AS BIGINT))
+    ),
+    toks2 AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM deduped
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, {_H.format(s='g')} AS sh FROM (
+        SELECT doc_id,
+               UNNEST([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                       for i in generate_series(1, len(l) - 2)]) AS g
+        FROM toks2)
+    ),
+    perms AS (SELECT UNNEST(generate_series(0, {num_perm - 1})) AS j),
+    sig AS (
+      SELECT doc_id, j,
+             MIN((([{a}][j+1]) * (sh % {p}) + ([{b}][j+1])) % {p}) AS minhash
+      FROM sh, perms GROUP BY doc_id, j
+    ),
+    bkeys AS (
+      SELECT doc_id, CAST(j // {rpb} AS INT) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j)) AS bkey
+      FROM sig GROUP BY doc_id, CAST(j // {rpb} AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bkeys x JOIN bkeys y ON x.band = y.band AND x.bkey = y.bkey
+      WHERE x.doc_id < y.doc_id
+    ),
+    est AS (
+      SELECT a, b FROM (
+        SELECT a, b,
+               ROUND(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) AS ej
+        FROM cand
+        JOIN sig sa ON sa.doc_id = a
+        JOIN sig sb ON sb.doc_id = b AND sb.j = sa.j
+        GROUP BY a, b
+      ) WHERE ej >= {thr}
+    ),
+    cedges AS (SELECT a AS src, b AS dst FROM est
+               UNION ALL SELECT b AS src, a AS dst FROM est),
+    reach AS (
+      SELECT src AS id, src AS r FROM cedges
+      UNION
+      SELECT e.dst AS id, reach.r FROM reach JOIN cedges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    lab AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                   d.nw
+            FROM deduped d LEFT JOIN comp c ON d.doc_id = c.id),
+    kept AS (
+      SELECT doc_id, nw FROM (
+        SELECT doc_id, nw,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY nw DESC, doc_id ASC) AS rn
+        FROM lab
+      ) WHERE rn = 1
+    ),
+    splitk AS (
+      SELECT doc_id, nw,
+             CASE WHEN {_H_ID} % 10000 < 8000 THEN 'train'
+                  WHEN {_H_ID} % 10000 < 9000 THEN 'val'
+                  ELSE 'test' END AS split,
+             {_H_ID} % 32 AS shard
+      FROM kept
+    ),
+    packed AS (
+      SELECT split, shard, nw,
+             CAST(SUM(nw) OVER (
+               PARTITION BY split, shard ORDER BY {_H_ID}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - nw AS BIGINT) AS tok_start
+      FROM splitk
+    ),
+    bins AS (
+      SELECT split,
+             CAST(shard * 4294967296 + tok_start // 512 AS BIGINT) AS bin_id,
+             nw
+      FROM packed
+    )
+    SELECT (SELECT COUNT(*) FROM documents) AS n_in,
+           (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM gated)
+             AS n_quality_removed,
+           (SELECT COUNT(*) FROM gated) AS n_gated,
+           (SELECT COUNT(*) FROM gated) - (SELECT COUNT(*) FROM deduped)
+             AS n_exact_removed,
+           (SELECT COUNT(*) FROM deduped) AS n_exact_kept,
+           (SELECT COUNT(*) FROM deduped) - (SELECT COUNT(*) FROM kept)
+             AS n_fuzzy_removed,
+           (SELECT COUNT(*) FROM kept) AS n_kept,
+           COUNT(*) AS n_packed_docs,
+           COUNT(DISTINCT (split, bin_id)) AS n_bins,
+           CAST(SUM(nw) AS BIGINT) AS total_tokens
+    FROM bins
+    """
+
+
+@register("curation_pipeline", _curation_pipeline_oracle())
+def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brief's 100 TB workload as ONE graded plan
+    (training.curation_pipeline — VERDICT r6 ask #7): quality gate →
+    exact dedup → MinHash-LSH fuzzy keep-longest → split ring →
+    per-split packing, graded on its one-row row-conservation accounting
+    frame. The oracle replays every stage in SQL (recursive-CTE
+    components for the fuzzy step), so in = removed + kept is checked
+    end-to-end across engines, not just within one."""
+    docs = _cat(spark, sf_dir).table("documents")
+    return training.curation_pipeline(docs, "doc_id", "text")["accounting"]
+
+
 # ==========================================================================
 # Market-basket co-occurrence mining (operators/aggregate.py): top part
 # pairs within orders — one fact shuffle + map-side pair expansion; the

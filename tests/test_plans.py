@@ -444,6 +444,7 @@ CONSTRUCTION_MAY_RUN_JOBS = {
     "dedup_clusters",
     "fuzzy_dedup_keep_best",
     "entity_resolution",
+    "curation_pipeline",  # composes fuzzy_dedup_keep_best's CC rounds
 }
 
 
