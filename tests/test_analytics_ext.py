@@ -1144,7 +1144,11 @@ def test_connected_components_cleans_supplied_checkpoint_dir(spark, tmp_path):
         [(i, i + 1) for i in range(6)], "a bigint, b bigint"
     )
     ckpt = str(tmp_path / "cc_ckpt")
-    out = dedup.connected_components(pairs, "a", "b", checkpoint_dir=ckpt)
+    # max_driver_edges=0 forces the distributed loop (the fast path never
+    # writes checkpoints)
+    out = dedup.connected_components(
+        pairs, "a", "b", checkpoint_dir=ckpt, max_driver_edges=0
+    )
     rows = out.collect()
     assert {r["cluster_id"] for r in rows} == {0}
     tags = sorted(os.listdir(ckpt))

@@ -281,6 +281,44 @@ def test_connected_components_long_chain(spark):
     assert {r["cluster_id"] for r in out} == {1}
 
 
+def test_connected_components_fast_path_matches_loop(spark):
+    """The round-7 driver union-find gate must be OUTPUT-IDENTICAL to the
+    distributed pointer-jumping loop: same rows, same min-id cluster
+    labels, on a graph mixing chains, stars, a cycle, and islands —
+    including string node ids (the loop and the union-by-min rule are
+    both id-type-agnostic)."""
+    import random
+
+    rng = random.Random(7)
+    edges = (
+        [(i, i + 1) for i in range(1, 30)]          # chain
+        + [(100, 100 + i) for i in range(1, 8)]     # star
+        + [(200, 201), (201, 202), (202, 200)]      # cycle
+        + [(300, 301)]                              # island
+        + [(rng.randint(400, 440), rng.randint(400, 440)) for _ in range(25)]
+    )
+    pairs = spark.createDataFrame(edges, "a bigint, b bigint")
+    fast = sorted(map(tuple, dedup.connected_components(pairs).collect()))
+    loop = sorted(
+        map(
+            tuple,
+            dedup.connected_components(
+                pairs, max_driver_edges=0
+            ).collect(),
+        )
+    )
+    assert fast == loop and len(fast) > 0
+
+    spairs = spark.createDataFrame(
+        [("d-b", "d-a"), ("d-b", "d-c"), ("x", "y")], "a string, b string"
+    )
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(spairs).collect()
+    }
+    assert out == {"d-a": "d-a", "d-b": "d-a", "d-c": "d-a", "x": "x", "y": "x"}
+
+
 def test_quantize_embeddings_error_bound(spark, emb):
     out = similarity.quantize_embeddings(emb.limit(50)).join(
         emb.limit(50), "vec_id"
