@@ -505,7 +505,14 @@ def connected_components(
                 ),
             )
         ).alias("__e")
-    ).select("__e.src", "__e.dst").persist()
+    ).select("__e.src", "__e.dst")
+    # a null endpoint is not a node: drop it up front so BOTH paths agree
+    # (the driver union-find's `rd < rs` would raise TypeError on None,
+    # while the distributed loop would silently thread null labels —
+    # ADVICE r7)
+    edges = edges.where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    ).persist()
     # ---- driver union-find fast path (see docstring) -------------------
     if max_driver_edges and edges.count() <= max_driver_edges:
         parent: dict = {}
@@ -533,7 +540,11 @@ def connected_components(
                 parent[rd] = rs
         rows = [(x, find(x)) for x in parent]
         edges.unpersist()
-        id_type = pairs.schema[a_col].dataType
+        # the struct-array explode coerced a_col/b_col to their COMMON
+        # type; schema the output from that, not from a_col alone, so
+        # heterogeneous pairs (int × bigint) don't fail createDataFrame
+        # verification where the distributed path would succeed (ADVICE r7)
+        id_type = edges.schema["src"].dataType
         from pyspark.sql.types import StructField, StructType
 
         return spark.createDataFrame(

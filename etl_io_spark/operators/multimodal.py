@@ -144,9 +144,13 @@ def _decode_netpbm(data: bytes) -> np.ndarray | None:
     if w <= 0 or h <= 0 or not (0 < maxval <= 255):
         return None
     n = w * h * (3 if rgb else 1)
-    raster = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
-    if raster.size < n:
+    # truncation check BEFORE frombuffer: with an explicit count,
+    # np.frombuffer raises ValueError on a short buffer (and on
+    # offset > len) instead of returning a short array, which would leak
+    # an exception out of the documented returns-None contract (ADVICE r7).
+    if pos > len(data) or len(data) - pos < n:
         return None
+    raster = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
     if rgb:
         px = raster.reshape(h, w, 3).astype(np.int32)
         gray = (px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114 + 500) // 1000

@@ -790,7 +790,7 @@ def lm_cross_entropy(
     alpha: float = 0.4,
     round_to: int = 6,
     carry: tuple[str, ...] = (),
-    broadcast_model: bool = True,
+    broadcast_model: bool | None = None,
 ) -> DataFrame:
     """Per-document cross-entropy (nats/token) under an interpolated
     bigram language model trained on the corpus itself — the classic
@@ -874,15 +874,27 @@ def lm_cross_entropy(
         .crossJoin(F.broadcast(total))
         .select("w1", "w2", (-F.log(p)).alias("__nll"))
     )
-    # ``broadcast_model``: the nll table IS the trained model, and its
-    # size is vocabulary-bounded (Heaps' law), not corpus-bounded —
-    # shipping the model to every worker is exactly how production
-    # KenLM/fastText gating deploys, and it removes the one
-    # corpus-proportional shuffle left in this plan (the occurrence-side
-    # join exchange). r7 interleaved A/B: wash at sf0.1 (2.16 vs 2.36 s
-    # median), 4.26 -> 3.00 s at 10x data (the join shuffle is the data
-    # term). Set False only for pathological vocabularies that exceed
-    # the broadcast budget — AQE then picks the join strategy.
+    # ``broadcast_model``: the nll table IS the trained model, and
+    # shipping it to every worker (KenLM/fastText-style deployment)
+    # removes the one corpus-proportional shuffle left in this plan (the
+    # occurrence-side join exchange). r7 interleaved A/B: wash at sf0.1
+    # (2.16 vs 2.36 s median), 4.26 -> 3.00 s at 10x data (the join
+    # shuffle is the data term). BUT the table is sized by distinct
+    # BIGRAM types, which keep growing with the corpus (unlike the
+    # Heaps-bounded unigram vocabulary) — an unconditional hint would
+    # abort at the driver's broadcast limit on a 100 TB corpus (ADVICE
+    # r7). Default (None) is therefore size-gated: distinct bigrams <=
+    # total bigram occurrences and a (w1, w2, nll) row is no wider than
+    # the text that produced it, so the corpus scan size upper-bounds
+    # the model table; broadcast only when THAT fits the session's
+    # autoBroadcastJoinThreshold, else leave the join strategy to AQE.
+    if broadcast_model is None:
+        from etl_io_spark.partitioning import (
+            broadcast_budget_bytes,
+            plan_size_bytes,
+        )
+
+        broadcast_model = plan_size_bytes(df) <= broadcast_budget_bytes(df)
     if broadcast_model:
         nll_tab = F.broadcast(nll_tab)
     scored = occ.join(nll_tab, ["w1", "w2"]).select(

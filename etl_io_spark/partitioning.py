@@ -55,6 +55,30 @@ def plan_size_bytes(df: DataFrame) -> int:
     return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
 
 
+_SIZE_SUFFIXES = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+
+
+def broadcast_budget_bytes(df: DataFrame) -> int:
+    """The session's ``spark.sql.autoBroadcastJoinThreshold`` in bytes —
+    the budget a plan-construction-time broadcast decision should honor.
+    Tolerates the suffixed forms the conf accepts (``10MB``, ``64m``) and
+    returns 0 when auto-broadcast is disabled (``-1``) or unparsable, so
+    callers gate conservatively."""
+    raw = str(
+        df.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+    ).strip().lower().removesuffix("b")
+    mult = 1
+    if raw and raw[-1] in _SIZE_SUFFIXES:
+        mult = _SIZE_SUFFIXES[raw[-1]]
+        raw = raw[:-1]
+    try:
+        return max(0, int(raw) * mult)
+    except (TypeError, ValueError):
+        return 0
+
+
 def spread(
     df: DataFrame,
     min_partitions: int | None = None,

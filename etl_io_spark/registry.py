@@ -43,46 +43,45 @@ def register(name: str, sql: str | None = None):
 #: Everything not listed follows in registration order and is still covered
 #: by the stricter local gate (tools/check.py) and pytest.
 _WINDOW_ORDER: tuple[str, ...] = (
-    # Round-7 rotation (VERDICT r6 ask #1): keep the 10 CORE SENTINELS,
-    # spend the other 40 slots on the next tranche of never-driver-graded
-    # keys (88 remained entering this round; 48 will remain after it):
-    # training curation, profile/DQ/SCD/CDC, window/percentile basics,
-    # the embedding tail, the two rows-only media keys (now backed by
-    # exact-value tests + the in-container netpbm library_decode path),
-    # and a cross-family remainder. Every rotated-out key stays green
-    # under the stricter local gate (tools/check.py exact equality, both
-    # SFs) + pytest; every first-time key below was swept with
-    # tools/hash_parity.py before entering the window (sf0.01 all, the
-    # float-heavy subset also at sf0.1 — HASHPARITY_r07.log).
+    # Round-8 rotation (VERDICT r7 ask #2): the FINAL burn-down — every
+    # one of the 45 still-never-driver-graded oracled keys, plus the
+    # `embedding_quantize` retry (r7 err was the ArrayType output defeating
+    # the driver's pandas canonicalizer; the graded view is now exploded to
+    # scalar rows), plus 4 cross-family sentinels = exactly 50. After this
+    # round all 213 oracled registry keys have been driver-graded at least
+    # once. The 4 no-oracle keys (`approx_distinct_users`,
+    # `approx_percentile_price`, `sketch_rollup_users`,
+    # `winsorize_prices_approx`) are deliberately EXCLUDED — r7 proved
+    # no-oracle keys can only return `err: no_oracle`; their contract is
+    # the pinned accuracy pytests (ROWS_ONLY_ACCURACY_TESTS). Every
+    # rotated-out key stays green under the stricter local gate
+    # (tools/check.py exact equality, both SFs) + pytest; every first-time
+    # key below was swept with tools/hash_parity.py before entering the
+    # window (HASHPARITY_r07.log sweep 4 + HASHPARITY_r08.log).
     #
-    # -- core sentinels (10): scan/filter, broadcast join, agg, pivot,
-    #    window, dedup, similarity, graph, composite pipeline, raw SQL
-    "pricing_summary", "select_project_filter", "dim_join_label",
-    "group_count", "pivot_returnflag", "window_topk_per_group",
-    "dedup_exact", "embedding_neardup", "pagerank_trade_graph",
-    "awards_pipeline",
-    # -- first-time: training curation
-    "split_assign", "group_exclusive_split", "stratified_sample",
-    "chunk_documents", "pii_redact", "weighted_mix",
-    # -- first-time: profile / data-quality / SCD / CDC
-    "profile_lineitem", "dq_violations", "merge_upsert_customer",
-    "scd2_snapshot_lookup", "changelog_compaction", "snapshot_diff_orders",
-    "zorder_code_orders",
-    # -- first-time: window / percentile basics
-    "window_ntile", "window_percent_rank", "percentiles_by_flag",
-    "first_last_event", "histogram_price", "anomaly_zscore_events",
-    # -- first-time: embedding tail
-    "embedding_centroids", "embedding_quantize", "embedding_gram",
-    "kmeans_embeddings",
-    # -- first-time: media (rows-only; exact-value pytest backing)
-    "media_features", "media_phash_dedup",
-    # -- first-time: cross-family remainder
-    "grouping_sets_flags", "events_rollup_time", "rolling_avg_events",
-    "funnel_latency", "session_stats", "rfm_segments",
-    "mom_revenue_growth", "revenue_deciles", "supplier_hhi",
-    "vocab_coverage", "langid_prf", "quote_spans_docs",
-    "decontaminate_benchmark", "temperature_mix_langs",
-    "bitmap_distinct_rollup",
+    # -- core sentinels (4): scan/agg pipeline, broadcast join, dedup,
+    #    iterative graph
+    "pricing_summary", "dim_join_label", "dedup_exact",
+    "pagerank_trade_graph",
+    # -- retry: r7 canonicalizer err, output reshaped to scalars
+    "embedding_quantize",
+    # -- first-time: the final 45 (alphabetical)
+    "ab_test_events", "activity_streaks", "audience_overlap",
+    "charset_profile", "cumulative_reach", "curation_pipeline",
+    "customer_order_distribution", "decayed_counts_events",
+    "dispersion_events", "embedding_norm_audit", "event_paths",
+    "event_transitions", "hard_negatives", "histogram2d_events",
+    "impute_event_values", "incremental_agg_orders", "interarrival_stats",
+    "item_similarity", "langid_confusion", "large_order_customers",
+    "market_share_nation", "media_frame_dedup", "minmax_normalize_events",
+    "mode_priority_by_segment", "normalize_text_docs", "packing_efficiency",
+    "pareto_suppliers", "peak_concurrency_events", "repetition_ratio",
+    "retention_halflife", "returned_customers", "revenue_share_by_nation",
+    "seasonality_events", "session_entry_exit", "similarity_ivf",
+    "skew_lineitem_suppkey", "stream_interval_join",
+    "table_checksum_orders", "tail_ratio_prices", "topn_other_nations",
+    "trending_event_types", "user_trend_slopes", "vocab_drift_sources",
+    "vocab_top_tokens", "weighted_sample_orders",
 )
 
 
@@ -4099,27 +4098,38 @@ def _embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_quantize",
     """
-    SELECT vec_id, qscale,
-           list_transform(embedding,
-                          x -> CAST(round(CAST(x AS DOUBLE) / qscale) AS INT))
-             AS qvec
+    SELECT vec_id, qscale, CAST(gs.i - 1 AS INT) AS dim,
+           CAST(round(CAST(embedding[gs.i] AS DOUBLE) / qscale) AS INT)
+             AS qval
     FROM (
       SELECT vec_id, embedding,
              greatest(list_max(list_transform(embedding,
                                               x -> abs(CAST(x AS DOUBLE)))),
                       1e-12) / 127.0 AS qscale
       FROM embeddings
-    )
+    ), generate_series(1, 64) gs(i)  -- fixed 64-dim embeddings
     """,
 )
 def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric quantization (operators/similarity.py
     ``quantize_embeddings``): 4× smaller vectors for every downstream
     shuffle/broadcast; pure Catalyst HOFs, zero shuffles. The quantized
-    top-k consumer (``quantized_topk``) is recall-tested in pytest."""
+    top-k consumer (``quantized_topk``) is recall-tested in pytest.
+
+    Graded view only: the operator returns the real ``array<int>`` column,
+    but the driver's pandas canonicalizer cannot hash nested types
+    (CORRECTNESS_r07 ``TypeError: unhashable type: 'list'``), so the
+    registry entry posexplodes ``qvec`` to scalar ``(vec_id, qscale, dim,
+    qval)`` rows — same values, flat schema, bit-identical to the oracle's
+    ``generate_series`` unnest."""
     from etl_io_spark.operators import similarity as sim
 
-    return sim.quantize_embeddings(_cat(spark, sf_dir).table("embeddings"))
+    q = sim.quantize_embeddings(_cat(spark, sf_dir).table("embeddings"))
+    return q.select(
+        "vec_id",
+        "qscale",
+        F.posexplode("qvec").alias("dim", "qval"),
+    )
 
 
 # ==========================================================================

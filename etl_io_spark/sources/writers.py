@@ -13,7 +13,8 @@ sink surface is wider and is what a 100 TB pipeline actually needs:
   * JDBC — the ``to_db`` intent; gated because this container ships no
     JDBC driver jar.
   * Excel — the ``to_excel`` intent; driver-side by nature (a .xlsx is not
-    a distributed format), gated on openpyxl and explicitly collect-bounded.
+    a distributed format), explicitly collect-bounded. Round 8: written
+    with a minimal stdlib OOXML writer (ECMA-376 zip+XML), no openpyxl.
 
 Every writer takes a DataFrame and returns the written path/identifier so
 pipelines can chain read-back verification.
@@ -147,12 +148,69 @@ def write_jdbc(
     return table
 
 
+def _xlsx_col(i: int) -> str:
+    """0-based column index -> A1-style letters (0 -> A, 26 -> AA)."""
+    s = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        s = chr(65 + r) + s
+    return s
+
+
+_XLSX_STATIC = {
+    "[Content_Types].xml": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    ),
+    "_rels/.rels": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    ),
+    "xl/workbook.xml": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    ),
+    "xl/_rels/workbook.xml.rels": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    ),
+}
+
+
 def to_excel(df: DataFrame, path: str, max_rows: int = 100_000) -> str:
-    """Excel sink (S14 ``to_excel`` intent) — driver-side by nature.
+    """Excel sink (S14 ``to_excel``; closes the reference's never-built
+    TODO at etl_io.py:947) — driver-side by nature (.xlsx is not a
+    distributed format).
 
     Bounded collect: refuses more than ``max_rows`` so a fat-finger on a
-    100 TB table fails fast instead of OOMing the driver. Gated on
-    openpyxl (absent here)."""
+    100 TB table fails fast instead of OOMing the driver; at scale,
+    aggregate first — an Excel sheet is a REPORT surface, not a data
+    sink.
+
+    Round 8: the openpyxl env gate is gone — .xlsx is just a zip of
+    OOXML parts (ECMA-376, public spec), so the sink writes a minimal
+    single-sheet workbook with the stdlib ``zipfile`` + hand-built
+    SpreadsheetML: header row from column names, numbers/bools as native
+    cell types, everything else as inline strings (no shared-string
+    table — inline is valid and single-pass), nulls as blank cells.
+    Deterministic output (fixed zip timestamps), zero dependencies."""
+    import math
+    import zipfile
+    from xml.sax.saxutils import escape
+
     n = df.limit(max_rows + 1).count()
     if n > max_rows:
         raise ValueError(
@@ -160,10 +218,45 @@ def to_excel(df: DataFrame, path: str, max_rows: int = 100_000) -> str:
             "filter/aggregate first or raise max_rows explicitly"
         )
     pdf = df.toPandas()
-    try:
-        pdf.to_excel(path, index=False)
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise NotImplementedError("to_excel requires the 'openpyxl' package") from e
+
+    def cell(ref: str, v) -> str:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)) and not (
+            isinstance(v, float) and math.isinf(v)
+        ):
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        return (
+            f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+            f"{escape(str(v))}</t></is></c>"
+        )
+
+    rows_xml = []
+    header = "".join(
+        cell(f"{_xlsx_col(j)}1", str(c)) for j, c in enumerate(pdf.columns)
+    )
+    rows_xml.append(f'<row r="1">{header}</row>')
+    for i, rec in enumerate(pdf.itertuples(index=False), start=2):
+        body = "".join(
+            cell(f"{_xlsx_col(j)}{i}", v) for j, v in enumerate(rec)
+        )
+        rows_xml.append(f'<row r="{i}">{body}</row>')
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{''.join(rows_xml)}</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, data in {
+            **_XLSX_STATIC,
+            "xl/worksheets/sheet1.xml": sheet,
+        }.items():
+            # fixed timestamp: byte-identical output for identical input
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            z.writestr(info, data)
     return path
 
 

@@ -138,9 +138,13 @@ def test_library_decode_ppm_roundtrip():
 
 
 def test_library_decode_rejects_truncated_netpbm():
-    # raster shorter than w*h(*3): not decodable -> falls through to the
-    # Pillow path -> NotImplementedError here (or a Pillow decode error)
+    # raster shorter than w*h(*3) -> the netpbm decoder returns None per
+    # its documented contract (no ValueError leaking from np.frombuffer —
+    # ADVICE r7), and library_decode falls through to the Pillow path
     bad = _ppm_bytes([1, 2, 3], 4, 4, magic=b"P5")
+    assert mm._decode_netpbm(bad) is None
+    # header ending exactly at EOF (offset == len): same contract
+    assert mm._decode_netpbm(b"P5\n4 4 255\n") is None
     with pytest.raises(Exception):
         mm.library_decode(bad, 4, 4)
 

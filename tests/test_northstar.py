@@ -319,6 +319,35 @@ def test_connected_components_fast_path_matches_loop(spark):
     assert out == {"d-a": "d-a", "d-b": "d-a", "d-c": "d-a", "x": "x", "y": "x"}
 
 
+def test_connected_components_heterogeneous_and_null_ids(spark):
+    """ADVICE r7: the driver fast path must (a) schema its output from the
+    struct-array-coerced common type so int × bigint pairs don't fail
+    createDataFrame verification, and (b) drop null-endpoint edges instead
+    of raising TypeError in the union-find comparison — identically on
+    both paths."""
+    het = spark.createDataFrame(
+        [(1, 2), (2, 3)], "a int, b bigint"
+    )
+    out = {r["id"]: r["cluster_id"]
+           for r in dedup.connected_components(het).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+    assert dict(dedup.connected_components(het).dtypes) == {
+        "id": "bigint", "cluster_id": "bigint"
+    }
+
+    nulls = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (5, 6)], "a bigint, b bigint"
+    )
+    for gate in (2_000_000, 0):  # fast path and distributed loop
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in dedup.connected_components(
+                nulls, max_driver_edges=gate
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 5: 5, 6: 5}, gate
+
+
 def test_quantize_embeddings_error_bound(spark, emb):
     out = similarity.quantize_embeddings(emb.limit(50)).join(
         emb.limit(50), "vec_id"

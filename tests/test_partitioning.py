@@ -126,3 +126,72 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     # matches only the 1-URGENT partition's rows
     urgent = fact.where(F.col("o_orderpriority") == "1-URGENT").count()
     assert n == urgent > 0
+
+
+def test_broadcast_budget_bytes_parsing(spark):
+    """Suffixed conf forms, plain ints, and the disabled sentinel all
+    parse; unparsable values gate conservatively to 0 (ADVICE r7 — the
+    lm model-broadcast decision rides this)."""
+    from etl_io_spark.partitioning import broadcast_budget_bytes
+
+    df = spark.range(1)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    orig = spark.conf.get(key)
+    try:
+        for raw, want in [
+            ("10485760", 10485760),
+            ("10MB", 10 * 1024**2),
+            ("64m", 64 * 1024**2),
+            ("1g", 1024**3),
+            ("-1", 0),
+        ]:
+            spark.conf.set(key, raw)
+            assert broadcast_budget_bytes(df) == want, raw
+    finally:
+        spark.conf.set(key, orig)
+
+    # vanilla Spark's conf validator rejects non-numeric values, but some
+    # distributions accept "auto" — the helper must still gate to 0
+    class _Conf:
+        def get(self, k, d=None):
+            return "auto"
+
+    class _Sess:
+        conf = _Conf()
+
+    class _Df:
+        sparkSession = _Sess()
+
+    assert broadcast_budget_bytes(_Df()) == 0
+
+
+def test_lm_broadcast_gate_scale_safe(spark):
+    """lm_cross_entropy's default model-broadcast is SIZE-GATED (ADVICE
+    r7): identical scores whether the model table is broadcast or
+    shuffle-joined, and a corpus whose scan estimate exceeds the budget
+    must take the scale-safe shuffle path by default."""
+    from etl_io_spark.operators import text as txt
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{i % 5} common words")
+         for i in range(60)],
+        "doc_id int, text string",
+    )
+    on = sorted(map(tuple, txt.lm_cross_entropy(
+        df, "doc_id", "text", broadcast_model=True).collect()))
+    off = sorted(map(tuple, txt.lm_cross_entropy(
+        df, "doc_id", "text", broadcast_model=False).collect()))
+    assert on == off and len(on) == 60
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")  # broadcast disabled -> budget 0
+        plan = (
+            txt.lm_cross_entropy(df, "doc_id", "text")
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        # the explicit model-side broadcast hint must NOT appear
+        assert "ResolvedHint" not in plan, plan[:2000]
+    finally:
+        spark.conf.set(key, orig)

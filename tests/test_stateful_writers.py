@@ -100,6 +100,53 @@ def test_to_excel_row_cap(spark):
         writers.to_excel(df, "/tmp/never.xlsx", max_rows=5)
 
 
+def test_to_excel_round_trip(spark, tmp_path):
+    """S14 stdlib xlsx sink (round 8, no openpyxl): write a mixed-type
+    frame and read the OOXML parts back with zipfile + ElementTree —
+    header row, native number/bool cells, inline strings (XML-escaped),
+    blank cells for nulls, and a valid part inventory."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, True, "plain"),
+            (2, None, False, "esc <&> \"quoted\""),
+            (3, -0.125, None, None),
+        ],
+        "k int, x double, f boolean, s string",
+    )
+    path = writers.to_excel(df, str(tmp_path / "out.xlsx"))
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        assert {"[Content_Types].xml", "xl/workbook.xml",
+                "xl/worksheets/sheet1.xml"} <= names
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+    rows = sheet.findall(f"{ns}sheetData/{ns}row")
+    assert len(rows) == 4  # header + 3 data rows
+
+    def cells(row):
+        out = {}
+        for c in row.findall(f"{ns}c"):
+            ref = c.get("r")
+            col = "".join(ch for ch in ref if ch.isalpha())
+            if c.get("t") == "inlineStr":
+                out[col] = c.find(f"{ns}is/{ns}t").text
+            else:
+                out[col] = c.find(f"{ns}v").text
+        return out
+
+    assert cells(rows[0]) == {"A": "k", "B": "x", "C": "f", "D": "s"}
+    r1 = cells(rows[1])
+    assert (int(r1["A"]), float(r1["B"]), r1["C"], r1["D"]) == (
+        1, 2.5, "1", "plain")
+    r2 = cells(rows[2])
+    assert r2["D"] == 'esc <&> "quoted"' and "B" not in r2  # null -> blank
+    r3 = cells(rows[3])
+    assert float(r3["B"]) == -0.125 and "C" not in r3 and "D" not in r3
+
+
 def test_bucketed_table_shuffle_free_join(spark, tmp_path):
     """Two tables bucketed on the join key join without an Exchange —
     the S13-at-scale payoff."""
