@@ -123,23 +123,31 @@ EXTRA_PROBES = {"curation_pipeline": _curation_pipeline_accounting}
 #: o_orderkey/l_orderkey, so every replica aliased the SAME 1000
 #: suppliers and the graph-suite "10x" ratios measured a 10x scan over an
 #: UNCHANGED edge set (BASELINE.md documented the hole).
+#: (key columns to offset, timestamp column to shift, text column to
+#: perturb, NAME column to tag). Name tagging (round 8, VERDICT r7 ask
+#: #5): replica i of customer appends a doubled replica letter to
+#: ``c_name`` (" bb", " cc", ...), so cross-replica name pairs sit at
+#: edit distance >= 2 — beyond entity_resolution's max_distance=1 gate —
+#: and the true pair graph grows ~copies x instead of the 165x
+#: verbatim-copy explosion BASELINE.md had to caveat (replica 0 keeps
+#: the original names, exactly like the text perturbation).
 OFFSETS = {
-    "lineitem": (["l_orderkey", "l_suppkey", "l_partkey"], None, None),
-    "orders": (["o_orderkey", "o_custkey"], None, None),
-    "customer": (["c_custkey"], None, None),
-    "supplier": (["s_suppkey"], None, None),
-    "part": (["p_partkey"], None, None),
-    "nation": ([], None, None),
-    "region": ([], None, None),
-    "events": (["event_id", "user_id"], "ts", None),
-    "documents": (["doc_id"], None, "text"),
-    "embeddings": (["vec_id"], None, None),
+    "lineitem": (["l_orderkey", "l_suppkey", "l_partkey"], None, None, None),
+    "orders": (["o_orderkey", "o_custkey"], None, None, None),
+    "customer": (["c_custkey"], None, None, "c_name"),
+    "supplier": (["s_suppkey"], None, None, None),
+    "part": (["p_partkey"], None, None, None),
+    "nation": ([], None, None, None),
+    "region": ([], None, None, None),
+    "events": (["event_id", "user_id"], "ts", None, None),
+    "documents": (["doc_id"], None, "text", None),
+    "embeddings": (["vec_id"], None, None, None),
 }
 KEY_OFFSET = 10_000_000
 
 
 def generate(spark, out: str, copies: int = 10) -> None:
-    for t, (keys, ts_col, text_col) in OFFSETS.items():
+    for t, (keys, ts_col, text_col, name_col) in OFFSETS.items():
         src = spark.read.parquet(f"{SRC}/{t}.parquet")
         parts = []
         for i in range(copies if keys else 1):
@@ -155,6 +163,14 @@ def generate(spark, out: str, copies: int = 10) -> None:
                 # content-hash groups stay ~copy-count sized, realistic
                 df = df.withColumn(
                     text_col, F.concat(F.col(text_col), F.lit(f" c{i}"))
+                )
+            if name_col and i:
+                # doubled letter: >= 2 edits between any two replicas'
+                # copies of a name, so edit-distance<=1 pair graphs grow
+                # ~copies x (natural weak scaling), not quadratically
+                tag = chr(96 + i) * 2  # i=1 -> "aa", i=2 -> "bb", ...
+                df = df.withColumn(
+                    name_col, F.concat(F.col(name_col), F.lit(f" {tag}"))
                 )
             parts.append(df)
         out_df = parts[0]
