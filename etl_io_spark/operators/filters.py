@@ -199,7 +199,18 @@ def quality_classifier(
     expressions → ONE partial-aggregable per-doc mean. Zero-token
     documents keep logit 0 (score 0.5) via the left join back to the
     doc spine.
+
+    Round 8: the weight md5 depends only on the BUCKET (``n_buckets``
+    distinct values), yet the old plan recomputed it per TOKEN INSTANCE —
+    at the 100x probe that second md5 was the scaling term (3.9x vs the
+    oracle, which DuckDB's cheaper md5 hid at smaller SFs). The weight
+    table is now computed ONCE driver-side with the identical md5
+    arithmetic and folded in as a constant array literal, so scoring
+    pays one md5 + one O(1) array index per token. Values are
+    bit-identical (same bytes through the same hash).
     """
+    import hashlib
+
     from etl_io_spark.operators.text import hash60
 
     toked = spread_text(df).select(
@@ -208,10 +219,16 @@ def quality_classifier(
     bucket = F.pmod(hash60(F.col("__tok")), F.lit(n_buckets))
     # md5-derived INTEGER milli-weight in [-1000, 1000]: summed exactly as
     # int64, so the mean (and the label boundary sum >= 0 at threshold
-    # 0.5) is engine-deterministic — no FP summation-order residue at all
-    w = F.pmod(
-        hash60(F.concat(F.lit("w"), bucket.cast("string"))), F.lit(2001)
-    ) - F.lit(1000)
+    # 0.5) is engine-deterministic — no FP summation-order residue at all.
+    # Python replica of hash60 (conv(substring(md5, 1, 15), 16, 10)):
+    weights = [
+        int(hashlib.md5(f"w{b}".encode()).hexdigest()[:15], 16) % 2001
+        - 1000
+        for b in range(n_buckets)
+    ]
+    w = F.element_at(
+        F.array(*[F.lit(x) for x in weights]), (bucket + 1).cast("int")
+    )
     per_doc = toked.select(F.col(id_col), w.alias("__w")).groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("__w").alias("__wsum"),
