@@ -408,3 +408,9 @@ def test_ewma_fold_carries_state_across_batches(spark):
     # identical to folding both rows in one batch
     both = stateful._ewma_fold(None, pd.concat([b1, b2]), lam)
     assert both == s2
+
+
+def test_xlsx_col_letters():
+    assert [writers._xlsx_col(i) for i in (0, 1, 25, 26, 27, 51, 52, 701, 702)] == [
+        "A", "B", "Z", "AA", "AB", "AZ", "BA", "ZZ", "AAA"
+    ]
