@@ -6152,10 +6152,10 @@ _READABILITY_SQL = """
 def _readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _cat(spark, sf_dir).table("documents")
     n_words = F.size(text.tokens("text"))
-    n_sents = F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]"), F.lit(0)))
-    n_syll = F.size(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
-    )
+    # regexp_count == size(regexp_extract_all): same matches without
+    # materializing each one into an array (round-8 text-battery lesson)
+    n_sents = F.regexp_count(F.col("text"), F.lit("[.!?]"))
+    n_syll = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
     ok = (n_words > 0) & (n_sents > 0)
     score = (
         F.lit(206.835)
