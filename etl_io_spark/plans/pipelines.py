@@ -585,3 +585,741 @@ FROM (
 GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 8: the remaining 12 TPC-H query shapes (Q2/Q4/Q6/Q9/Q11/Q12/Q14/
+# Q15/Q16/Q19/Q20/Q22), completing the 22-query suite. The driver schema
+# has no partsupp table, receipt/commit dates, ship modes, or phone
+# numbers, so each query keeps the SHAPE (the join topology, the
+# correlation pattern, the aggregate structure) with documented column
+# substitutions — the same adaptation discipline as sole_late_suppliers
+# (Q21) above.
+# ---------------------------------------------------------------------------
+
+
+def min_cost_supplier(
+    cat: TableCatalog,
+    region: str = "EUROPE",
+    p_type: str = "LARGE",
+    size_lo: int = 10,
+    size_hi: int = 20,
+) -> DataFrame:
+    """Minimum-cost supplier per part (TPC-H Q2 shape). No partsupp table
+    exists, so the supply relation is derived: per (part, supplier) pair
+    observed in lineitem, supplycost = MIN(l_extendedprice / l_quantity).
+    MIN (not AVG) keeps the value order-independent — the argmin equality
+    below is then bit-exact on both engines regardless of aggregation
+    order.
+
+    Scale shape: the part filter broadcasts into lineitem BEFORE the
+    pair aggregation, so only the qualifying sliver shuffles; the
+    region-filtered supplier dim broadcasts; the correlated per-part MIN
+    decorrelates to a window over the already-aggregated (and
+    part-filtered) supply relation instead of a second lineitem pass.
+    """
+    pk = (
+        cat.table("part")
+        .where(
+            (F.col("p_type") == p_type)
+            & F.col("p_size").between(size_lo, size_hi)
+        )
+        .select("p_partkey")
+    )
+    eu = (
+        cat.table("supplier")
+        .join(
+            cat.table("nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            cat.table("region").where(F.col("r_name") == region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supply = (
+        cat.table("lineitem")
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "__cost"
+            )
+        )
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    from pyspark.sql import Window
+
+    per_part = Window.partitionBy("l_partkey")
+    return (
+        supply.withColumn("__min_cost", F.min("__cost").over(per_part))
+        .where(F.col("__cost") == F.col("__min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("__cost", 4).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+MIN_COST_SUPPLIER_SQL = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS supplycost
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+  GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+       ROUND(supplycost, 4) AS supplycost
+FROM supply JOIN eu ON l_suppkey = s_suppkey
+WHERE supplycost = (
+  SELECT MIN(s2.supplycost) FROM supply s2
+  JOIN eu e2 ON s2.l_suppkey = e2.s_suppkey
+  WHERE s2.l_partkey = supply.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def order_priority_check(
+    cat: TableCatalog, start: str = "1997-01-01", end: str = "1997-04-01",
+    grace_days: int = 30,
+) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape). No commit/receipt dates
+    exist, so "late" = any lineitem shipped more than ``grace_days``
+    after the order date (the sole_late_suppliers substitution).
+
+    The EXISTS decorrelates to a LEFT SEMI join whose condition spans
+    both sides (shipdate > orderdate + grace) — semi join output is at
+    most one row per order, so the groupBy never sees duplicate orders.
+    The quarter filter reaches the orders parquet scan; lineitem
+    projects two columns.
+    """
+    orders = cat.table("orders").where(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    )
+    li = cat.table("lineitem").select("l_orderkey", "l_shipdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {grace_days} DAYS"
+    )
+    return (
+        orders.join(
+            li, (F.col("o_orderkey") == F.col("l_orderkey")) & late, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_CHECK_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def forecast_revenue(
+    cat: TableCatalog, year: str = "1998", disc_lo: float = 0.05,
+    disc_hi: float = 0.07, max_qty: float = 24.0,
+) -> DataFrame:
+    """Forecast-revenue change (TPC-H Q6 shape): pure scan → pushed
+    filter → ungrouped SUM. All three predicates reach the parquet scan
+    (PushedFilters); the plan is a single whole-stage-codegen map over
+    the surviving rows with a one-row partial+final aggregate — the
+    cheapest possible shape at any scale. Boundary literals compare the
+    same stored doubles on both engines, so BETWEEN is exact.
+    """
+    li = cat.table("lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{int(year) + 1}-01-01").cast("timestamp"))
+            & F.col("l_discount").between(disc_lo, disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+FORECAST_REVENUE_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate <  TIMESTAMP '1999-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def product_type_profit(
+    cat: TableCatalog, name_prefix: str = "red"
+) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape) per supplier nation and
+    order year. No ps_supplycost exists; cost is the deterministic proxy
+    ``0.01 * p_retailprice * l_quantity``.
+
+    The profit summand SUBTRACTS two comparable-magnitude terms, which
+    amplifies double summation-order noise enough to straddle cent
+    boundaries across 175 groups (measured: 2 groups flipped their last
+    cent vs the oracle under ROUND(SUM(double))). All inputs have exact
+    decimal widths (prices 2 decimals, discounts 2, quantities
+    integral), so the summand is computed as an EXACT int64 count of
+    1e-4 currency units — cents(ep) * pct(1-d) - cents(rp) * qty — and
+    the group sum is integer arithmetic, bit-identical on any engine in
+    any order. Headroom: <= ~1.05e9 per row, so int64 holds past 8e9
+    matching rows; at larger scale widen the accumulator to decimal.
+
+    Scale shape: the name-prefix part filter (a pushable
+    StringStartsWith) and the supplier→nation chain broadcast; the only
+    shuffle-scale join is lineitem ⋈ orders on orderkey, then one
+    partial-aggregable groupBy over (nation, year).
+    """
+    pk = (
+        cat.table("part")
+        .where(F.col("p_name").startswith(name_prefix))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_nat = (
+        cat.table("supplier")
+        .join(
+            cat.table("nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    ep_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    keep_pct = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    rp_cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    profit_e4 = ep_cents * keep_pct - rp_cents * qty
+    return (
+        cat.table("lineitem")
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cat.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(profit_e4) / F.lit(10000.0)).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+PRODUCT_TYPE_PROFIT_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM CAST(o_orderdate AS TIMESTAMP)) AS INT) AS o_year,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
+           - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+             * CAST(l_quantity AS BIGINT)) / 10000.0 AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE 'red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def important_part_values(
+    cat: TableCatalog, nation: str = "NATION_3", multiplier: float = 2.0
+) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape): per-part supply
+    value restricted to one nation's suppliers, keeping parts whose
+    value exceeds ``multiplier`` x the per-part average — the
+    HAVING-vs-scalar-subquery pattern. No partsupp exists; value =
+    SUM(l_extendedprice * (1 - l_discount)) over that nation's
+    lineitems. TPC-H's fraction-of-TOTAL threshold is scaled by 1/SF in
+    the spec precisely because a fixed fraction degenerates as the part
+    count grows (measured here: 52 rows at sf0.01, 0 at sf0.1); a
+    multiple of the AVERAGE keeps the same heavy tail at every scale
+    with the identical scalar-subquery shape.
+
+    The scalar total rides as a ONE-ROW broadcast relation (the
+    pagerank-nconst pattern) instead of a driver-side collect; both
+    consumers of the per-part aggregate sit over an identical exchange,
+    which ReuseExchange dedups inside the one physical plan — no
+    persist, no second lineitem pass, zero driver actions at
+    construction.
+    """
+    nat_sup = (
+        cat.table("supplier")
+        .join(
+            cat.table("nation").where(F.col("n_name") == nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    # exact int64 1e-4-currency units (the product_type_profit discipline:
+    # ROUND(SUM(double), 2) straddled a cent boundary on one part at sf0.1)
+    value_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_part = (
+        cat.table("lineitem")
+        .join(F.broadcast(nat_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(value_e4).alias("__value_e4"))
+    )
+    thresh = per_part.agg(
+        (F.avg("__value_e4") * F.lit(multiplier)).alias("__thresh")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(thresh))
+        .where(F.col("__value_e4") > F.col("__thresh"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("__value_e4") / F.lit(10000.0)).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+IMPORTANT_PART_VALUES_SQL = """
+WITH supply AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS value_e4
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, value_e4 / 10000.0 AS value
+FROM supply
+WHERE value_e4 > (SELECT AVG(value_e4) * 2.0 FROM supply)
+ORDER BY value DESC, p_partkey
+"""
+
+
+def late_shipment_priority(
+    cat: TableCatalog, year: str = "1999", grace_days: int = 60
+) -> DataFrame:
+    """Shipping-mode priority split (TPC-H Q12 shape). No l_shipmode or
+    receipt date exists, so the grouping key is ``l_returnflag`` and
+    "late" = shipped more than ``grace_days`` after the order date; the
+    high/low order-priority CASE split is verbatim Q12.
+
+    One shuffle-scale join (lineitem ⋈ orders on orderkey; the ship-year
+    filter reaches the lineitem scan), then a 3-group conditional
+    aggregate — both SUM(CASE)s partial-aggregate map-side.
+    """
+    li = cat.table("lineitem").where(
+        (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{int(year) + 1}-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(cat.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {grace_days} DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, F.lit(1)).otherwise(F.lit(0))).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, F.lit(1)).otherwise(F.lit(0))).alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+LATE_SHIPMENT_PRIORITY_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1999-01-01'
+  AND l_shipdate <  TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def promo_revenue_pct(
+    cat: TableCatalog, month_start: str = "1998-09-01",
+    month_end: str = "1998-10-01",
+) -> DataFrame:
+    """Promotion-effect percentage (TPC-H Q14 shape): the share of one
+    month's revenue coming from PROMO-type parts — a conditional
+    aggregate ratio needing NO self-join (one SUM(CASE) / SUM over the
+    joined rows, exactly the market_share pattern).
+
+    The month filter reaches the lineitem scan; the full part dim
+    broadcasts (it carries only partkey + type).
+    """
+    part = cat.table("part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cat.table("lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit(month_start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(month_end).cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+                )
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+PROMO_REVENUE_PCT_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-09-01'
+  AND l_shipdate <  TIMESTAMP '1998-10-01'
+"""
+
+
+def top_supplier(
+    cat: TableCatalog, start: str = "1998-01-01", end: str = "1998-04-01"
+) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15 shape): the revenue
+    view + scalar MAX selection. Revenue is rounded to cents BEFORE the
+    max/equality so the within-engine argmax compares identical values
+    on both engines.
+
+    The scalar MAX rides as a one-row broadcast relation over the same
+    per-supplier aggregate (ReuseExchange dedups the shared exchange);
+    supplier names broadcast in at the end. Zero driver actions at
+    construction, ties (multiple max-revenue suppliers) surface as
+    multiple rows on both engines.
+    """
+    rev = (
+        cat.table("lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    sup = cat.table("supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def supplier_part_counts(
+    cat: TableCatalog,
+    excl_brand: str = "Brand#5",
+    excl_type: str = "PROMO",
+    sizes: tuple[int, ...] = (1, 4, 9, 14, 19, 23, 36, 49),
+) -> DataFrame:
+    """Supplier-part relationship counts (TPC-H Q16 shape): distinct
+    suppliers per (brand, type, size) bucket, excluding one brand, one
+    type, and "complaint" suppliers. No partsupp exists, so the
+    part-supplier relation comes from lineitem; no comment column
+    exists, so the complaint proxy is a negative account balance.
+
+    The filtered part dim broadcasts into lineitem; the complaint
+    supplier list is a broadcast ANTI join (NOT IN with no NULL hazard —
+    s_suppkey is a key). The single distinct aggregate plans as the
+    standard two-level partial-distinct shape on the groupBy keys.
+    """
+    pk = (
+        cat.table("part")
+        .where(
+            (F.col("p_brand") != excl_brand)
+            & (F.col("p_type") != excl_type)
+            & F.col("p_size").isin(*sizes)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complaints = (
+        cat.table("supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        cat.table("lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+SUPPLIER_PART_COUNTS_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def discounted_revenue_disjunct(cat: TableCatalog) -> DataFrame:
+    """Discounted revenue under a three-way disjunctive predicate
+    (TPC-H Q19 shape) — the canonical "OR across joined tables" query.
+
+    Scale shape: the exact disjunction can only be evaluated after the
+    join, but each side's IMPLIED envelope is pushed first — the part
+    side prefilters to the union of the three (brand, size) boxes
+    before broadcasting, and the lineitem side prefilters quantity to
+    the union range [1, 30] at the scan. The envelopes are implied by
+    the disjunction, so semantics are unchanged; they cut the joined
+    row stream by ~10x before the residual OR runs.
+    """
+    c1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#14")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    part_env = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 15))
+    )
+    pk = (
+        cat.table("part")
+        .where(part_env)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    return (
+        cat.table("lineitem")
+        .where(F.col("l_quantity").between(1, 30))
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .where(c1 | c2 | c3)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+DISCOUNTED_REVENUE_DISJUNCT_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def potential_part_promotion(
+    cat: TableCatalog,
+    name_prefix: str = "red",
+    year: str = "1999",
+    min_qty: float = 50.0,
+    nations: tuple[str, ...] = ("NATION_5", "NATION_7", "NATION_11", "NATION_19"),
+) -> DataFrame:
+    """Potential part promotion (TPC-H Q20 shape): suppliers in a nation
+    set who moved real volume of one part family in one year. No
+    ps_availqty exists, so the inner threshold is on total shipped
+    quantity (> ``min_qty``) instead of half the stock level — the
+    nested IN (GROUP BY ... HAVING) correlation is verbatim Q20.
+
+    The part-family filter broadcasts into the year-filtered lineitem;
+    the HAVING aggregate emits at most one row per supplier, which then
+    drives a LEFT SEMI join against the (tiny, nation-filtered)
+    supplier dim. AQE picks broadcast for the semi side at test scale
+    and shuffles at fact scale.
+    """
+    pk = (
+        cat.table("part")
+        .where(F.col("p_name").startswith(name_prefix))
+        .select("p_partkey")
+    )
+    movers = (
+        cat.table("lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{int(year) + 1}-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .where(F.col("__qty") > min_qty)
+    )
+    nat = cat.table("nation").where(F.col("n_name").isin(*nations))
+    return (
+        cat.table("supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+POTENTIAL_PART_PROMOTION_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name IN ('NATION_5','NATION_7','NATION_11','NATION_19')
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l_shipdate <  TIMESTAMP '2000-01-01'
+    GROUP BY l_suppkey
+    HAVING SUM(l_quantity) > 50)
+ORDER BY s_name
+"""
+
+
+def dormant_customer_balance(
+    cat: TableCatalog,
+    codes: tuple[int, ...] = (1, 3, 5, 7, 9),
+    recent: str = "2001-01-01",
+) -> DataFrame:
+    """Dormant high-balance customers (TPC-H Q22 shape): above-average
+    balances with no RECENT orders, grouped by "country code". No phone
+    column exists, so cntrycode = c_nationkey % 10; and because this
+    synthetic corpus gives nearly every customer SOME order, "no orders"
+    becomes "no orders since ``recent``" — both substitutions keep the
+    shape: scalar AVG subquery + anti join + group.
+
+    The positive-balance average rides as a one-row broadcast over the
+    same filtered customer sliver (ReuseExchange); the anti join runs
+    against the date-filtered orders projection, broadcast at test
+    scale, shuffling on custkey at fact scale under AQE.
+    """
+    pool = (
+        cat.table("customer")
+        .where((F.col("c_nationkey") % 10).isin(*codes))
+        .select(
+            (F.col("c_nationkey") % 10).cast("int").alias("cntrycode"),
+            "c_acctbal",
+            "c_custkey",
+        )
+    )
+    avg_bal = pool.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    recent_orders = (
+        cat.table("orders")
+        .where(F.col("o_orderdate") >= F.lit(recent).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        pool.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(
+            recent_orders,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+DORMANT_CUSTOMER_BALANCE_SQL = """
+WITH pool AS (
+  SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal, c_custkey
+  FROM customer
+  WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
+)
+SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM pool
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM pool WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""

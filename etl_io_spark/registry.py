@@ -7891,6 +7891,77 @@ def _session_baskets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Round 8: the remaining 12 TPC-H query shapes, completing the 22-query
+# suite (plans/pipelines.py; Q1/Q3/Q5/Q7/Q8/Q10/Q13/Q17/Q18/Q21 landed in
+# earlier rounds). Registered AFTER the window so the r8 burn-down
+# rotation is untouched; all 12 are tools/check.py + hash-parity swept and
+# queued for the round-9 grading window.
+# --------------------------------------------------------------------------
+
+
+@register("min_cost_supplier", pipelines.MIN_COST_SUPPLIER_SQL)
+def _min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.min_cost_supplier(_cat(spark, sf_dir))
+
+
+@register("order_priority_check", pipelines.ORDER_PRIORITY_CHECK_SQL)
+def _order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.order_priority_check(_cat(spark, sf_dir))
+
+
+@register("forecast_revenue", pipelines.FORECAST_REVENUE_SQL)
+def _forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.forecast_revenue(_cat(spark, sf_dir))
+
+
+@register("product_type_profit", pipelines.PRODUCT_TYPE_PROFIT_SQL)
+def _product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.product_type_profit(_cat(spark, sf_dir))
+
+
+@register("important_part_values", pipelines.IMPORTANT_PART_VALUES_SQL)
+def _important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.important_part_values(_cat(spark, sf_dir))
+
+
+@register("late_shipment_priority", pipelines.LATE_SHIPMENT_PRIORITY_SQL)
+def _late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.late_shipment_priority(_cat(spark, sf_dir))
+
+
+@register("promo_revenue_pct", pipelines.PROMO_REVENUE_PCT_SQL)
+def _promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.promo_revenue_pct(_cat(spark, sf_dir))
+
+
+@register("top_supplier", pipelines.TOP_SUPPLIER_SQL)
+def _top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.top_supplier(_cat(spark, sf_dir))
+
+
+@register("supplier_part_counts", pipelines.SUPPLIER_PART_COUNTS_SQL)
+def _supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.supplier_part_counts(_cat(spark, sf_dir))
+
+
+@register(
+    "discounted_revenue_disjunct", pipelines.DISCOUNTED_REVENUE_DISJUNCT_SQL
+)
+def _discounted_revenue_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.discounted_revenue_disjunct(_cat(spark, sf_dir))
+
+
+@register("potential_part_promotion", pipelines.POTENTIAL_PART_PROMOTION_SQL)
+def _potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.potential_part_promotion(_cat(spark, sf_dir))
+
+
+@register("dormant_customer_balance", pipelines.DORMANT_CUSTOMER_BALANCE_SQL)
+def _dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipelines.dormant_customer_balance(_cat(spark, sf_dir))
+
+
 #: The ONLY keys allowed to skip the SQL oracle (driver grades rows-only).
 #: Gate (VERDICT r5 ask #9): every rows-only key must carry an
 #: accuracy-vs-exact test, named here so a future registration can't

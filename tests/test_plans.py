@@ -215,6 +215,82 @@ def test_q13_left_join_keeps_zero_bucket(spark):
     assert "PushedFilters: [IsNotNull(o_orderpriority), Not(EqualTo(o_orderpriority" in plan
 
 
+# -- round-8 TPC-H completion (Q2/Q4/Q6/Q9/Q11/Q12/Q14/Q15/Q16/Q19/Q20/Q22)
+
+
+def test_q2_argmin_decorrelates_to_window(spark):
+    plan = _plan(spark, "min_cost_supplier")
+    # the correlated per-part MIN must reuse the aggregated supply
+    # relation via a window — not rescan lineitem for the subquery
+    assert plan.count("FileScan parquet") == 5  # li, part, supp, nation, region
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    plan = _plan(spark, "order_priority_check")
+    assert "LeftSemi" in plan
+    # quarter filter pushed to the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q6_pure_scan_filter_agg(spark):
+    plan = _plan(spark, "forecast_revenue")
+    # all three predicates reach the parquet scan; no join anywhere
+    # toString truncates PushedFilters mid-list; assert on the Filter node
+    assert ">= 0.05)" in plan and "<= 0.07)" in plan  # discount BETWEEN
+    assert "< 24.0)" in plan  # quantity bound
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q9_dims_broadcast_single_fact_join(spark):
+    plan = _plan(spark, "product_type_profit")
+    # part prefix + supplier/nation chains broadcast; only li |x| orders
+    # can be shuffle-scale
+    assert "StringStartsWith(p_name,red)" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q12_single_join_conditional_agg(spark):
+    plan = _plan(spark, "late_shipment_priority")
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # ship-year at the scan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q16_complaints_anti_join_broadcasts(spark):
+    plan = _plan(spark, "supplier_part_counts")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    # brand/type/size filters reach the part scan
+    assert "Not(EqualTo(p_brand,Brand#5))" in plan
+    assert "p_size#" in plan and " IN (1,4,9,14,19,23,36,49)" in plan
+
+
+def test_q19_envelopes_push_before_residual_or(spark):
+    plan = _plan(spark, "discounted_revenue_disjunct")
+    # quantity union-range envelope reaches the lineitem side; the part
+    # side broadcasts only the (brand, size) boxes
+    assert "(l_quantity#" in plan and ">= 1.0)" in plan and "<= 30.0)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert " OR " in plan  # the residual disjunction survives post-join
+
+
+def test_q20_having_drives_semi_join(spark):
+    plan = _plan(spark, "potential_part_promotion")
+    assert "LeftSemi" in plan
+    assert "StringStartsWith(p_name,red)" in plan
+
+
+def test_q22_anti_join_and_one_row_avg(spark):
+    plan = _plan(spark, "dormant_customer_balance")
+    assert "LeftAnti" in plan
+    # the scalar AVG rides as a one-row broadcast, never a driver collect
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def _graph_edges(spark, n=200):
     from pyspark.sql import Row
 
