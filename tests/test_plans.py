@@ -227,11 +227,16 @@ def test_q2_argmin_decorrelates_to_window(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_q4_exists_becomes_semi_join(spark):
+def test_q4_exists_becomes_inner_join_with_envelope(spark):
     plan = _plan(spark, "order_priority_check")
-    assert "LeftSemi" in plan
-    # quarter filter pushed to the orders scan
+    # the EXISTS runs as inner join + per-order dedup, NOT left-semi: a
+    # semi join can only build right, forcing a full lineitem shuffle
+    # even when the quarter-of-orders side is broadcastable (4x measured)
+    assert "LeftSemi" not in plan
+    # quarter filter pushed to the orders scan; implied shipdate
+    # envelope pushed to the lineitem scan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
 
 
 def test_q6_pure_scan_filter_agg(spark):
