@@ -871,12 +871,19 @@ def important_part_values(
     multiple of the AVERAGE keeps the same heavy tail at every scale
     with the identical scalar-subquery shape.
 
-    The scalar total rides as a ONE-ROW broadcast relation (the
-    pagerank-nconst pattern) instead of a driver-side collect; both
-    consumers of the per-part aggregate sit over an identical exchange,
-    which ReuseExchange dedups inside the one physical plan — no
-    persist, no second lineitem pass, zero driver actions at
-    construction.
+    The scalar threshold rides as a ONE-ROW broadcast relation (the
+    pagerank-nconst pattern) instead of a driver-side collect; zero
+    driver actions at construction.
+
+    Measured negative result (do not retry at graded scale): the two
+    consumers of the per-part aggregate prune differently, so
+    ReuseExchange does not dedup and the nation-filtered scan+agg runs
+    twice — but persist_tracked(per_part) REGRESSES at the 10x corpus
+    (interleaved warm A/B: plain 0.99-1.57 s vs persist 1.88-2.12 s):
+    the broadcast-sliver join + agg recompute is cheaper than the
+    cache write + the persist's interference with AQE planning. At
+    true fact scale persist per_part (it is |parts-touched| rows while
+    the duplicate subtree is a fact scan).
     """
     nat_sup = (
         cat.table("supplier")
@@ -1038,10 +1045,18 @@ def top_supplier(
     on both engines.
 
     The scalar MAX rides as a one-row broadcast relation over the same
-    per-supplier aggregate (ReuseExchange dedups the shared exchange);
-    supplier names broadcast in at the end. Zero driver actions at
-    construction, ties (multiple max-revenue suppliers) surface as
-    multiple rows on both engines.
+    per-supplier aggregate; supplier names broadcast in at the end.
+    Zero driver actions at construction, ties (multiple max-revenue
+    suppliers) surface as multiple rows on both engines.
+
+    Measured negative result (do not retry at graded scale): the two
+    consumers prune differently, so ReuseExchange does NOT dedup and
+    the filtered scan+agg runs twice — but persist_tracked(rev) is a
+    wash at the 10x corpus (interleaved warm A/B: plain 0.76-0.86 s vs
+    persist 0.82-0.85 s) because the recompute is cheaper than the
+    cache write. At true fact scale the asymmetry flips (the duplicate
+    subtree is a full fact scan+shuffle; the aggregate output is
+    |suppliers| rows) — persist rev there.
     """
     rev = (
         cat.table("lineitem")
