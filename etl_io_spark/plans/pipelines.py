@@ -768,8 +768,12 @@ def forecast_revenue(
             & (F.col("l_quantity") < max_qty)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * F.round(F.col("l_discount") * 100).cast("long")
+                )
+                / F.lit(10000.0)
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -777,7 +781,8 @@ def forecast_revenue(
 
 
 FORECAST_REVENUE_SQL = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1998-01-01'
@@ -1001,7 +1006,9 @@ def promo_revenue_pct(
     broadcasts (it carries only partkey + type).
     """
     part = cat.table("part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
     return (
         cat.table("lineitem")
         .where(
@@ -1013,22 +1020,27 @@ def promo_revenue_pct(
             F.round(
                 F.lit(100.0)
                 * F.sum(
-                    F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+                    F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(
+                        F.lit(0)
+                    )
                 )
-                / F.sum(rev),
+                / F.sum(rev_e4),
                 4,
             ).alias("promo_pct"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            (F.sum(rev_e4) / F.lit(10000.0)).alias("total_revenue"),
         )
     )
 
 
 PROMO_REVENUE_PCT_SQL = """
 SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                              THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                   * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
+                              ELSE 0 END)
+             / SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)), 4) AS promo_pct,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) / 10000.0 AS total_revenue
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE l_shipdate >= TIMESTAMP '1998-09-01'
@@ -1040,9 +1052,11 @@ def top_supplier(
     cat: TableCatalog, start: str = "1998-01-01", end: str = "1998-04-01"
 ) -> DataFrame:
     """Top supplier by quarterly revenue (TPC-H Q15 shape): the revenue
-    view + scalar MAX selection. Revenue is rounded to cents BEFORE the
-    max/equality so the within-engine argmax compares identical values
-    on both engines.
+    view + scalar MAX selection. Revenue is summed as EXACT int64
+    1e-4-currency units (the product_type_profit discipline) so the
+    argmax equality compares bit-identical values on both engines —
+    with double sums, a near-tie at the max could select different
+    supplier sets per engine.
 
     The scalar MAX rides as a one-row broadcast relation over the same
     per-supplier aggregate; supplier names broadcast in at the end.
@@ -1066,8 +1080,12 @@ def top_supplier(
         )
         .groupBy("l_suppkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * F.round((1 - F.col("l_discount")) * 100).cast("long")
+                )
+                / F.lit(10000.0)
             ).alias("total_revenue")
         )
     )
@@ -1085,7 +1103,9 @@ def top_supplier(
 TOP_SUPPLIER_SQL = """
 WITH rev AS (
   SELECT l_suppkey,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) / 10000.0
+           AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1998-01-01'
     AND l_shipdate <  TIMESTAMP '1998-04-01'
@@ -1199,8 +1219,12 @@ def discounted_revenue_disjunct(cat: TableCatalog) -> DataFrame:
         .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
         .where(c1 | c2 | c3)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * F.round((1 - F.col("l_discount")) * 100).cast("long")
+                )
+                / F.lit(10000.0)
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -1208,7 +1232,8 @@ def discounted_revenue_disjunct(cat: TableCatalog) -> DataFrame:
 
 
 DISCOUNTED_REVENUE_DISJUNCT_SQL = """
-SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) / 10000.0 AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
@@ -1328,7 +1353,10 @@ def dormant_customer_balance(
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            (
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+                / F.lit(100.0)
+            ).alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
@@ -1340,7 +1368,8 @@ WITH pool AS (
   FROM customer
   WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
 )
-SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+SELECT cntrycode, COUNT(*) AS numcust,
+       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
 FROM pool
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM pool WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
