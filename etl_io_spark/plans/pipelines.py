@@ -952,6 +952,13 @@ def late_shipment_priority(
     One shuffle-scale join (lineitem ⋈ orders on orderkey; the ship-year
     filter reaches the lineitem scan), then a 3-group conditional
     aggregate — both SUM(CASE)s partial-aggregate map-side.
+
+    Measured and deliberately NOT landed: a SHUFFLE_HASH hint on the
+    orders side wins only ~10%% warm on the fact-100x corpus (2.17-2.66
+    vs 2.45-2.89 s SMJ) — too little to justify forcing the build side,
+    which bypasses the planner's memory sizing and AQE's skew handling
+    and can OOM a partition-local hash build at true fact scale. The
+    join strategy stays AQE's choice.
     """
     li = cat.table("lineitem").where(
         (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
@@ -1063,16 +1070,18 @@ def top_supplier(
     Zero driver actions at construction, ties (multiple max-revenue
     suppliers) surface as multiple rows on both engines.
 
-    Measured negative result (do not retry at graded scale): the two
-    consumers prune differently, so ReuseExchange does NOT dedup and
-    the filtered scan+agg runs twice — but persist_tracked(rev) is a
-    wash at the 10x corpus (interleaved warm A/B: plain 0.76-0.86 s vs
-    persist 0.82-0.85 s) because the recompute is cheaper than the
-    cache write. At true fact scale the asymmetry flips (the duplicate
-    subtree is a full fact scan+shuffle; the aggregate output is
-    |suppliers| rows) — persist rev there.
+    The two consumers prune differently, so ReuseExchange does NOT
+    dedup and the filtered scan+agg would run twice; ``rev`` (a
+    |suppliers|-row aggregate) is therefore persist_tracked. Measured:
+    a wash at the 10x corpus (interleaved warm A/B: 0.82-0.85 s
+    persisted vs 0.76-0.86 s plain — the sliver recompute costs what
+    the cache write costs) and a consistent ~20%% win on the fact-100x
+    corpus (1.05-1.75 s vs 1.36-2.05 s) where the duplicate subtree is
+    a 60M-row scan; the asymmetry only grows with the fact table.
     """
-    rev = (
+    from etl_io_spark.caching import persist_tracked
+
+    rev = persist_tracked(
         cat.table("lineitem")
         .where(
             (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))

@@ -146,8 +146,26 @@ OFFSETS = {
 KEY_OFFSET = 10_000_000
 
 
-def generate(spark, out: str, copies: int = 10) -> None:
+#: ``--facts-only`` mode (round 8): replicate ONLY the order-grain fact
+#: tables (orders + lineitem), offsetting ONLY the orderkeys — foreign
+#: keys into customer/supplier/part keep referencing the UNCHANGED 1x
+#: dims. This is the realistic strong-growth regime for the TPC-H-shape
+#: keys (facts grow 100x at 100 TB; dimension cardinality does not) and
+#: deliberately the OPPOSITE of the default weak-scaling recipe, which
+#: replicates dims so graph/name-pair derivations grow too. Do NOT use
+#: facts-only corpora for the graph/dedup families — their 10x protocol
+#: (BASELINE.md) depends on the replicated dims.
+FACT_OFFSETS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+}
+
+
+def generate(spark, out: str, copies: int = 10, facts_only: bool = False) -> None:
     for t, (keys, ts_col, text_col, name_col) in OFFSETS.items():
+        if facts_only:
+            keys = FACT_OFFSETS.get(t, [])
+            ts_col = text_col = name_col = None
         src = spark.read.parquet(f"{SRC}/{t}.parquet")
         parts = []
         for i in range(copies if keys else 1):
@@ -184,6 +202,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/sf1x10")
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument(
+        "--facts-only",
+        action="store_true",
+        help="replicate only orders+lineitem over 1x dims (see FACT_OFFSETS)",
+    )
     ap.add_argument("names", nargs="*", help="probe only these query keys")
     args = ap.parse_args()
 
@@ -192,7 +216,7 @@ def main() -> None:
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     if not args.skip_gen:
-        generate(spark, args.out)
+        generate(spark, args.out, copies=args.copies, facts_only=args.facts_only)
 
     qs = registry.queries()
     rows = []
