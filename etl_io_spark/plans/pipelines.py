@@ -598,6 +598,32 @@ ORDER BY custdist DESC, c_count DESC
 # ---------------------------------------------------------------------------
 
 
+def _money_e4(pct):
+    """Exact int64 1e-4-currency units per lineitem row: cents of
+    l_extendedprice times an integer percentage (``pct`` is the 0-1
+    fraction column, e.g. ``1 - l_discount``). Inputs have fixed decimal
+    widths (prices 2dp, discounts 2dp), so the product is the TRUE
+    4-decimal money value — integer sums are then bit-identical in any
+    aggregation order on any engine. The oracle twin is MONEY_E4_SQL /
+    DISC_E4_SQL. Headroom: <= ~1.05e9 per row, int64-safe past 8e9
+    matching rows; widen to decimal beyond that."""
+    return F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        pct * 100
+    ).cast("long")
+
+
+#: oracle twin of ``_money_e4(1 - l_discount)`` (revenue units)
+MONEY_E4_SQL = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)"
+)
+#: oracle twin of ``_money_e4(l_discount)`` (discount-amount units)
+DISC_E4_SQL = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * CAST(ROUND(l_discount * 100) AS BIGINT)"
+)
+
+
 def min_cost_supplier(
     cat: TableCatalog,
     region: str = "EUROPE",
@@ -768,13 +794,9 @@ def forecast_revenue(
             & (F.col("l_quantity") < max_qty)
         )
         .agg(
-            (
-                F.sum(
-                    F.round(F.col("l_extendedprice") * 100).cast("long")
-                    * F.round(F.col("l_discount") * 100).cast("long")
-                )
-                / F.lit(10000.0)
-            ).alias("revenue"),
+            (F.sum(_money_e4(F.col("l_discount"))) / F.lit(10000.0)).alias(
+                "revenue"
+            ),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -828,11 +850,9 @@ def product_type_profit(
         )
         .select("s_suppkey", F.col("n_name").alias("nation"))
     )
-    ep_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    keep_pct = F.round((1 - F.col("l_discount")) * 100).cast("long")
     rp_cents = F.round(F.col("p_retailprice") * 100).cast("long")
     qty = F.col("l_quantity").cast("long")
-    profit_e4 = ep_cents * keep_pct - rp_cents * qty
+    profit_e4 = _money_e4(1 - F.col("l_discount")) - rp_cents * qty
     return (
         cat.table("lineitem")
         .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
@@ -900,21 +920,31 @@ def important_part_values(
     )
     # exact int64 1e-4-currency units (the product_type_profit discipline:
     # ROUND(SUM(double), 2) straddled a cent boundary on one part at sf0.1)
-    value_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
-        (1 - F.col("l_discount")) * 100
-    ).cast("long")
+    value_e4 = _money_e4(1 - F.col("l_discount"))
     per_part = (
         cat.table("lineitem")
         .join(F.broadcast(nat_sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(value_e4).alias("__value_e4"))
     )
+    # value > multiplier * AVG(value) compared as EXACT integer
+    # cross-multiplication (value_e4 * n * 1e6 > total_e4 * mult_e6) in
+    # decimal(38,0): a double AVG threshold re-introduces the very
+    # summation-order boundary class the e4 units eliminated once
+    # totals pass 2^53 (the fact-100x corpus reaches 6e16)
+    mult_e6 = int(round(multiplier * 1_000_000))
     thresh = per_part.agg(
-        (F.avg("__value_e4") * F.lit(multiplier)).alias("__thresh")
+        F.sum("__value_e4").cast("decimal(38,0)").alias("__total_e4"),
+        F.count(F.lit(1)).alias("__n"),
     )
     return (
         per_part.crossJoin(F.broadcast(thresh))
-        .where(F.col("__value_e4") > F.col("__thresh"))
+        .where(
+            F.col("__value_e4").cast("decimal(38,0)")
+            * F.col("__n")
+            * F.lit(1_000_000)
+            > F.col("__total_e4") * F.lit(mult_e6)
+        )
         .select(
             F.col("l_partkey").alias("p_partkey"),
             (F.col("__value_e4") / F.lit(10000.0)).alias("value"),
@@ -936,7 +966,8 @@ WITH supply AS (
 )
 SELECT l_partkey AS p_partkey, value_e4 / 10000.0 AS value
 FROM supply
-WHERE value_e4 > (SELECT AVG(value_e4) * 2.0 FROM supply)
+WHERE CAST(value_e4 AS HUGEINT) * (SELECT COUNT(*) FROM supply) * 1000000
+      > (SELECT CAST(SUM(value_e4) AS HUGEINT) FROM supply) * 2000000
 ORDER BY value DESC, p_partkey
 """
 
@@ -1013,9 +1044,7 @@ def promo_revenue_pct(
     broadcasts (it carries only partkey + type).
     """
     part = cat.table("part").select("p_partkey", "p_type")
-    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
-        (1 - F.col("l_discount")) * 100
-    ).cast("long")
+    rev_e4 = _money_e4(1 - F.col("l_discount"))
     return (
         cat.table("lineitem")
         .where(
@@ -1090,11 +1119,7 @@ def top_supplier(
         .groupBy("l_suppkey")
         .agg(
             (
-                F.sum(
-                    F.round(F.col("l_extendedprice") * 100).cast("long")
-                    * F.round((1 - F.col("l_discount")) * 100).cast("long")
-                )
-                / F.lit(10000.0)
+                F.sum(_money_e4(1 - F.col("l_discount"))) / F.lit(10000.0)
             ).alias("total_revenue")
         )
     )
@@ -1140,9 +1165,13 @@ def supplier_part_counts(
     exists, so the complaint proxy is a negative account balance.
 
     The filtered part dim broadcasts into lineitem; the complaint
-    supplier list is a broadcast ANTI join (NOT IN with no NULL hazard —
-    s_suppkey is a key). The single distinct aggregate plans as the
-    standard two-level partial-distinct shape on the groupBy keys.
+    supplier list is a broadcast ANTI join. The oracle uses NOT EXISTS
+    (not NOT IN): a NULL OUTER key under NOT IN yields NULL and drops
+    the row, while left_anti keeps never-matching NULL-keyed rows —
+    NOT EXISTS matches the anti join's semantics exactly even if a
+    lineitem ever carried a NULL l_suppkey. The single distinct
+    aggregate plans as the standard two-level partial-distinct shape
+    on the groupBy keys.
     """
     pk = (
         cat.table("part")
@@ -1179,7 +1208,8 @@ FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
   AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
 GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
@@ -1229,11 +1259,7 @@ def discounted_revenue_disjunct(cat: TableCatalog) -> DataFrame:
         .where(c1 | c2 | c3)
         .agg(
             (
-                F.sum(
-                    F.round(F.col("l_extendedprice") * 100).cast("long")
-                    * F.round((1 - F.col("l_discount")) * 100).cast("long")
-                )
-                / F.lit(10000.0)
+                F.sum(_money_e4(1 - F.col("l_discount"))) / F.lit(10000.0)
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -1340,11 +1366,17 @@ def dormant_customer_balance(
         .select(
             (F.col("c_nationkey") % 10).cast("int").alias("cntrycode"),
             "c_acctbal",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("__bal_c"),
             "c_custkey",
         )
     )
+    # bal > AVG(positive bals) compared as exact integer
+    # cross-multiplication over cents (bal_c * n > total_c) — a double
+    # AVG threshold is summation-order-sensitive once the positive-pool
+    # cent total passes 2^53 (the important_part_values discipline)
     avg_bal = pool.where(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("__avg_bal")
+        F.sum("__bal_c").cast("decimal(38,0)").alias("__total_c"),
+        F.count(F.lit(1)).alias("__n_pos"),
     )
     recent_orders = (
         cat.table("orders")
@@ -1353,7 +1385,10 @@ def dormant_customer_balance(
     )
     return (
         pool.crossJoin(F.broadcast(avg_bal))
-        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .where(
+            F.col("__bal_c").cast("decimal(38,0)") * F.col("__n_pos")
+            > F.col("__total_c")
+        )
         .join(
             recent_orders,
             F.col("c_custkey") == F.col("o_custkey"),
@@ -1373,14 +1408,17 @@ def dormant_customer_balance(
 
 DORMANT_CUSTOMER_BALANCE_SQL = """
 WITH pool AS (
-  SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal, c_custkey
+  SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c, c_custkey
   FROM customer
   WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
 )
 SELECT cntrycode, COUNT(*) AS numcust,
-       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+       SUM(bal_c) / 100.0 AS totacctbal
 FROM pool
-WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM pool WHERE c_acctbal > 0)
+WHERE CAST(bal_c AS HUGEINT)
+        * (SELECT COUNT(*) FROM pool WHERE c_acctbal > 0)
+      > (SELECT CAST(SUM(bal_c) AS HUGEINT) FROM pool WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '2001-01-01')

@@ -288,6 +288,61 @@ def test_q20_having_drives_semi_join(spark):
     assert "StringStartsWith(p_name,red)" in plan
 
 
+def test_q11_threshold_is_one_row_broadcast(spark):
+    plan = _plan(spark, "important_part_values")
+    # the scalar threshold rides as a one-row broadcast relation over
+    # the per-part aggregate — never a driver collect, never cartesian
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q14_single_conditional_agg_no_self_join(spark):
+    plan = _plan(spark, "promo_revenue_pct")
+    # one part broadcast + one SUM(CASE)/SUM aggregate; the ratio must
+    # not plan a second lineitem pass
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("FileScan parquet") == 2  # lineitem + part
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q15_max_is_one_row_broadcast_over_persisted_rev(spark):
+    plan = _plan(spark, "top_supplier")
+    # the scalar MAX rides as a one-row broadcast; the shared revenue
+    # aggregate is persisted (ReuseExchange cannot dedup its two
+    # differently-pruned consumers), shown as InMemoryTableScan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_money_sql_oracles_use_canonical_e4_arithmetic():
+    """Drift tripwire for the integer-exact money discipline: every
+    oracle that rounds l_extendedprice to cents must use the exact
+    canonical fragment (pipelines.MONEY_E4_SQL / DISC_E4_SQL) — a
+    hand-edited variant in ONE oracle would silently reintroduce the
+    cross-engine cent-flip class the helpers eliminated."""
+    import re
+
+    from etl_io_spark.plans import pipelines as pl
+
+    def norm(s: str) -> str:
+        return re.sub(r"\s+", " ", s)
+
+    canon = {norm(pl.MONEY_E4_SQL), norm(pl.DISC_E4_SQL)}
+    import __spark_entry__ as entry
+
+    for name, sql in entry.oracle_sql().items():
+        n = norm(sql)
+        hits = n.count("ROUND(l_extendedprice * 100")
+        if not hits:
+            continue
+        ok = sum(n.count(c) for c in canon)
+        assert ok == hits, (
+            f"{name}: {hits} cents-rounding sites, only {ok} match the "
+            "canonical MONEY_E4_SQL/DISC_E4_SQL fragments"
+        )
+
+
 def test_q22_anti_join_and_one_row_avg(spark):
     plan = _plan(spark, "dormant_customer_balance")
     assert "LeftAnti" in plan

@@ -220,10 +220,14 @@ def main() -> None:
 
     qs = registry.queries()
     rows = []
+    # label the scaled column by the ACTUAL replica count — a --copies 100
+    # run previously still printed "10x"/t10x, so recorded logs compared
+    # ratios against the wrong linear-scaling target
+    big = f"{args.copies}x"
     for name in args.names or PROBE:
         fn = EXTRA_PROBES.get(name) or qs[name]
         times = {}
-        for tag, sf_dir in [("1x", SRC), ("10x", args.out)]:
+        for tag, sf_dir in [("1x", SRC), (big, args.out)]:
             best = None
             for _ in range(2):  # min of 2: second run amortizes codegen
                 # fresh plan per run + cache reset: persisting queries
@@ -238,8 +242,8 @@ def main() -> None:
                 if dt > 30:
                     break
             times[tag] = best
-        ratio = times["10x"] / times["1x"]
-        rows.append((name, times["1x"], times["10x"], ratio))
+        ratio = times[big] / times["1x"]
+        rows.append((name, times["1x"], times[big], ratio))
         print(
             f"| {name} | {times['1x']:.2f} | {times['10x']:.2f} |"
             f" {ratio:.1f}x |",
@@ -248,7 +252,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "probe": {n: {"t1x": round(a, 3), "t10x": round(b, 3),
+                "probe": {n: {"t1x": round(a, 3), f"t{big}": round(b, 3),
                               "ratio": round(r, 2)} for n, a, b, r in rows}
             }
         ),
