@@ -7897,6 +7897,12 @@ def _session_baskets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # earlier rounds). Registered AFTER the window so the r8 burn-down
 # rotation is untouched; all 12 are tools/check.py + hash-parity swept and
 # queued for the round-9 grading window.
+#
+# Round-9 window note: after CORRECTNESS_r08 these 12 are the ONLY
+# oracled keys never driver-graded — the r9 rotation should be
+# [4 cross-family sentinels] + these 12 + re-greens of any r8 non-green
+# rows, padded with rotated-out long-stable keys up to 50. The 4
+# no-oracle keys stay excluded (they can only return err: no_oracle).
 # --------------------------------------------------------------------------
 
 
