@@ -157,3 +157,41 @@ def test_packing_partitions_docs_exactly(spark, lengths):
         for r in shard_rows:
             assert r["tok_start"] == running
             running += r["n_tokens"]
+
+
+money_rows_strategy = st.lists(
+    st.tuples(
+        # 2-decimal prices/discounts stored as doubles, the driver
+        # fixture domain: the property is that _money_e4 recovers the
+        # TRUE 4-decimal product exactly for every such pair
+        st.integers(min_value=0, max_value=10_499_991),  # price cents
+        st.integers(min_value=0, max_value=10),  # discount in percent
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=money_rows_strategy)
+@_settings
+def test_money_e4_sum_is_decimal_exact_and_order_free(spark, rows):
+    """pipelines._money_e4 must equal exact decimal arithmetic
+    (sum of price*(1-disc) in 1e-4 units) for every 2-decimal input,
+    and the sum must be invariant under repartitioning — the property
+    the integer-exact money discipline rests on."""
+    from decimal import Decimal
+
+    from etl_io_spark.plans.pipelines import _money_e4
+
+    data = [(c / 100.0, d / 100.0) for c, d in rows]
+    expected = sum(
+        (Decimal(c) * Decimal(100 - d) for c, d in rows), Decimal(0)
+    )  # cents * pct == 1e-4 units
+    df = spark.createDataFrame(data, "l_extendedprice double, l_discount double")
+    for parts in (1, 5):
+        got = (
+            df.repartition(parts)
+            .agg(F.sum(_money_e4(1 - F.col("l_discount"))).alias("s"))
+            .collect()[0]["s"]
+        )
+        assert got == int(expected)
