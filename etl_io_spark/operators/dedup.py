@@ -530,10 +530,19 @@ def connected_components(
         m = len(pdf)
         # sort=True: codes are RANK-ordered, so min code == min id and
         # union-by-min-code reproduces the loop's min-id canonical label
-        # for every orderable id type (ints, strings)
+        # for every orderable id type (ints, strings).
+        # use_na_sentinel=False: a float-typed NaN id passes the
+        # isNotNull edge filter (Spark NaN is not null) and the default
+        # sentinel code -1 would resolve find(-1) through Python
+        # NEGATIVE indexing into the last unique's parent slot — silently
+        # merging NaN's neighbors into the max-id component. With the
+        # sentinel off, NaN gets its own LARGEST code, matching both
+        # Spark orderings the distributed loop relies on (NaN sorts
+        # greatest; grouping/join keys treat all NaNs as equal).
         codes, uniques = pd.factorize(
             pd.concat([pdf["src"], pdf["dst"]], ignore_index=True),
             sort=True,
+            use_na_sentinel=False,
         )
         parent = list(range(len(uniques)))
 

@@ -176,6 +176,11 @@ def gopher_rules(
     )
 
 
+#: above this, quality_classifier's driver-side weight fold would embed an
+#: oversized array literal in the plan; the in-plan md5 twin takes over
+_MAX_LITERAL_BUCKETS = 65_536
+
+
 def quality_classifier(
     df: DataFrame,
     id_col: str,
@@ -207,7 +212,12 @@ def quality_classifier(
     table is now computed ONCE driver-side with the identical md5
     arithmetic and folded in as a constant array literal, so scoring
     pays one md5 + one O(1) array index per token. Values are
-    bit-identical (same bytes through the same hash).
+    bit-identical (same bytes through the same hash). The fold is
+    gated at ``_MAX_LITERAL_BUCKETS``: n_buckets is a public parameter,
+    and a degenerate call (say 1e6 buckets) would otherwise embed a
+    million-element Literal in every expression tree — past the gate
+    the plan falls back to the original in-plan per-token weight md5,
+    same values, O(1) plan size.
     """
     import hashlib
 
@@ -220,15 +230,27 @@ def quality_classifier(
     # md5-derived INTEGER milli-weight in [-1000, 1000]: summed exactly as
     # int64, so the mean (and the label boundary sum >= 0 at threshold
     # 0.5) is engine-deterministic — no FP summation-order residue at all.
-    # Python replica of hash60 (conv(substring(md5, 1, 15), 16, 10)):
-    weights = [
-        int(hashlib.md5(f"w{b}".encode()).hexdigest()[:15], 16) % 2001
-        - 1000
-        for b in range(n_buckets)
-    ]
-    w = F.element_at(
-        F.array(*[F.lit(x) for x in weights]), (bucket + 1).cast("int")
-    )
+    if n_buckets <= _MAX_LITERAL_BUCKETS:
+        # Python replica of hash60 (conv(substring(md5, 1, 15), 16, 10)):
+        weights = [
+            int(hashlib.md5(f"w{b}".encode()).hexdigest()[:15], 16) % 2001
+            - 1000
+            for b in range(n_buckets)
+        ]
+        w = F.element_at(
+            F.array(*[F.lit(x) for x in weights]), (bucket + 1).cast("int")
+        )
+    else:
+        # in-plan twin of the literal table: one md5 per token instance
+        w = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("w"), bucket)), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+            - 1000
+        )
     per_doc = toked.select(F.col(id_col), w.alias("__w")).groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("__w").alias("__wsum"),

@@ -917,6 +917,13 @@ def lm_cross_entropy(
     # the text that produced it, so the corpus scan size upper-bounds
     # the model table; broadcast only when THAT fits the session's
     # autoBroadcastJoinThreshold, else leave the join strategy to AQE.
+    # The bound being loose does NOT forfeit the r7 win: when the static
+    # gate stays off, AQE's runtime re-plan broadcasts the MATERIALIZED
+    # nll stage anyway (measured at 10x: executed plan shows 1
+    # BroadcastHashJoin with the gate off; gate-off vs forced hint is an
+    # interleaved wash, 1.93-2.37 vs 1.88-2.27 s) — with exact runtime
+    # sizing, which a static estimate can never beat, and no abort risk
+    # when bigram types outgrow the budget at 100 TB.
     if broadcast_model is None:
         from etl_io_spark.partitioning import (
             broadcast_budget_bytes,

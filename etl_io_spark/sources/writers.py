@@ -208,8 +208,22 @@ def to_excel(df: DataFrame, path: str, max_rows: int = 100_000) -> str:
     table — inline is valid and single-pass), nulls as blank cells.
     Deterministic output (fixed zip timestamps), zero dependencies."""
     import math
+    import re
     import zipfile
     from xml.sax.saxutils import escape
+
+    # XML 1.0 cannot represent most C0 control characters AT ALL — not
+    # even escaped — so saxutils.escape alone yields a corrupt (not
+    # well-formed) sheet for e.g. a \x00 in a curated-text sample. OOXML's
+    # convention is the _xHHHH_ escape (ECMA-376 §22.9.2.19 ST_Xstring);
+    # literal "_xHHHH_" sequences are protected by escaping their own
+    # underscore first.
+    _ILLEGAL_XML = re.compile("[\x00-\x08\x0B\x0C\x0E-\x1F]")
+    _XESC = re.compile("_(?=x[0-9A-Fa-f]{4}_)")
+
+    def _xstr(s: str) -> str:
+        s = _XESC.sub("_x005F_", s)
+        return _ILLEGAL_XML.sub(lambda m: f"_x{ord(m.group()):04X}_", s)
 
     n = df.limit(max_rows + 1).count()
     if n > max_rows:
@@ -217,11 +231,19 @@ def to_excel(df: DataFrame, path: str, max_rows: int = 100_000) -> str:
             f"to_excel is driver-side and capped at {max_rows} rows; "
             "filter/aggregate first or raise max_rows explicitly"
         )
+    import pandas as pd
+
     pdf = df.toPandas()
 
     def cell(ref: str, v) -> str:
-        if v is None or (isinstance(v, float) and math.isnan(v)):
-            return ""
+        # pd.isna covers None, float NaN AND pd.NaT (a null timestamp is
+        # neither None nor a float — it previously fell through to the
+        # string branch and wrote the literal text "NaT")
+        try:
+            if v is None or pd.isna(v):
+                return ""
+        except (TypeError, ValueError):  # non-scalar (array cell): not null
+            pass
         if isinstance(v, bool):
             return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
         if isinstance(v, (int, float)) and not (
@@ -230,7 +252,7 @@ def to_excel(df: DataFrame, path: str, max_rows: int = 100_000) -> str:
             return f'<c r="{ref}"><v>{v!r}</v></c>'
         return (
             f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
-            f"{escape(str(v))}</t></is></c>"
+            f"{_xstr(escape(str(v)))}</t></is></c>"
         )
 
     rows_xml = []

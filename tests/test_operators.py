@@ -221,3 +221,34 @@ def test_cohort_retention_hand_computed(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-02", 0): 1,
     }
+
+
+def test_connected_components_nan_ids_agree_across_paths(spark):
+    """Float NaN ids pass the isNotNull edge filter; the driver
+    union-find must give them the same treatment as the distributed
+    loop (all NaNs are ONE node that sorts greatest — Spark grouping
+    treats NaNs as equal). The default pd.factorize sentinel (-1) used
+    to resolve through Python negative indexing into the max-id
+    component."""
+    import math
+
+    from etl_io_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1.0, 2.0), (float("nan"), 3.0), (4.0, float("nan")), (5.0, 6.0)],
+        "a double, b double",
+    )
+
+    def canon(df):
+        def key(v):
+            return (1, 0.0) if (isinstance(v, float) and math.isnan(v)) else (0, v)
+
+        return sorted(
+            (key(r["id"]), key(r["cluster_id"])) for r in df.collect()
+        )
+
+    fast = canon(connected_components(pairs, "a", "b"))
+    slow = canon(connected_components(pairs, "a", "b", max_driver_edges=0))
+    assert fast == slow
+    # NaN bridges 3.0 and 4.0: {1,2}, {3,4,NaN}, {5,6} = 7 nodes
+    assert len(fast) == 7

@@ -414,3 +414,57 @@ def test_xlsx_col_letters():
     assert [writers._xlsx_col(i) for i in (0, 1, 25, 26, 27, 51, 52, 701, 702)] == [
         "A", "B", "Z", "AA", "AB", "AZ", "BA", "ZZ", "AAA"
     ]
+
+
+def test_to_excel_control_chars_nat_and_literal_escapes(spark, tmp_path):
+    """XML 1.0 cannot represent C0 control characters even escaped —
+    they must become OOXML _xHHHH_ escapes (with literal _xHHHH_ text
+    protected), and a null timestamp (pd.NaT — neither None nor float
+    NaN) must be a blank cell, not the text 'NaT'."""
+    import datetime
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from etl_io_spark.sources.writers import to_excel
+
+    df = spark.createDataFrame(
+        [
+            ("bad\x00char\x01", datetime.datetime(2020, 1, 1), 1.5),
+            ("_x0000_ literal", None, None),
+        ],
+        "s string, ts timestamp, v double",
+    )
+    path = to_excel(df, str(tmp_path / "t.xlsx"))
+    with zipfile.ZipFile(path) as z:
+        xml_txt = z.read("xl/worksheets/sheet1.xml").decode()
+    ET.fromstring(xml_txt)  # well-formed
+    assert "_x0000_" in xml_txt and "_x0001_" in xml_txt
+    assert "_x005F_x0000_ literal" in xml_txt
+    assert "NaT" not in xml_txt
+
+
+def test_quality_classifier_inplan_twin_matches_literal_table(spark):
+    """Past _MAX_LITERAL_BUCKETS the classifier swaps the driver-folded
+    weight array for the in-plan per-token md5 — values must be
+    identical."""
+    from etl_io_spark.operators import filters
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lorem ipsum dolor"), (3, "")],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        map(tuple, filters.quality_classifier(docs, "doc_id", "text").collect())
+    )
+    old_gate = filters._MAX_LITERAL_BUCKETS
+    try:
+        filters._MAX_LITERAL_BUCKETS = 0
+        b = sorted(
+            map(
+                tuple,
+                filters.quality_classifier(docs, "doc_id", "text").collect(),
+            )
+        )
+    finally:
+        filters._MAX_LITERAL_BUCKETS = old_gate
+    assert a == b

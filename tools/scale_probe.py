@@ -126,7 +126,7 @@ EXTRA_PROBES = {"curation_pipeline": _curation_pipeline_accounting}
 #: (key columns to offset, timestamp column to shift, text column to
 #: perturb, NAME column to tag). Name tagging (round 8, VERDICT r7 ask
 #: #5): replica i of customer appends a doubled replica letter to
-#: ``c_name`` (" bb", " cc", ...), so cross-replica name pairs sit at
+#: ``c_name`` (" aa", " bb", ...), so cross-replica name pairs sit at
 #: edit distance >= 2 — beyond entity_resolution's max_distance=1 gate —
 #: and the true pair graph grows ~copies x instead of the 165x
 #: verbatim-copy explosion BASELINE.md had to caveat (replica 0 keeps
