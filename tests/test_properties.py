@@ -195,3 +195,37 @@ def test_money_e4_sum_is_decimal_exact_and_order_free(spark, rows):
             .collect()[0]["s"]
         )
         assert got == int(expected)
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=edges_strategy)
+@_settings
+def test_connected_components_driver_path_matches_loop(spark, edges):
+    """The driver union-find fast path and the distributed
+    pointer-jumping loop must produce IDENTICAL (id, cluster_id)
+    labelings on arbitrary graphs — self-loops, duplicate and
+    reversed edges included — not just the pinned chain/star/cycle
+    fixtures."""
+    from etl_io_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    fast = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(df, "a", "b").collect()
+    }
+    slow = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(
+            df, "a", "b", max_driver_edges=0
+        ).collect()
+    }
+    assert fast == slow
