@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from etl_io_spark.catalog import TableCatalog
+from etl_io_spark.functions import numeric
 
 
 def pricing_summary(cat: TableCatalog, cutoff: str = "2000-12-01") -> DataFrame:
@@ -686,7 +687,12 @@ def min_cost_supplier(
             "s_name",
             "n_name",
             F.col("l_partkey").alias("p_partkey"),
-            F.round("__cost", 4).alias("supplycost"),
+            # floor-form, not ROUND: supplycost is a ratio of clean
+            # decimals (2dp price / integral qty), so exact ties at the
+            # 4th decimal are possible — Spark's HALF_UP on the shortest
+            # repr vs DuckDB's binary round could flip them. Identical
+            # IEEE double ops on both sides instead (ADVICE r8).
+            numeric.round_floor("__cost", 4).alias("supplycost"),
         )
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -707,7 +713,7 @@ WITH supply AS (
   WHERE r_name = 'EUROPE'
 )
 SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
-       ROUND(supplycost, 4) AS supplycost
+       FLOOR(supplycost * 10000.0 + 0.5) / 10000.0 AS supplycost
 FROM supply JOIN eu ON l_suppkey = s_suppkey
 WHERE supplycost = (
   SELECT MIN(s2.supplycost) FROM supply s2
@@ -851,7 +857,12 @@ def product_type_profit(
         .select("s_suppkey", F.col("n_name").alias("nation"))
     )
     rp_cents = F.round(F.col("p_retailprice") * 100).cast("long")
-    qty = F.col("l_quantity").cast("long")
+    # ROUND before the long cast: a bare double->long cast truncates
+    # toward zero in Spark while the oracle's CAST(.. AS BIGINT) rounds
+    # half-away in DuckDB — they only coincide because quantities are
+    # integral-valued today; rounding first keeps both engines identical
+    # for any future fractional-quantity corpus (ADVICE r8).
+    qty = F.round(F.col("l_quantity")).cast("long")
     profit_e4 = _money_e4(1 - F.col("l_discount")) - rp_cents * qty
     return (
         cat.table("lineitem")
@@ -870,7 +881,7 @@ SELECT n_name AS nation,
        SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
              * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
            - CAST(ROUND(p_retailprice * 100) AS BIGINT)
-             * CAST(l_quantity AS BIGINT)) / 10000.0 AS profit
+             * CAST(ROUND(l_quantity) AS BIGINT)) / 10000.0 AS profit
 FROM lineitem
 JOIN part     ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -1025,10 +1036,10 @@ def late_shipment_priority(
 
 LATE_SHIPMENT_PRIORITY_SQL = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON o_orderkey = l_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
@@ -1061,7 +1072,11 @@ def promo_revenue_pct(
         )
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
+            # floor-form, not ROUND: the pct is a ratio of exact int64
+            # sums — a terminating decimal tail at the 4th place would
+            # round HALF_UP in Spark but on the binary double in DuckDB;
+            # identical IEEE ops both sides instead (ADVICE r8).
+            numeric.round_floor(
                 F.lit(100.0)
                 * F.sum(
                     F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(
@@ -1077,12 +1092,14 @@ def promo_revenue_pct(
 
 
 PROMO_REVENUE_PCT_SQL = """
-SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                              THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                                   * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
-                              ELSE 0 END)
+SELECT FLOOR(CAST(100.0 AS DOUBLE)
+             * SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                             * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
+                        ELSE 0 END)
              / SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                   * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)), 4) AS promo_pct,
+                   * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+             * 10000.0 + 0.5) / 10000.0 AS promo_pct,
        SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
            * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) / 10000.0 AS total_revenue
 FROM lineitem

@@ -4214,20 +4214,41 @@ def _normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "table_checksum_orders",
     """
-    SELECT CAST(SUM(CAST(('0x' || substring(md5(
-             concat_ws('|', COALESCE(CAST(o_orderkey AS VARCHAR), '∅'),
-                            COALESCE(CAST(o_custkey AS VARCHAR), '∅'),
-                            COALESCE(o_orderstatus, '∅'),
-                            COALESCE(o_orderpriority, '∅'))
-           ), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS checksum,
-           COUNT(*) AS n_rows
-    FROM orders
+    WITH c AS (
+      SELECT CAST(SUM(CAST(('0x' || substring(md5(
+               concat_ws('|', COALESCE(CAST(o_orderkey AS VARCHAR), '∅'),
+                              COALESCE(CAST(o_custkey AS VARCHAR), '∅'),
+                              COALESCE(o_orderstatus, '∅'),
+                              COALESCE(o_orderpriority, '∅'))
+             ), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS checksum,
+             COUNT(*) AS n_rows
+      FROM orders
+    )
+    SELECT CAST(checksum // 1000000000000000000 AS BIGINT) AS checksum_hi,
+           CAST(checksum %  1000000000000000000 AS BIGINT) AS checksum_lo,
+           n_rows
+    FROM c
     """,
 )
 def _table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Graded view emits the DECIMAL(38,0) checksum as two BIGINT limbs
+    # (hi = div 1e18, lo = mod 1e18): the sf0.01 value ~8.6e21 exceeds
+    # both int64 and float64-exact range, and the driver's pandas
+    # canonicalizer fetches DuckDB DECIMALs that wide as float64 while
+    # Spark hands back exact Decimal — identical values, mismatched
+    # reprs (r8's only red row; values proven bit-identical both
+    # engines). The engine function keeps its exact DECIMAL API.
     orders = _cat(spark, sf_dir).table("orders")
     return cleaning.table_checksum(
         orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    ).select(
+        F.expr("CAST(checksum div 1000000000000000000 AS BIGINT)").alias(
+            "checksum_hi"
+        ),
+        F.expr("CAST(checksum % 1000000000000000000 AS BIGINT)").alias(
+            "checksum_lo"
+        ),
+        "n_rows",
     )
 
 

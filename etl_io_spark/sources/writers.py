@@ -218,7 +218,12 @@ def to_excel(df: DataFrame, path: str, max_rows: int = 100_000) -> str:
     # convention is the _xHHHH_ escape (ECMA-376 §22.9.2.19 ST_Xstring);
     # literal "_xHHHH_" sequences are protected by escaping their own
     # underscore first.
-    _ILLEGAL_XML = re.compile("[\x00-\x08\x0B\x0C\x0E-\x1F]")
+    # XML 1.0 Char excludes C0 controls (minus TAB/LF/CR), lone
+    # surrogates, and U+FFFE/U+FFFF — none are representable even as
+    # entities, so all get the ECMA-376 _xHHHH_ escape.
+    _ILLEGAL_XML = re.compile(
+        "[\x00-\x08\x0B\x0C\x0E-\x1F\ud800-\udfff\ufffe\uffff]"
+    )
     _XESC = re.compile("_(?=x[0-9A-Fa-f]{4}_)")
 
     def _xstr(s: str) -> str:

@@ -245,7 +245,7 @@ def main() -> None:
         ratio = times[big] / times["1x"]
         rows.append((name, times["1x"], times[big], ratio))
         print(
-            f"| {name} | {times['1x']:.2f} | {times['10x']:.2f} |"
+            f"| {name} | {times['1x']:.2f} | {times[big]:.2f} |"
             f" {ratio:.1f}x |",
             flush=True,
         )
