@@ -245,6 +245,68 @@ def ewma_score(
     )
 
 
+def ewma_score_typed(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    value_col: str,
+    halflife_by: dict[str, float],
+    default_halflife: float = 86400.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-(key, type) time-decayed score with a PER-TYPE halflife — the
+    second-config composition of :func:`ewma_score` that gives the
+    stateful streaming fold (``streaming.stateful.ewma_stream``) a
+    driver-visible batch contract: same recursion, same factorization,
+    but λ is looked up from the event type instead of fixed.
+
+    λ is constant WITHIN each (key, type) group, so the prefix-free
+    factorization of :func:`ewma_score` still applies verbatim with λ
+    as a column (``max(λ)`` in the final aggregate reads the group's
+    constant). Shape is unchanged: one keyed window (min ts) + one
+    partial-aggregable groupBy on the same composite key — a single
+    exchange, no UDF, no per-key scan.
+    """
+    import math
+
+    lam_by = {
+        t: math.log(2.0) / float(h) for t, h in sorted(halflife_by.items())
+    }
+    default_lam = math.log(2.0) / float(default_halflife)
+    mapping = F.create_map(
+        *[F.lit(x) for t, l in lam_by.items() for x in (t, l)]
+    )
+    w0 = Window.partitionBy(key_col, type_col)
+    base = (
+        df.select(
+            F.col(key_col),
+            F.col(type_col),
+            F.col(value_col),
+            F.unix_micros(F.col(ts_col)).alias("__tm"),
+        )
+        .withColumn(
+            "__lam",
+            F.coalesce(
+                F.element_at(mapping, F.col(type_col)), F.lit(default_lam)
+            ),
+        )
+        .withColumn("__t0", F.min("__tm").over(w0))
+    )
+    rel = (F.col("__tm") - F.col("__t0")) / F.lit(1_000_000.0)
+    return base.groupBy(key_col, type_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col(value_col) * F.exp(F.col("__lam") * rel))
+            * F.exp(
+                -F.max("__lam")
+                * ((F.max("__tm") - F.min("__t0")) / F.lit(1_000_000.0))
+            ),
+            round_to,
+        ).alias("ewma_score"),
+    )
+
+
 def activity_streaks(
     df: DataFrame,
     key_col: str,

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from etl_io_spark.caching import persist_tracked
-from etl_io_spark.operators.text import hash60, tokens
+from etl_io_spark.operators.text import hash60, token_count_ws, tokens
 from etl_io_spark.partitioning import spread
 
 #: split thresholds are expressed in basis points of the hash ring so
@@ -160,7 +160,7 @@ def pack_sequences(
         F.col(id_col),
         *group_cols,
         shard.alias("shard"),
-        F.size(tokens(text_col)).alias("n_tokens"),
+        token_count_ws(text_col).alias("n_tokens"),
     )
     w = (
         Window.partitionBy(*group_cols, "shard")
@@ -243,7 +243,7 @@ def _quality_gated(
     both callers so their oracles stay interchangeable."""
     from etl_io_spark.operators.text import punct_ratio, stopword_ratio
 
-    n_words = F.size(tokens(text_col))
+    n_words = token_count_ws(text_col)
     score = (
         F.when((n_words >= 20) & (n_words <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
         + F.when(stopword_ratio(text_col) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))

@@ -141,9 +141,13 @@ def write_jdbc(
     mode: str = "overwrite",
 ) -> str:
     """JDBC sink (S14 ``to_db`` intent). Thin passthrough to
-    ``df.write.jdbc`` — fails with a clear error when no driver jar is on
-    the classpath (this container ships none), which is the honest
-    behavior: silently landing to a file would not be "to_db"."""
+    ``df.write.jdbc`` — fails with a clear error when the named driver
+    jar is not on the classpath, which is the honest behavior: silently
+    landing to a file would not be "to_db". Exercised end-to-end against
+    Spark's bundled embedded Derby (write + read-back compare,
+    tests/test_stateful_writers.py::test_write_jdbc_derby_roundtrip);
+    external engines (postgres, mysql) need their driver jar on
+    ``spark.jars``."""
     df.write.jdbc(url=url, table=table, mode=mode, properties=dict(properties or {}))
     return table
 

@@ -204,3 +204,68 @@ def ewma_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_TYPED_OUTPUT_SCHEMA = (
+    "user_id BIGINT, event_type STRING, n_events BIGINT, ewma_score DOUBLE"
+)
+
+
+def _ewma_typed_fn(lam_by: dict[str, float], default_lam: float, round_to: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        lam = lam_by.get(key[1], default_lam)
+        cur = state.get if state.exists else None
+        for pdf in pdfs:
+            cur = _ewma_fold(cur, pdf.sort_values(["__tm", "event_id"]), lam)
+        if cur is None:
+            return
+        state.update(cur)
+        s, _t, n = cur
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "event_type": key[1],
+                    "n_events": n,
+                    "ewma_score": round(s, round_to),
+                }
+            ]
+        )
+
+    return fn
+
+
+def ewma_stream_typed(
+    events: DataFrame,
+    halflife_by: dict[str, float],
+    default_halflife: float = 86400.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-(user, event_type) EWMA with a PER-TYPE halflife — the
+    streaming twin of ``timeseries.ewma_score_typed`` (its graded batch
+    contract is the ``ewma_decay_by_type`` registry key). Same O(1)
+    state per group as :func:`ewma_stream`; λ is resolved once per
+    group from the grouping key's type, so the fold itself is unchanged
+    and the cross-batch state-carry tests cover both variants."""
+    import math
+
+    lam_by = {t: math.log(2.0) / float(h) for t, h in halflife_by.items()}
+    default_lam = math.log(2.0) / float(default_halflife)
+    from pyspark.sql import functions as F
+
+    base = events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("__tm"),
+        "value",
+    )
+    return base.groupBy("user_id", "event_type").applyInPandasWithState(
+        _ewma_typed_fn(lam_by, default_lam, round_to),
+        outputStructType=EWMA_TYPED_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -240,6 +240,56 @@ def test_fuzzy_pairs_segmented_matches_blocked(spark):
     assert (1, 2, 1) in old and (7, 8, 1) in old
 
 
+def test_fuzzy_pairs_deletion_matches_blocked(spark):
+    """FastSS deletion-neighborhood candidates must reproduce the plain
+    blocked all-pairs lev<=1 set EXACTLY (recall is provable; precision
+    comes from the verify step). Corpus exercises the hand-proved edge
+    cases: substitutions, insertions (length differs by 1), the 'ab'/'ba'
+    shared-variant-but-lev-2 false candidate, empty strings (the
+    sequence(1,0) descending-range guard), and cross-block isolation."""
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcde"
+    rows = [Row(id=100, name="", blk=1), Row(id=101, name="", blk=1),
+            Row(id=102, name="a", blk=1),       # insertion pair with ""
+            Row(id=103, name="ab", blk=1),
+            Row(id=104, name="ba", blk=1),      # lev-2 false candidate
+            Row(id=105, name="ab", blk=2)]      # other block: no cross pair
+    base_strs = ["".join(rng.choice(alpha) for _ in range(rng.randint(3, 9)))
+                 for _ in range(20)]
+    nid = 200
+    for s in base_strs:
+        for variant in (
+            s,
+            s[:1] + rng.choice(alpha) + s[2:],          # substitution
+            s[: len(s) // 2] + rng.choice(alpha) + s[len(s) // 2:],  # insert
+            s[1:],                                       # deletion
+        ):
+            rows.append(Row(id=nid, name=variant, blk=nid % 2))
+            nid += 1
+    df = spark.createDataFrame(rows)
+    want = sorted(map(tuple, dedup.fuzzy_pairs(
+        df, "id", "name", "blk", max_distance=1).collect()))
+    got = sorted(map(tuple, dedup.fuzzy_pairs_deletion(
+        df, "id", "name", block_col="blk").collect()))
+    assert got == want
+    assert (100, 101, 0) in got and (100, 102, 1) in got
+    assert not any(a == 103 and b == 104 for a, b, _ in got)
+    # unblocked form vs constant-block plain join
+    want_all = sorted(map(tuple, dedup.fuzzy_pairs(
+        df, "id", "name", F.lit(1), max_distance=1).collect()))
+    got_all = sorted(map(tuple, dedup.fuzzy_pairs_deletion(
+        df, "id", "name").collect()))
+    assert got_all == want_all and len(got_all) > len(got)
+
+
+def test_fuzzy_pairs_deletion_k2_unsupported(spark):
+    df = spark.createDataFrame([Row(id=1, name="ab", blk=1)])
+    with pytest.raises(ValueError, match="max_distance=1"):
+        dedup.fuzzy_pairs_deletion(df, "id", "name", max_distance=2)
+
+
 def test_tfidf_top_terms_hand_computed(spark):
     import math
 

@@ -580,6 +580,7 @@ CONSTRUCTION_MAY_RUN_JOBS = {
     "dedup_clusters",
     "fuzzy_dedup_keep_best",
     "entity_resolution",
+    "entity_resolution_scalable",  # same CC tail, FastSS candidate gen
     "curation_pipeline",  # composes fuzzy_dedup_keep_best's CC rounds
 }
 
