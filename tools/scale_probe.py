@@ -64,6 +64,11 @@ PROBE = [
     "embedding_neardup",
     "stream_interval_join",
     "pagerank_trade_graph",
+    # round-9 additions: the scale-safe graded shapes land in the
+    # standing probe so future rounds track their growth
+    "kcore_trade_graph",
+    "entity_resolution_scalable",
+    "ewma_decay_by_type",
     "merge_upsert_customer",
     "zorder_code_orders",
     "embedding_quantize",
