@@ -509,6 +509,83 @@ def temperature_mix(
     )
 
 
+def mixture_token_plan(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    weights_bp: dict[str, int],
+    budget_tokens: int,
+    default_bp: int = 0,
+    max_epochs_bp: int = 40_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Token-budget mixture plan — the published "data recipe" table of
+    a training run (Pile/LLaMA-style): given per-group TARGET shares (in
+    basis points of ``budget_tokens``) and the tokens actually available
+    per group, emit per group the target token count, the repeat factor
+    (epochs) needed to hit it, the planned tokens after the repeat cap,
+    and the unmet deficit. Groups absent from ``weights_bp`` get
+    ``default_bp``; shares need not sum to 10 000 (the spec is
+    per-group targets, not a simplex).
+
+    Everything except the display epochs is EXACT int64 arithmetic
+    (``target = budget·bp div 10⁴``, ``cap = available·max_epochs_bp
+    div 10⁴``, ``planned = least(target, cap)``), so the plan is
+    bit-identical on any engine at any scale; epochs is the one ratio
+    column, floor-form rounded from identical exact-int inputs.
+
+    Shape: ONE partial-aggregable groupBy over the corpus (the token
+    count sums map-side) — the full text is scanned exactly once; the
+    plan table is |groups| rows. Reference intent: the reference has no
+    training-data surface at all (SURVEY.md §1.3); this completes the
+    mixing family (weighted_mix = execute rates, temperature_mix =
+    derive shares from counts, THIS = budget the shares against
+    availability).
+    """
+    from etl_io_spark.operators.text import token_count_ws
+
+    bp_map = F.create_map(
+        *[F.lit(x) for g, b in sorted(weights_bp.items()) for x in (g, b)]
+    )
+    avail = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws(text_col)).cast("bigint").alias(
+            "tokens_available"
+        ),
+    )
+    keyed = avail.withColumn(
+        "__bp",
+        F.coalesce(
+            F.element_at(bp_map, F.col(group_col)), F.lit(default_bp)
+        ).cast("bigint"),
+    )
+    # exact integer division — Spark `div` here, DuckDB `//` in oracles
+    target = F.expr(
+        f"CAST({int(budget_tokens)} AS BIGINT) * __bp div 10000"
+    )
+    cap = F.expr(
+        f"tokens_available * CAST({int(max_epochs_bp)} AS BIGINT) div 10000"
+    )
+    planned = F.least(target, cap)
+    epochs = F.when(
+        F.col("tokens_available") > 0,
+        F.floor(
+            planned / F.col("tokens_available") * F.lit(10.0**round_to)
+            + F.lit(0.5)
+        )
+        / F.lit(10.0**round_to),
+    ).otherwise(F.lit(0.0))
+    return keyed.select(
+        group_col,
+        "n_docs",
+        "tokens_available",
+        target.cast("bigint").alias("target_tokens"),
+        planned.cast("bigint").alias("planned_tokens"),
+        epochs.alias("epochs"),
+        (target - planned).cast("bigint").alias("deficit_tokens"),
+    )
+
+
 def dsir_logratio(
     df: DataFrame,
     id_col: str,

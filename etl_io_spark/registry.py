@@ -5371,6 +5371,58 @@ def _temperature_mix_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training.temperature_mix(docs, "lang", alpha=0.3)
 
 
+# Token-budget mixture plan (training.mixture_token_plan): target shares
+# in basis points against a 500k-token budget, repeats capped at 4
+# epochs. All plan columns exact int64 (div-by-10000 integer division on
+# both engines); epochs is the one display ratio, floor-form rounded.
+_MIXTURE_PLAN_SQL = """
+    WITH avail AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+               AS BIGINT) AS tokens_available
+      FROM documents GROUP BY source
+    ),
+    keyed AS (
+      SELECT *, CAST(CASE source WHEN 'src0' THEN 2000
+                                 WHEN 'src1' THEN 1500
+                                 WHEN 'src2' THEN 1500
+                                 ELSE 300 END AS BIGINT) AS bp
+      FROM avail
+    ),
+    planned AS (
+      SELECT source, n_docs, tokens_available,
+             CAST(500000 AS BIGINT) * bp // 10000 AS target_tokens,
+             LEAST(CAST(500000 AS BIGINT) * bp // 10000,
+                   tokens_available * CAST(40000 AS BIGINT) // 10000)
+               AS planned_tokens
+      FROM keyed
+    )
+    SELECT source, n_docs, tokens_available, target_tokens, planned_tokens,
+           CASE WHEN tokens_available > 0
+                THEN FLOOR(planned_tokens * 1.0 / tokens_available
+                           * 1000000.0 + 0.5) / 1000000.0
+                ELSE 0.0 END AS epochs,
+           CAST(target_tokens - planned_tokens AS BIGINT) AS deficit_tokens
+    FROM planned
+"""
+
+
+@register("mixture_token_plan", _MIXTURE_PLAN_SQL)
+def _mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_io_spark.operators import training
+
+    docs = _cat(spark, sf_dir).table("documents")
+    return training.mixture_token_plan(
+        docs,
+        "source",
+        "text",
+        weights_bp={"src0": 2000, "src1": 1500, "src2": 1500},
+        budget_tokens=500_000,
+        default_bp=300,
+        max_epochs_bp=40_000,
+    )
+
+
 # ==========================================================================
 # Snapshot reconciliation: added/removed/changed/unchanged in one
 # full-outer pass (native-type null-safe compare — no string rendering)

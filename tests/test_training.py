@@ -132,6 +132,60 @@ def test_pii_redact_patterns(spark):
     assert rows[4]["n_email"] == rows[4]["n_phone"] == rows[4]["n_ssn"] == 0
 
 
+def test_mixture_token_plan_hand_computed(spark):
+    # a: 2 docs x 5 tokens = 10 available; b: 1 doc x 2 tokens = 2; c
+    # absent from weights -> default_bp
+    df = spark.createDataFrame(
+        [
+            ("a", "one two three four five"),
+            ("a", "uno dos tres cuatro cinco"),
+            ("b", "tiny doc"),
+            ("c", "other source text here"),
+        ],
+        "src string, text string",
+    )
+    out = {
+        r["src"]: r
+        for r in training.mixture_token_plan(
+            df,
+            "src",
+            "text",
+            weights_bp={"a": 5000, "b": 4000},
+            budget_tokens=100,
+            default_bp=1000,
+            max_epochs_bp=20_000,  # 2-epoch cap
+        ).collect()
+    }
+    # a: target = 100*5000 div 10000 = 50; cap = 10*2 = 20 -> planned 20,
+    #    epochs 2.0, deficit 30
+    assert out["a"]["tokens_available"] == 10
+    assert out["a"]["target_tokens"] == 50
+    assert out["a"]["planned_tokens"] == 20
+    assert out["a"]["epochs"] == 2.0
+    assert out["a"]["deficit_tokens"] == 30
+    # b: target = 40; cap = 2*2 = 4 -> planned 4, epochs 2.0, deficit 36
+    assert out["b"]["planned_tokens"] == 4 and out["b"]["deficit_tokens"] == 36
+    # c (default 1000 bp): target = 10; available 4, cap = 4*2 = 8 ->
+    # planned = least(10, 8) = 8, epochs 2.0, deficit 2
+    assert out["c"]["target_tokens"] == 10
+    assert out["c"]["planned_tokens"] == 8
+    assert out["c"]["deficit_tokens"] == 2
+    # abundant case: big budget share met under the cap
+    out2 = {
+        r["src"]: r
+        for r in training.mixture_token_plan(
+            df, "src", "text", weights_bp={"a": 10_000},
+            budget_tokens=10, default_bp=0,
+        ).collect()
+    }
+    # a: target 10, cap 40 -> planned 10, epochs 1.0, deficit 0
+    assert out2["a"]["planned_tokens"] == 10
+    assert out2["a"]["epochs"] == 1.0
+    assert out2["a"]["deficit_tokens"] == 0
+    # zero-weight groups plan zero
+    assert out2["b"]["target_tokens"] == 0 and out2["b"]["epochs"] == 0.0
+
+
 def test_chunk_rejects_bad_overlap(spark, docs):
     with pytest.raises(ValueError):
         training.chunk_documents(docs, "doc_id", "text", 16, 16)
