@@ -66,7 +66,7 @@ PROBE = [
     "pagerank_trade_graph",
     # round-9 additions: the scale-safe graded shapes land in the
     # standing probe so future rounds track their growth
-    "kcore_trade_graph",
+    # (kcore_trade_graph already probes with the round-3 additions)
     "entity_resolution_scalable",
     "ewma_decay_by_type",
     "merge_upsert_customer",
