@@ -274,8 +274,12 @@ def ewma_score_typed(
         t: math.log(2.0) / float(h) for t, h in sorted(halflife_by.items())
     }
     default_lam = math.log(2.0) / float(default_halflife)
-    mapping = F.create_map(
-        *[F.lit(x) for t, l in lam_by.items() for x in (t, l)]
+    # zero-arg create_map builds a map<void,void> that cannot be probed
+    # with a string key — an empty spec means every type gets the default
+    mapping = (
+        F.create_map(*[F.lit(x) for t, l in lam_by.items() for x in (t, l)])
+        if lam_by
+        else F.lit(None).cast("map<string,double>")
     )
     w0 = Window.partitionBy(key_col, type_col)
     base = (

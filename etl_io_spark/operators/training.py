@@ -544,8 +544,14 @@ def mixture_token_plan(
     """
     from etl_io_spark.operators.text import token_count_ws
 
-    bp_map = F.create_map(
-        *[F.lit(x) for g, b in sorted(weights_bp.items()) for x in (g, b)]
+    # zero-arg create_map builds a map<void,void> that cannot be probed
+    # with a string key — an empty spec means every group gets default_bp
+    bp_map = (
+        F.create_map(
+            *[F.lit(x) for g, b in sorted(weights_bp.items()) for x in (g, b)]
+        )
+        if weights_bp
+        else F.lit(None).cast("map<string,bigint>")
     )
     avail = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
