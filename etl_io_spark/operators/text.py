@@ -87,7 +87,13 @@ def token_count_ws(col: str) -> Column:
     token array just to take its length. Round-9 A/B at 500k docs:
     0.68 -> 0.53 s as a lone aggregate; compounds inside
     ``quality_score_expr`` where the split previously ran twice. Keep
-    ``tokens()`` where the ARRAY itself is consumed."""
+    ``tokens()`` where the ARRAY itself is consumed.
+
+    NULL text counts as NULL (standard SQL null propagation) — the old
+    split form returned the legacy ``size(NULL) = -1`` sentinel under
+    non-ANSI mode, which no consumer wanted: a -1 "count" silently
+    shifted ``pack_sequences``'s running token sums. Null-text rows now
+    fall out of token accounting instead (pinned by test)."""
     return F.regexp_count(F.col(col), F.lit(r"\S+"))
 
 

@@ -239,16 +239,15 @@ def _quality_gated(
 ) -> DataFrame:
     """The shared quality gate of ``curate_corpus`` / ``curation_pipeline``:
     (id, text, __nw word count, __q score in [0,1]) filtered to the docs
-    that clear both thresholds. Pure map stage — identical expressions in
-    both callers so their oracles stay interchangeable."""
-    from etl_io_spark.operators.text import punct_ratio, stopword_ratio
+    that clear both thresholds. Pure map stage; the score IS
+    ``text.quality_score_expr`` (one definition — a previous inline copy
+    here had to be edited in lockstep with text.py and desynchronizing
+    them would silently split this gate from ``quality_features`` and
+    their interchangeable oracles)."""
+    from etl_io_spark.operators.text import quality_score_expr
 
     n_words = token_count_ws(text_col)
-    score = (
-        F.when((n_words >= 20) & (n_words <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when(stopword_ratio(text_col) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
-        + F.when(punct_ratio(text_col) <= 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
-    )
+    score = quality_score_expr(text_col)
     return (
         spread(df)
         .select(F.col(id_col), F.col(text_col), n_words.alias("__nw"))
@@ -542,8 +541,6 @@ def mixture_token_plan(
     derive shares from counts, THIS = budget the shares against
     availability).
     """
-    from etl_io_spark.operators.text import token_count_ws
-
     # zero-arg create_map builds a map<void,void> that cannot be probed
     # with a string key — an empty spec means every group gets default_bp
     bp_map = (

@@ -4262,8 +4262,10 @@ def _normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n_rows
       FROM orders
     )
-    SELECT CAST(checksum // 1000000000000000000 AS BIGINT) AS checksum_hi,
-           CAST(checksum %  1000000000000000000 AS BIGINT) AS checksum_lo,
+    SELECT CAST(CAST(checksum AS HUGEINT) // 1000000000000000000 AS BIGINT)
+             AS checksum_hi,
+           CAST(CAST(checksum AS HUGEINT) %  1000000000000000000 AS BIGINT)
+             AS checksum_lo,
            n_rows
     FROM c
     """,
@@ -5378,7 +5380,8 @@ def _temperature_mix_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIXTURE_PLAN_SQL = """
     WITH avail AS (
       SELECT source, COUNT(*) AS n_docs,
-             CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+             CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                      x -> x <> '')))
                AS BIGINT) AS tokens_available
       FROM documents GROUP BY source
     ),

@@ -136,6 +136,25 @@ def test_token_counts(spark):
     assert r["ws"] == 3
     # hello | world | , | x | 2 | !
     assert r["bpe"] == 6
+    # NULL text counts as NULL (standard null propagation) — NOT the
+    # legacy size(NULL) = -1 sentinel of the old split form, which
+    # silently shifted pack_sequences' running token sums
+    nulls = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="  "), Row(doc_id=3, text="")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["ws"], r["q"])
+        for r in nulls.select(
+            "doc_id",
+            text.token_count_ws("text").alias("ws"),
+            F.round(text.quality_score_expr("text"), 2).alias("q"),
+        ).collect()
+    }
+    # the quality battery's ratio guards default NULL inputs to 0.0, so
+    # NULL text scores like empty text (0.3: only the punct gate passes)
+    assert got[1] == (None, 0.3)
+    assert got[2] == (0, 0.3) and got[3] == (0, 0.3)
 
 
 def test_lang_id_markers(spark):
