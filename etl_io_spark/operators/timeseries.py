@@ -267,6 +267,15 @@ def ewma_score_typed(
     constant). Shape is unchanged: one keyed window (min ts) + one
     partial-aggregable groupBy on the same composite key — a single
     exchange, no UDF, no per-key scan.
+
+    Range limit: inherits :func:`ewma_score`'s ``exp(λ·span)`` overflow
+    ceiling (~700 half-lives per IEEE double), but here the ceiling is
+    PER TYPE — worst case = the SHORTEST configured halflife. E.g. a
+    6-hour ``view`` halflife overflows at a ~6-month (key, type) span,
+    far tighter than the 1-day default's ~2-year ceiling. Segment long
+    series per the :func:`ewma_score` note, sized for the shortest
+    halflife in ``halflife_by`` (``ewma_stream_typed`` shares this
+    limit for its per-batch folds).
     """
     import math
 

@@ -154,9 +154,15 @@ def pack_sequences(
     bin_id is unique within a ``group_cols`` combination (shard * 2^32 +
     local bin). ``group_cols`` confines packing within those columns
     (e.g. ``("split",)`` so train/val/test docs never share a bin — the
-    training-pipeline composition needs exactly that boundary)."""
+    training-pipeline composition needs exactly that boundary).
+
+    NULL-text docs are EXCLUDED up front (ADVICE r9): ``token_count_ws``
+    is NULL-in → NULL-out, and a NULL token count would skip the running
+    sum (budgets stay right) yet still occupy a slot in some bin — a
+    packed "sequence" with no tokens. Dropping them makes the exclusion
+    explicit rather than an accident of SUM's null-skipping."""
     shard = F.pmod(hash60(F.col(id_col).cast("string")), F.lit(n_shards))
-    toks = df.select(
+    toks = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         *group_cols,
         shard.alias("shard"),

@@ -248,7 +248,12 @@ def ewma_stream_typed(
     contract is the ``ewma_decay_by_type`` registry key). Same O(1)
     state per group as :func:`ewma_stream`; λ is resolved once per
     group from the grouping key's type, so the fold itself is unchanged
-    and the cross-batch state-carry tests cover both variants."""
+    and the cross-batch state-carry tests cover both variants.
+
+    Range limit: the per-batch fold shares ``ewma_score_typed``'s
+    ``exp(λ·span)`` ceiling (~700 half-lives of the SHORTEST configured
+    halflife per batch span — see that docstring); the incremental
+    cross-batch decay keeps per-batch spans short in steady state."""
     import math
 
     lam_by = {t: math.log(2.0) / float(h) for t, h in halflife_by.items()}

@@ -113,6 +113,20 @@ def test_pack_sequences_greedy_invariants(spark, docs):
     assert out.select("doc_id").distinct().count() == docs.count()
 
 
+def test_pack_sequences_excludes_null_text(spark):
+    """NULL-text docs must not occupy bin slots (ADVICE r9): with
+    token_count_ws NULL-in → NULL-out they'd get a shard/bin assignment
+    with n_tokens NULL while the running sum skipped them."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e"), (4, None)],
+        ["doc_id", "text"],
+    )
+    out = training.pack_sequences(df, "doc_id", "text", ctx_tokens=4, n_shards=2)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {1, 3}
+    assert out.where(F.col("n_tokens").isNull()).count() == 0
+
+
 def test_pii_redact_patterns(spark):
     df = spark.createDataFrame(
         [
