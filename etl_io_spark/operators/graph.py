@@ -542,12 +542,23 @@ def label_propagation(
     return labels
 
 
+#: leaf-scan-bytes floor above which ``k_core`` persists the initial edge
+#: relation and per-round keep-sets (the round-9 both-persisted shape).
+#: Below it, cache materialization of a relation the fused plan
+#: re-derives in per-task-overhead time is pure cost: the trade graph's
+#: ~13 MB of source leaves measured ~1.7 s of persist overhead at sf0.1,
+#: while the 10x corpus (~124 MB of leaves) needs the persists to kill a
+#: 3.5x re-derivation blowup. 100 TB inputs are always far above this.
+KCORE_PERSIST_MIN_SCAN_BYTES = 32 * 1024 * 1024
+
+
 def k_core(
     edges: DataFrame,
     k: int,
     rounds: int = 3,
     src: str = "src",
     dst: str = "dst",
+    persist_inputs: bool | str = "auto",
 ) -> DataFrame:
     """Iterative degree pruning toward the k-core of a (symmetrized)
     edge list: each round drops every node whose current degree is
@@ -578,12 +589,28 @@ def k_core(
     and the duplicated degree agg per round. The ~1.7 s 1x overhead is
     the cache materialization of a relation the fused plan recomputed
     more cheaply at toy scale; it inverts by 10x and keeps widening.
+
+    Round 10 (VERDICT r9 ask #3): that pair of persists is now
+    SIZE-GATED on ``leaf_scan_bytes`` — the summed Catalyst size of the
+    plan's leaf scans, the no-job proxy for scale regime (post-join
+    ``plan_size_bytes`` is estimate-inflated 1000x and unusable). Below
+    ``KCORE_PERSIST_MIN_SCAN_BYTES`` the operator keeps the round-8
+    fused shape (per-round surviving-edge persists only) and recovers
+    the ~1.7 s toy-scale materialization cost; above it — including any
+    unknown-stats leaf, which reads as huge — it takes the round-9
+    shape that wins 3.5x at the 10x corpus. ``persist_inputs`` pins the
+    choice for tests/callers that know better.
     """
-    e = persist_tracked(
+    if persist_inputs == "auto":
+        from etl_io_spark.partitioning import leaf_scan_bytes
+
+        persist_inputs = leaf_scan_bytes(edges) >= KCORE_PERSIST_MIN_SCAN_BYTES
+    maybe_persist = persist_tracked if persist_inputs else (lambda d: d)
+    e = maybe_persist(
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     )
     for r in range(rounds):
-        keep = persist_tracked(
+        keep = maybe_persist(
             e.groupBy("__s")
             .agg(F.count(F.lit(1)).alias("__deg"))
             .where(F.col("__deg") >= k)

@@ -1216,6 +1216,40 @@ def test_k_core_cascading_prune(spark):
     assert got == {7: 2, 8: 2, 9: 2}
 
 
+def test_k_core_persist_gate(spark):
+    from etl_io_spark import caching
+    from etl_io_spark.operators import graph
+
+    e = [(1, 2), (2, 3), (3, 4), (7, 8), (8, 9), (7, 9)]
+    edges = graph.symmetrize(
+        spark.createDataFrame(e, "src bigint, dst bigint")
+    )
+    caching.drain_persisted()
+    expect = {7: 2, 8: 2, 9: 2}
+
+    def run(**kw):
+        out = {
+            r["node"]: r["degree"]
+            for r in graph.k_core(edges, k=2, rounds=3, **kw).collect()
+        }
+        n_persists = caching.drain_persisted()
+        return out, n_persists
+
+    # createDataFrame yields a LogicalRDD with UNKNOWN stats (Catalyst's
+    # 8 EiB default) -> auto takes the scale-protective branch: initial
+    # edges + 3 keep-sets + 3 per-round survivors = 7 persists
+    out, n = run()
+    assert out == expect and n == 7
+    # pinned ON: same both-persisted shape
+    out, n = run(persist_inputs=True)
+    assert out == expect and n == 7
+    # pinned OFF: the round-8 fused shape — only the 3 per-round
+    # surviving-edge persists (what auto picks on small parquet scans,
+    # e.g. the sf0.01/sf0.1 trade graph whose leaves are size-known)
+    out, n = run(persist_inputs=False)
+    assert out == expect and n == 3
+
+
 def test_degree_assortativity_star_is_minus_one(spark):
     from etl_io_spark.operators import graph
 
