@@ -530,7 +530,7 @@ def connected_components(
     b_col: str = "b",
     max_iter: int = 60,
     checkpoint_dir: str | None = None,
-    max_driver_edges: int = 2_000_000,
+    max_driver_edges: int = 8_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list → ``(id, cluster_id)``
     where ``cluster_id`` is the minimum node id in the component — the
@@ -543,8 +543,13 @@ def connected_components(
     smaller than the corpus. So:
 
       * pair graph ≤ ``max_driver_edges`` (counted on the persisted edge
-        cache — one cheap job; the default 2M directed edges is ~32 MB
-        of int64 pairs): label via a driver-side union-find with
+        cache — one cheap job; the default 8M directed edges is ~128 MB
+        of int64 pairs — raised from 2M in round 10 after the ER 100x
+        probe landed at 2.087M directed edges, 4% past the old gate,
+        and paid ~105 s of distributed loop where the union-find labels
+        a 1M-edge graph in ~1 s; a 128 MB Arrow batch is safe on any
+        driver that can run Spark at that scale): label via a
+        driver-side union-find with
         path-compression — exact same (id, min-id cluster) output, zero
         iteration rounds. On the sf0.1 entity-resolution name graph
         (20.9k directed edges, 27-round convergence tail) this is
@@ -624,7 +629,7 @@ def connected_components(
     if max_driver_edges and edges.count() <= max_driver_edges:
         import pandas as pd
 
-        # ONE bounded batch (<= max_driver_edges rows; ~32 MB at the 2M
+        # ONE bounded batch (<= max_driver_edges rows; ~128 MB at the 8M
         # default) — toLocalIterator paid a driver-synchronized round
         # trip per partition and row-at-a-time Python dispatch
         pdf = edges.toPandas()

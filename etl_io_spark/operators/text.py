@@ -104,10 +104,25 @@ BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 def token_count_bpe(col: str) -> Column:
     """Count of BPE-ish units (letters-run | digits-run | symbol).
-    ``regexp_count`` — same matches as ``size(regexp_extract_all(...))``
-    (verified exhaustively) without materializing every match into an
-    array just to take its length (7.1 -> 4.5 s over 500k docs)."""
-    return F.regexp_count(F.col(col), F.lit(BPE_PATTERN))
+
+    The three alternatives of :data:`BPE_PATTERN` match DISJOINT
+    character classes, so the count decomposes exactly:
+    ``count([a-zA-Z]+) + count([0-9]+) + count of other non-ws glyphs``
+    — two simple-class run scans plus a ``translate`` deletion count
+    (the :func:`punct_ratio` trick), sidestepping Java regex's
+    per-position alternation trial. Round-10 A/B at the 100x corpus
+    (500k docs, exhaustive equality: 0 mismatches): 3.86 -> 1.00 s as a
+    lone aggregate vs the single alternation ``regexp_count`` (which
+    itself beat ``size(regexp_extract_all(...))`` 7.1 -> 4.5 s in r8).
+    NULL text stays NULL-in → NULL-out (all three terms null-propagate).
+    The DuckDB oracles keep the one-regex form — RE2 has no alternation
+    cliff, and mirroring a 68-char translate set in SQL would obscure
+    them for no parity gain."""
+    return (
+        F.regexp_count(F.col(col), F.lit("[a-zA-Z]+"))
+        + F.regexp_count(F.col(col), F.lit("[0-9]+"))
+        + F.length(F.translate(F.col(col), _ALNUM_WS, ""))
+    )
 
 
 #: Java regex ``\s`` without the UNICODE flag is exactly ``[ \t\n\x0B\f\r]``
