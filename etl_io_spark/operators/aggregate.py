@@ -130,6 +130,56 @@ def exact_percentiles(
     return base.groupBy(*keys).agg(*aggs)
 
 
+def weighted_percentiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    quantiles: Sequence[float],
+) -> DataFrame:
+    """Exact weighted lower-quantiles per group: the smallest value whose
+    cumulative weight (over values ≤ it) reaches ``q`` of the group's
+    total weight — the weighted-median family (e.g. the quantity-weighted
+    median price: "half the UNITS sold cost at most this much").
+
+    Shape: (1) a partial-aggregable ``groupBy(keys, value)`` collapses
+    the input to DISTINCT values carrying their summed weight — the
+    map-side combine means the window below sorts value cardinality, not
+    row count; (2) one per-key running-sum window over those distinct
+    values; (3) each quantile is a ``min(value WHERE cum >= q·total)``
+    reduction. One keyed exchange end to end (the window and the final
+    groupBy share it under AQE).
+
+    Exactness: picks an EXISTING value (no interpolation), so the output
+    is bit-identical cross-engine; with integral weights the cumulative
+    and total sums are exact in any summation order, and ``q·total`` is
+    the same single IEEE multiply on both engines — mirror the oracle as
+    ``cum >= q * total`` verbatim and no float-noise class applies.
+    """
+    from pyspark.sql import Window
+
+    g = df.groupBy(*keys, value_col).agg(F.sum(weight_col).alias("__w"))
+    run = (
+        Window.partitionBy(*keys)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part = Window.partitionBy(*keys)
+    base = g.withColumn("__cum", F.sum("__w").over(run)).withColumn(
+        "__tot", F.sum("__w").over(part)
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cum") >= F.lit(float(q)) * F.col("__tot"),
+                F.col(value_col),
+            )
+        ).alias(f"wp{int(round(q * 100))}")
+        for q in quantiles
+    ]
+    return base.groupBy(*keys).agg(*aggs)
+
+
 def histogram(
     df: DataFrame,
     col: str,

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 
@@ -128,27 +128,46 @@ def asof_join(
     ts_col: str = "ts",
     right_cols: Sequence[str] = (),
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """As-of join: attach to each left row the most recent right row with
-    ``right.ts <= left.ts`` within the same key group (time-series
-    enrichment; absent from the reference — SURVEY.md §2.3 "not present"
-    list — but essential for the events table).
+    """As-of join: attach to each left row the nearest right row within
+    the same key group (time-series enrichment; absent from the
+    reference — SURVEY.md §2.3 "not present" list — but essential for
+    the events table).
+
+    ``direction`` (the pandas ``merge_asof`` contract):
+      * ``backward`` (default): most recent right row with
+        ``right.ts <= left.ts``;
+      * ``forward``: earliest right row with ``right.ts >= left.ts``;
+      * ``nearest``: whichever of the two is closer in time, ties to
+        the backward match (pandas tie rule).
+    ``tolerance_seconds`` nulls out a match whose time gap exceeds it.
 
     Spark-native single-shuffle plan (the union trick): tag both sides,
     union them, and carry the latest right payload forward with
     ``last(..., ignorenulls=True)`` over (key, ts, side) ordering — right
-    rows sort before left rows at equal ts, so ties match. Cost is ONE
-    shuffle of |left|+|right| rows keyed by the join key; there is no
-    range-condition join (which Spark would plan as a broadcast
-    nested-loop — quadratic) and state per key is O(1). Skewed keys
-    behave like any window: AQE cannot split a single partitionBy key, so
-    pre-filter pathological keys if one key dominates.
+    rows sort before left rows at equal ts, so ties match. ``forward``
+    is the same carry over the REVERSED ordering; ``nearest`` evaluates
+    both windows over the SAME partitioning (one exchange, two Tungsten
+    sorts) and picks per row. Cost is ONE shuffle of |left|+|right| rows
+    keyed by the join key; there is no range-condition join (which Spark
+    would plan as a broadcast nested-loop — quadratic) and state per key
+    is O(1). Skewed keys behave like any window: AQE cannot split a
+    single partitionBy key, so pre-filter pathological keys if one key
+    dominates.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     rcols = list(right_cols) or [
         c for c in right.columns if c not in keys and c != ts_col
     ]
-    payload = F.struct(*[F.col(c) for c in rcols])
+    # the right event time rides inside the payload ("__rts") so nearest
+    # and tolerance can measure the gap after the carry
+    payload = F.struct(
+        *[F.col(c) for c in rcols], F.col(ts_col).alias("__rts")
+    )
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),
@@ -169,15 +188,50 @@ def asof_join(
                 c, F.lit(None).cast(left.schema[c].dataType)
             )
     unioned = r_tagged.select(l_tagged.columns).unionByName(l_tagged)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    def carry(descending: bool) -> Column:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(
+                F.col(ts_col).desc() if descending else F.col(ts_col).asc(),
+                F.col("__side").asc(),
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("__payload", ignorenulls=True).over(w)
+
+    carried = unioned
+    if direction in ("backward", "nearest"):
+        carried = carried.withColumn("__mb", carry(descending=False))
+    if direction in ("forward", "nearest"):
+        carried = carried.withColumn("__mf", carry(descending=True))
+    if direction == "backward":
+        m = F.col("__mb")
+    elif direction == "forward":
+        m = F.col("__mf")
+    else:
+        gap_b = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+            F.col("__mb.__rts")
+        )
+        gap_f = F.unix_micros(F.col("__mf.__rts")) - F.unix_micros(
+            F.col(ts_col)
+        )
+        m = (
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(gap_f < gap_b, F.col("__mf"))
+            .otherwise(F.col("__mb"))
+        )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(m["__rts"])
+        )
+        m = F.when(gap <= F.lit(int(tolerance_seconds * 1_000_000)), m)
+    out = (
+        carried.where(F.col("__side") == 1)
+        .withColumn("__m", m)
+        .drop("__side", "__payload", "__mb", "__mf")
     )
-    carried = unioned.withColumn(
-        "__m", F.last("__payload", ignorenulls=True).over(w)
-    )
-    out = carried.where(F.col("__side") == 1).drop("__side", "__payload")
     for c in rcols:
         out = out.withColumn(f"{c}{suffix}", F.col("__m")[c])
     return out.drop("__m")

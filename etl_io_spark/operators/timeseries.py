@@ -320,6 +320,49 @@ def ewma_score_typed(
     )
 
 
+def rolling_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct entities per day ("rolling 7-day active
+    users"): for each ACTIVE day ``d``, the count of distinct keys with
+    at least one event in ``[d - window_days + 1, d]``.
+
+    Spark has no ``count_distinct`` over a RANGE window (per-row set
+    state); the scalable form is cover-day fan-out: collapse events to
+    distinct (key, day) pairs first (a partial-aggregable groupBy — the
+    fan-out input is active-pair-sized, not event-sized), explode each
+    pair onto the ``window_days`` cover days it contributes to, and
+    count distinct keys per cover day. Shuffle volume is
+    ``window_days × |distinct pairs|`` of (day, key) int rows — linear,
+    bounded, and keyed by day, so no single-task straggler at any scale.
+    Cover days with no events of their own are dropped (semi-join
+    against the active-day set) so leading/trailing partial windows
+    don't fabricate days the data never saw."""
+    day = F.col(ts_col).cast("date")
+    pairs = df.select(
+        F.col(key_col).alias("__k"), day.alias("__d")
+    ).distinct()
+    days = pairs.select(F.col("__d").alias("day")).distinct()
+    cover = pairs.select(
+        "__k",
+        F.explode(
+            F.sequence(
+                F.col("__d"), F.date_add(F.col("__d"), window_days - 1)
+            )
+        ).alias("day"),
+    )
+    return (
+        cover.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(
+            F.count_distinct("__k").alias(f"rolling_{window_days}d_distinct")
+        )
+    )
+
+
 def activity_streaks(
     df: DataFrame,
     key_col: str,

@@ -66,8 +66,13 @@ _WINDOW_ORDER: tuple[str, ...] = (
     # (HASHPARITY_r10.log); no-oracle keys stay excluded (they can only
     # return `err: no_oracle`).
     #
-    # -- priority: never-graded + changed-oracle
+    # -- priority: never-graded + changed-oracle + the 3 keys ADDED this
+    #    round (weighted percentiles, forward as-of, rolling 7-day DAU —
+    #    new keys always enter the window the round they land, so no key
+    #    repeats mixture_token_plan's added-but-ungraded gap)
     "mixture_token_plan", "pack_sequences",
+    "weighted_percentiles_prices", "asof_forward_events",
+    "rolling_dau_events",
     # -- sentinels: r9-touched shared helpers (9)
     "table_checksum_orders", "token_count", "corpus_datacard",
     "text_quality", "corpus_curation", "gopher_rules_docs",
@@ -88,11 +93,11 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "anti_join", "decode_rename", "explode_list_column",
     "fuzzy_dedup_keep_best", "group_product", "json_extract_events",
     "normalize_codes", "set_union_counts", "top_k_orders",
-    # -- sentinels: r5 diverse slice (11)
+    # -- sentinels: r5 diverse slice (8; three slots ceded to the
+    #    round-10 additions above)
     "bm25_search", "salted_join_parts", "sql_passthrough",
     "translate_crosswalk", "rollup_geo", "one_hot_priority",
-    "semi_join_filter", "winsorize_prices", "market_basket_pairs",
-    "media_metadata", "range_join_attribution",
+    "semi_join_filter", "market_basket_pairs",
 )
 
 
@@ -2062,6 +2067,50 @@ def _asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_forward_events",
+    """
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS pvalue
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.user_id, c.ts, ROUND(c.value, 2) AS click_value,
+           ROUND(p.pvalue, 2) AS next_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+)
+def _asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of (joins.asof_join direction='forward'): each click
+    enriched with the user's NEXT purchase value — attribution's
+    look-ahead twin of the backward key; same single-shuffle union-carry
+    plan over the reversed ordering. Oracle: DuckDB native ASOF with the
+    inequality flipped."""
+    ev = _cat(spark, sf_dir).table("events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = joins.asof_join(
+        clicks, purchases, on="user_id", ts_col="ts",
+        right_cols=["pvalue"], direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        F.round("value", 2).alias("click_value"),
+        F.round("pvalue_asof", 2).alias("next_purchase_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # salted skew join — result must be row-identical to the plain join
 # --------------------------------------------------------------------------
@@ -2275,6 +2324,43 @@ def _percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _cat(spark, sf_dir).table("lineitem")
     return agg.exact_percentiles(
         li, ["l_returnflag"], "l_extendedprice", (0.25, 0.50, 0.75)
+    )
+
+
+# Weighted percentiles (aggregate.weighted_percentiles): smallest value
+# whose cumulative weight reaches q of the group total — the weighted
+# median family; picks an EXISTING value, so output is bit-exact
+# cross-engine (cum/tot are sums of integral quantities; q*tot is the
+# same single IEEE multiply on both sides — mirrored verbatim).
+@register(
+    "weighted_percentiles_prices",
+    """
+    WITH g AS (
+      SELECT l_returnflag, l_extendedprice AS v, SUM(l_quantity) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT l_returnflag, v,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM g
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN cum >= 0.25 * tot THEN v END) AS wp25,
+           MIN(CASE WHEN cum >= 0.5 * tot THEN v END) AS wp50,
+           MIN(CASE WHEN cum >= 0.9 * tot THEN v END) AS wp90
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def _weighted_percentiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price percentiles per return flag: 'half the
+    UNITS sold cost at most wp50'. One partial-aggregable distinct-value
+    collapse + one keyed running-sum window + a min-reduction per
+    quantile — a single exchange end to end."""
+    li = _cat(spark, sf_dir).table("lineitem")
+    return agg.weighted_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity",
+        (0.25, 0.5, 0.9),
     )
 
 
@@ -2803,6 +2889,37 @@ def _resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value",
         step="1 hour",
         tiebreak_col="event_id",
+    )
+
+
+@register(
+    "rolling_dau_events",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM pairs),
+    cover AS (
+      SELECT user_id,
+             CAST(UNNEST(generate_series(d, d + INTERVAL 6 DAY,
+                                          INTERVAL 1 DAY)) AS DATE) AS day
+      FROM pairs
+    )
+    SELECT c.day, COUNT(DISTINCT c.user_id) AS rolling_7d_distinct
+    FROM cover c JOIN days ON c.day = days.d
+    GROUP BY c.day
+    """,
+)
+def _rolling_dau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day
+    (timeseries.rolling_distinct): Spark has no count_distinct over a
+    RANGE window, so the scalable plan is cover-day fan-out — distinct
+    (user, day) pairs exploded onto the 7 days each contributes to, then
+    one distinct-count per day. Shuffle = 7 x active pairs, keyed by
+    day."""
+    return timeseries.rolling_distinct(
+        _cat(spark, sf_dir).table("events"), "user_id", "ts", window_days=7
     )
 
 

@@ -43,6 +43,62 @@ def test_asof_join_no_cross_key_leak(spark):
     assert rows[0]["v_asof"] is None
 
 
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(25)), (2, _ts(50))], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100.0), (1, _ts(20), 200.0), (2, _ts(6), 9.0)],
+        "k int, ts timestamp, v double",
+    )
+    out = {
+        (r["k"], r["ts"]): r["v_asof"]
+        for r in joins.asof_join(
+            left, right, on="k", right_cols=["v"], direction="forward"
+        ).collect()
+    }
+    assert out[(1, _ts(10))] == 100.0  # equal ts matches forward too
+    assert out[(1, _ts(25))] is None  # nothing at-or-after -> null
+    assert out[(2, _ts(50))] is None
+
+
+def test_asof_join_nearest_ties_backward(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(15)), (1, _ts(12)), (1, _ts(2))], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100.0), (1, _ts(20), 200.0)],
+        "k int, ts timestamp, v double",
+    )
+    out = {
+        r["ts"]: r["v_asof"]
+        for r in joins.asof_join(
+            left, right, on="k", right_cols=["v"], direction="nearest"
+        ).collect()
+    }
+    assert out[_ts(15)] == 100.0  # equidistant (5 min both ways) -> backward
+    assert out[_ts(12)] == 100.0  # 2 min back beats 8 min forward
+    assert out[_ts(2)] == 100.0  # before everything -> forward-only match
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(30))], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(8), 80.0)], "k int, ts timestamp, v double"
+    )
+    out = {
+        r["ts"]: r["v_asof"]
+        for r in joins.asof_join(
+            left, right, on="k", right_cols=["v"],
+            tolerance_seconds=5 * 60,
+        ).collect()
+    }
+    assert out[_ts(10)] == 80.0  # 2 min gap within 5 min tolerance
+    assert out[_ts(30)] is None  # 22 min gap -> nulled
+
+
 def test_salted_join_equals_plain_join(spark):
     cat = TableCatalog(spark, SF)
     big = cat.table("lineitem").select("l_suppkey", "l_quantity")

@@ -193,6 +193,26 @@ def test_vocab_top_tokens_counts_and_ties(spark):
     ]
 
 
+def test_rolling_distinct_hand_case(spark):
+    # users 1,2 on day 1; user 2 on day 3; user 3 on day 9.
+    # 3-day windows: day1 -> {1,2}; day3 -> {1,2}(from day1) + {2} = {1,2};
+    # day9 -> {3} (days 1/3 fell out); days 2,4..8 have no events -> absent
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5)),
+        (2, dt.datetime(2024, 1, 1, 6)),
+        (2, dt.datetime(2024, 1, 3, 1)),
+        (3, dt.datetime(2024, 1, 9, 1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {
+        r["day"].isoformat(): r["rolling_3d_distinct"]
+        for r in timeseries.rolling_distinct(
+            df, "user_id", "ts", window_days=3
+        ).collect()
+    }
+    assert out == {"2024-01-01": 2, "2024-01-03": 2, "2024-01-09": 1}
+
+
 def test_peak_concurrency_hand_case(spark):
     from pyspark.sql import functions as F
 

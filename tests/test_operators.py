@@ -158,6 +158,22 @@ def test_exact_percentiles_matches_builtin(spark):
     assert ours == ref
 
 
+def test_weighted_percentiles_hand_computed(spark):
+    from etl_io_spark.operators import aggregate as agg
+
+    # weights: 10.0 -> 1, 20.0 -> 3, 30.0 -> 6 (total 10)
+    # cum: 10.0 -> 1, 20.0 -> 4, 30.0 -> 10
+    df = spark.createDataFrame(
+        [("g", 10.0, 1), ("g", 20.0, 2), ("g", 20.0, 1), ("g", 30.0, 6)],
+        "g string, v double, w int",
+    )
+    row = agg.weighted_percentiles(df, ["g"], "v", "w", (0.1, 0.4, 0.5, 0.9)).collect()[0]
+    assert row["wp10"] == 10.0  # cum 1 >= 1.0
+    assert row["wp40"] == 20.0  # cum 4 >= 4.0 (boundary hits the value)
+    assert row["wp50"] == 30.0  # cum 4 < 5.0 -> next value
+    assert row["wp90"] == 30.0
+
+
 def test_exact_percentiles_single_row_group(spark):
     from etl_io_spark.operators import aggregate as agg
 

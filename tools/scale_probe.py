@@ -103,6 +103,10 @@ PROBE = [
     # (quality gate -> exact dedup -> fuzzy keep-best -> split -> pack),
     # probed end-to-end (VERDICT r6 ask #7)
     "curation_pipeline",
+    # round-10 additions
+    "weighted_percentiles_prices",
+    "asof_forward_events",
+    "rolling_dau_events",
 ]
 
 
