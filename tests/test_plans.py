@@ -108,6 +108,30 @@ def test_asof_join_single_shuffle_no_range_join(spark):
     assert "Window" in plan
 
 
+def test_asof_forward_single_shuffle_no_range_join(spark):
+    plan = _plan(spark, "asof_forward_events")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_weighted_percentiles_partial_agg_then_window(spark):
+    plan = _plan(spark, "weighted_percentiles_prices")
+    # distinct-value collapse must partial-aggregate before the window
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_dau_semi_join_builds_day_side(spark):
+    plan = _plan(spark, "rolling_dau_events")
+    # the cover fan-out probes the tiny active-day set (semi join), and
+    # nothing degenerates into a nested loop
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_range_join_is_hash_join(spark):
     plan = _plan(spark, "range_join_attribution")
     assert "BroadcastNestedLoopJoin" not in plan
