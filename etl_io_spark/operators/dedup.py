@@ -530,7 +530,7 @@ def connected_components(
     b_col: str = "b",
     max_iter: int = 60,
     checkpoint_dir: str | None = None,
-    max_driver_edges: int = 8_000_000,
+    max_driver_edges: int = 4_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list → ``(id, cluster_id)``
     where ``cluster_id`` is the minimum node id in the component — the
@@ -543,13 +543,17 @@ def connected_components(
     smaller than the corpus. So:
 
       * pair graph ≤ ``max_driver_edges`` (counted on the persisted edge
-        cache — one cheap job; the default 8M directed edges is ~128 MB
-        of int64 pairs — raised from 2M in round 10 after the ER 100x
-        probe landed at 2.087M directed edges, 4% past the old gate,
-        and paid ~105 s of distributed loop where the union-find labels
-        a 1M-edge graph in ~1 s; a 128 MB Arrow batch is safe on any
-        driver that can run Spark at that scale): label via a
-        driver-side union-find with
+        cache — one cheap job). The default is 4M directed edges —
+        raised from 2M in round 10 after the ER 100x probe landed at
+        2.087M, 4% past the old gate, and paid ~105 s of distributed
+        loop where the union-find labels the same graph in seconds; the
+        new ceiling is 2x that DIRECT measurement, not further — the
+        honest driver cost at the ceiling is not the 64 MB Arrow batch
+        but the Python-object working set behind it (the codes
+        ``tolist`` pair ~2x220 MB transient, the parent table, and the
+        per-edge interpreted loop, all linear), roughly ~1-1.5 GB and a
+        few seconds at 4M. Raise it only with a measurement at the new
+        ceiling: label via a driver-side union-find with
         path-compression — exact same (id, min-id cluster) output, zero
         iteration rounds. On the sf0.1 entity-resolution name graph
         (20.9k directed edges, 27-round convergence tail) this is
@@ -629,9 +633,9 @@ def connected_components(
     if max_driver_edges and edges.count() <= max_driver_edges:
         import pandas as pd
 
-        # ONE bounded batch (<= max_driver_edges rows; ~128 MB at the 8M
-        # default) — toLocalIterator paid a driver-synchronized round
-        # trip per partition and row-at-a-time Python dispatch
+        # ONE bounded batch (<= max_driver_edges rows; ~64 MB Arrow at
+        # the 4M default) — toLocalIterator paid a driver-synchronized
+        # round trip per partition and row-at-a-time Python dispatch
         pdf = edges.toPandas()
         m = len(pdf)
         # sort=True: codes are RANK-ordered, so min code == min id and
@@ -675,8 +679,14 @@ def connected_components(
         id_type = edges.schema["src"].dataType
         from pyspark.sql.types import StructField, StructType
 
+        # Arrow path: one pandas frame instead of a 2x|V| list of Python
+        # tuples + row-by-row schema verification (the other half of the
+        # driver working set at the gate ceiling)
+        out_pdf = pd.DataFrame(
+            {"id": uniques, "cluster_id": uniques.take(roots)}
+        )
         return spark.createDataFrame(
-            list(zip(uniques.tolist(), uniques.take(roots).tolist())),
+            out_pdf,
             StructType(
                 [
                     StructField("id", id_type, False),

@@ -605,6 +605,13 @@ def k_core(
         from etl_io_spark.partitioning import leaf_scan_bytes
 
         persist_inputs = leaf_scan_bytes(edges) >= KCORE_PERSIST_MIN_SCAN_BYTES
+    elif not isinstance(persist_inputs, bool):
+        # any other string ('Auto', 'off') would coerce by truthiness and
+        # silently pin the always-persist branch
+        raise ValueError(
+            f"persist_inputs must be True, False or 'auto', got "
+            f"{persist_inputs!r}"
+        )
     maybe_persist = persist_tracked if persist_inputs else (lambda d: d)
     e = maybe_persist(
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))

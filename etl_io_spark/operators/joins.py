@@ -159,6 +159,22 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction: {direction!r}")
+    if direction == "nearest" or tolerance_seconds is not None:
+        # the gap arithmetic below is unix_micros — fine for backward/
+        # forward (pure ordering, any orderable ts works) but these two
+        # options need a real TIMESTAMP; fail with a named requirement
+        # instead of an opaque unix_micros analysis error
+        from pyspark.sql.types import TimestampType
+
+        for side, df_ in (("left", left), ("right", right)):
+            if not isinstance(df_.schema[ts_col].dataType, TimestampType):
+                raise TypeError(
+                    f"asof_join direction='nearest'/tolerance_seconds "
+                    f"need a TIMESTAMP {ts_col!r}; {side} side has "
+                    f"{df_.schema[ts_col].dataType.simpleString()} — cast "
+                    f"it, or use direction backward/forward without "
+                    f"tolerance (any orderable type)"
+                )
     keys = [on] if isinstance(on, str) else list(on)
     rcols = list(right_cols) or [
         c for c in right.columns if c not in keys and c != ts_col

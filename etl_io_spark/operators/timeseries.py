@@ -341,6 +341,10 @@ def rolling_distinct(
     Cover days with no events of their own are dropped (semi-join
     against the active-day set) so leading/trailing partial windows
     don't fabricate days the data never saw."""
+    if window_days < 1:
+        # sequence(d, d-1) would default to a -1 step and silently credit
+        # users to PAST days instead of failing
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
     day = F.col(ts_col).cast("date")
     pairs = df.select(
         F.col(key_col).alias("__k"), day.alias("__d")

@@ -43,15 +43,16 @@ def register(name: str, sql: str | None = None):
 #: Everything not listed follows in registration order and is still covered
 #: by the stricter local gate (tools/check.py) and pytest.
 _WINDOW_ORDER: tuple[str, ...] = (
-    # Round-10 rotation (VERDICT r9 ask #1). Priority slots: 2.
+    # Round-10 rotation (VERDICT r9 ask #1). Priority slots: 5.
     # `mixture_token_plan` — added late in r9 AFTER that window was pinned,
     # so it is the ONE oracled key the driver has never graded (the r9
     # window comment under-counted the round's additions by omitting it —
     # ADVICE r9 #1; locally exact under tools/check.py). `pack_sequences`
     # — its oracle gained the explicit NULL-text exclusion this round
     # (ADVICE r9 #4; a no-op on the null-free testdata, but a changed
-    # oracle re-grades). Next, sentinels biased toward keys whose SHARED
-    # helpers changed in r9 (the verdict's named set): the
+    # oracle re-grades). Plus the 3 keys ADDED this round (see the
+    # priority block below). Next, sentinels biased toward keys whose
+    # SHARED helpers changed in r9 (the verdict's named set): the
     # `quality_score_expr` consumers (`text_quality`, `corpus_curation`,
     # `gopher_rules_docs`, `c4_filters_docs`, `quality_classifier_docs`,
     # `curation_pipeline`), the `token_count_ws` consumers
@@ -61,10 +62,11 @@ _WINDOW_ORDER: tuple[str, ...] = (
     # `entity_resolution_scalable` 100x probe). The remaining slots are
     # STALEST-FIRST re-confirmation: every oracled key last graded in
     # r1–r4 (25 keys untouched by the driver for 5+ rounds) and an
-    # 11-key diverse r5 slice. All window entrants swept with
-    # tools/hash_parity.py BEFORE this rotation shipped
-    # (HASHPARITY_r10.log); no-oracle keys stay excluded (they can only
-    # return `err: no_oracle`).
+    # 8-key diverse r5 slice (was drafted as 11; three slots ceded to
+    # the round-10 additions). Totals: 5 + 9 + 3 + 25 + 8 = 50. All
+    # window entrants swept with tools/hash_parity.py BEFORE this
+    # rotation shipped (HASHPARITY_r10.log); no-oracle keys stay
+    # excluded (they can only return `err: no_oracle`).
     #
     # -- priority: never-graded + changed-oracle + the 3 keys ADDED this
     #    round (weighted percentiles, forward as-of, rolling 7-day DAU —
@@ -7066,6 +7068,7 @@ _PACKING_SQL = """
              CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                   AS BIGINT) % 32 AS shard
       FROM documents
+      WHERE text IS NOT NULL
     ),
     packed AS (
       SELECT shard, n_tokens,
