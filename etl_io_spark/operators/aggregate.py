@@ -147,8 +147,11 @@ def weighted_percentiles(
     map-side combine means the window below sorts value cardinality, not
     row count; (2) one per-key running-sum window over those distinct
     values; (3) each quantile is a ``min(value WHERE cum >= q·total)``
-    reduction. One keyed exchange end to end (the window and the final
-    groupBy share it under AQE).
+    reduction. Two exchanges total (PLANS.md runtime count): the
+    collapse shuffles on (keys, value), then the window re-keys on
+    ``keys`` alone — and the window's sort plus the final groupBy share
+    that second exchange. Both carry distinct-value cardinality, not
+    row count.
 
     Exactness: picks an EXISTING value (no interpolation), so the output
     is bit-identical cross-engine; with integral weights the cumulative
