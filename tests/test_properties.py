@@ -229,3 +229,119 @@ def test_connected_components_driver_path_matches_loop(spark, edges):
         ).collect()
     }
     assert fast == slow
+
+
+asof_strategy = st.tuples(
+    st.lists(  # left: (key, minute)
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=120),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(  # right: (key, minute, value)
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=120),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+)
+
+
+@given(data=asof_strategy)
+@_settings
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    """All three directions against pandas merge_asof — an INDEPENDENT
+    reference implementation of the same contract — on arbitrary keyed
+    event sets (duplicate timestamps collapse to max value first, since
+    merge_asof's intra-ts tiebreak is positional, not defined)."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from etl_io_spark.operators import joins
+
+    left_rows, right_rows = data
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + _dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        sorted({(k, ts(m)) for k, m in left_rows}), "k int, ts timestamp"
+    )
+    rmax: dict = {}
+    for k, m, v in right_rows:
+        key = (k, ts(m))
+        rmax[key] = max(rmax.get(key, float(v)), float(v))
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in sorted(rmax.items())],
+        "k int, ts timestamp, v double",
+    )
+    lpdf = left.toPandas().sort_values("ts", kind="stable")
+    rpdf = right.toPandas().sort_values("ts", kind="stable")
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            (r["k"], r["ts"]): r["v_asof"]
+            for r in joins.asof_join(
+                left, right, on="k", right_cols=["v"], direction=direction
+            ).collect()
+        }
+        ref_df = pd.merge_asof(
+            lpdf, rpdf, on="ts", by="k", direction=direction
+        )
+        ref = {
+            (r.k, r.ts.to_pydatetime()): (None if pd.isna(r.v) else r.v)
+            for r in ref_df.itertuples()
+        }
+        assert got == ref, direction
+
+
+wp_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["g", "h"]),
+        st.integers(min_value=0, max_value=20),  # value
+        st.integers(min_value=1, max_value=9),  # weight
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=wp_strategy)
+@_settings
+def test_weighted_percentiles_match_bruteforce(spark, rows):
+    """The windowed plan must equal the definition computed directly:
+    smallest value whose cumulative weight over sorted values reaches
+    q x total weight."""
+    from etl_io_spark.operators import aggregate as agg
+
+    df = spark.createDataFrame(
+        [(g, float(v), w) for g, v, w in rows], "g string, v double, w int"
+    )
+    qs = (0.25, 0.5, 0.9)
+    got = {
+        r["g"]: (r["wp25"], r["wp50"], r["wp90"])
+        for r in agg.weighted_percentiles(df, ["g"], "v", "w", qs).collect()
+    }
+    by_g: dict = {}
+    for g, v, w in rows:
+        by_g.setdefault(g, {})
+        by_g[g][v] = by_g[g].get(v, 0) + w
+    want = {}
+    for g, wmap in by_g.items():
+        tot = sum(wmap.values())
+        picks = []
+        for q in qs:
+            cum = 0
+            for v in sorted(wmap):
+                cum += wmap[v]
+                if cum >= q * tot:
+                    picks.append(float(v))
+                    break
+        want[g] = tuple(picks)
+    assert got == want
