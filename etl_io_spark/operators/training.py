@@ -481,6 +481,35 @@ def rendezvous_shards(
     return df.withColumn("shard", F.array_max(scored)["shard"])
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Deterministic per-epoch reshuffle: the training order for epoch
+    ``e`` is a pure function of ``(id, e)`` — every run, resume, and
+    engine reproduces the same permutation, and successive epochs are
+    decorrelated (the property seeded RNG shuffles lose the moment
+    parallelism or resume order changes).
+
+    No global sort (the single-reducer anti-pattern at 100 TB): rows
+    route to ``n_shards`` hash shards and get a position WITHIN their
+    shard — readers consume shards in parallel, shard-then-position is
+    the reproducible order. One keyed window sort per shard; ties on
+    the 60-bit hash break by id, so the permutation is total."""
+    h = hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"#e{int(epoch)}"))
+    )
+    shard = F.pmod(h, F.lit(n_shards))
+    w = Window.partitionBy(shard).orderBy(h, F.col(id_col))
+    return df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     group_col: str,

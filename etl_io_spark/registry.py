@@ -43,7 +43,7 @@ def register(name: str, sql: str | None = None):
 #: Everything not listed follows in registration order and is still covered
 #: by the stricter local gate (tools/check.py) and pytest.
 _WINDOW_ORDER: tuple[str, ...] = (
-    # Round-10 rotation (VERDICT r9 ask #1). Priority slots: 5.
+    # Round-10 rotation (VERDICT r9 ask #1). Priority slots: 6.
     # `mixture_token_plan` — added late in r9 AFTER that window was pinned,
     # so it is the ONE oracled key the driver has never graded (the r9
     # window comment under-counted the round's additions by omitting it —
@@ -62,8 +62,8 @@ _WINDOW_ORDER: tuple[str, ...] = (
     # `entity_resolution_scalable` 100x probe). The remaining slots are
     # STALEST-FIRST re-confirmation: every oracled key last graded in
     # r1–r4 (25 keys untouched by the driver for 5+ rounds) and an
-    # 8-key diverse r5 slice (was drafted as 11; three slots ceded to
-    # the round-10 additions). Totals: 5 + 9 + 3 + 25 + 8 = 50. All
+    # 7-key diverse r5 slice (was drafted as 11; four slots ceded to
+    # the round-10 additions). Totals: 6 + 9 + 3 + 25 + 7 = 50. All
     # window entrants swept with tools/hash_parity.py BEFORE this
     # rotation shipped (HASHPARITY_r10.log); no-oracle keys stay
     # excluded (they can only return `err: no_oracle`).
@@ -74,7 +74,7 @@ _WINDOW_ORDER: tuple[str, ...] = (
     #    repeats mixture_token_plan's added-but-ungraded gap)
     "mixture_token_plan", "pack_sequences",
     "weighted_percentiles_prices", "asof_forward_events",
-    "rolling_dau_events",
+    "rolling_dau_events", "epoch_shuffle_docs",
     # -- sentinels: r9-touched shared helpers (9)
     "table_checksum_orders", "token_count", "corpus_datacard",
     "text_quality", "corpus_curation", "gopher_rules_docs",
@@ -95,11 +95,11 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "anti_join", "decode_rename", "explode_list_column",
     "fuzzy_dedup_keep_best", "group_product", "json_extract_events",
     "normalize_codes", "set_union_counts", "top_k_orders",
-    # -- sentinels: r5 diverse slice (8; three slots ceded to the
+    # -- sentinels: r5 diverse slice (7; four slots ceded to the
     #    round-10 additions above)
     "bm25_search", "salted_join_parts", "sql_passthrough",
     "translate_crosswalk", "rollup_geo", "one_hot_priority",
-    "semi_join_filter", "market_basket_pairs",
+    "semi_join_filter",
 )
 
 
@@ -5346,6 +5346,32 @@ def _rendezvous_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _cat(spark, sf_dir).table("documents").select("doc_id")
     return training.rendezvous_shards(docs, "doc_id", n_shards=8)
+
+
+_EPOCH_H = _H.format(s="(CAST(doc_id AS VARCHAR) || '#e1')")
+
+
+@register(
+    "epoch_shuffle_docs",
+    f"""
+    SELECT doc_id,
+           {_EPOCH_H} % 32 AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY {_EPOCH_H} % 32
+             ORDER BY {_EPOCH_H}, doc_id
+           ) - 1 AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def _epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-1 reshuffle (training.epoch_shuffle): the
+    training order is a pure function of (doc_id, epoch) — reproducible
+    across runs/engines, decorrelated across epochs, and shard-parallel
+    (per-shard window rank, no global sort)."""
+    from etl_io_spark.operators import training
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id")
+    return training.epoch_shuffle(docs, "doc_id", epoch=1, n_shards=32)
 
 
 # ==========================================================================

@@ -127,6 +127,29 @@ def test_pack_sequences_excludes_null_text(spark):
     assert out.where(F.col("n_tokens").isNull()).count() == 0
 
 
+def test_epoch_shuffle_deterministic_and_decorrelated(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+
+    def order(epoch):
+        return [
+            r["doc_id"]
+            for r in training.epoch_shuffle(df, "doc_id", epoch, n_shards=4)
+            .orderBy("shard", "pos")
+            .collect()
+        ]
+
+    e1a, e1b, e2 = order(1), order(1), order(2)
+    assert e1a == e1b  # pure function of (id, epoch)
+    assert sorted(e1a) == list(range(200))  # a permutation, nothing lost
+    assert e1a != e2  # epochs decorrelated
+    # positions are dense per shard
+    out = training.epoch_shuffle(df, "doc_id", 1, n_shards=4)
+    per = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx")
+    )
+    assert all(r["mx"] == r["n"] - 1 for r in per.collect())
+
+
 def test_pii_redact_patterns(spark):
     df = spark.createDataFrame(
         [

@@ -107,6 +107,7 @@ PROBE = [
     "weighted_percentiles_prices",
     "asof_forward_events",
     "rolling_dau_events",
+    "epoch_shuffle_docs",
 ]
 
 
