@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from etl_io_spark.functions.numeric import round_pz  # noqa: E402
+from etl_io_spark.functions.numeric import round_floor, round_pz  # noqa: E402
 from pyspark.sql import Column, DataFrame, functions as F
 
 from etl_io_spark.caching import persist_tracked
@@ -124,8 +124,13 @@ def exact_percentiles(
         v = F.when(F.col("__rn") == lo, F.col(col) * (1 - frac)).when(
             (F.col("__rn") == hi) & (lo != hi), F.col(col) * frac
         )
+        # floor-form, not ROUND: with frac = 0.5 the interpolated value
+        # is a mean of two 2-decimal prices — terminates at the 2nd
+        # decimal, the HALF_UP-vs-binary cross-engine class (caught live
+        # at sf0.001: p50 52724.245). Oracles mirror the interpolation
+        # arithmetic AND the floor form verbatim.
         aggs.append(
-            F.round(F.sum(v), round_to).alias(f"p{int(round(q * 100))}")
+            round_floor(F.sum(v), round_to).alias(f"p{int(round(q * 100))}")
         )
     return base.groupBy(*keys).agg(*aggs)
 
@@ -700,8 +705,12 @@ def histogram2d(
         .groupBy(
             bx.alias("bx"),
             by.alias("by"),
-            F.round(F.col("__xlo") + bx * xstep, round_to).alias("x_lo"),
-            F.round(F.col("__ylo") + by * ystep, round_to).alias("y_lo"),
+            # floor-form, not ROUND: bin edges are lo + k*step and
+            # routinely TERMINATE at the rounding position (lo/step from
+            # 2-decimal data), the cross-engine HALF_UP-vs-binary class —
+            # caught live at sf0.001 (278.405 -> .41 Spark / .40 DuckDB)
+            round_floor(F.col("__xlo") + bx * xstep, round_to).alias("x_lo"),
+            round_floor(F.col("__ylo") + by * ystep, round_to).alias("y_lo"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -114,7 +114,10 @@ def gopher_rules(
     """
     toks = tokens(text_col)
     t = F.col(text_col)
-    n_words = F.size(toks)
+    # NULL-safe: size(NULL) = -1 under non-ANSI would report a -1 word
+    # count (and a 1.0 ellipsis ratio from -1/-1) for NULL text where
+    # the oracle null-propagates (round-10 adversarial-corpus catch)
+    n_words = F.when(t.isNotNull(), F.size(toks))
     # Σ token length / n — computed in-array, no explode
     mean_wlen = F.when(
         n_words > 0,
@@ -136,7 +139,9 @@ def gopher_rules(
     ellipsis_end = F.size(
         F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))
     )
-    ellipsis_end_ratio = ellipsis_end.cast("double") / n_lines
+    ellipsis_end_ratio = F.when(
+        t.isNotNull(), ellipsis_end.cast("double") / n_lines
+    )
     alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
     alpha_ratio = F.when(
         n_words > 0, alpha_words.cast("double") / n_words

@@ -85,11 +85,16 @@ FRAMES_SCHEMA = StructType(
 def synthesize_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     """Deterministic fake media table derived from ``documents`` (test/dev
     stand-in for a real binary ingest): payload = utf-8 bytes of the text,
-    metadata derived from doc stats. Pure Catalyst expressions."""
+    metadata derived from doc stats. Pure Catalyst expressions.
+
+    NULL-text docs yield an EMPTY payload, not a NULL one — the media
+    contract is "every row carries bytes" (a real ingest would drop or
+    quarantine null blobs before this table), and the Arrow decode
+    passes (`fake_decode` et al.) are written against non-null data."""
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit(kind).alias("kind"),
-        F.encode("text", "utf-8").alias("data"),
+        F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("data"),
         (F.pmod(F.col("doc_id"), F.lit(16)) + 4).cast("int").alias("width"),
         (F.pmod(F.col("doc_id"), F.lit(8)) + 4).cast("int").alias("height"),
         F.lit(16000).alias("sample_rate"),

@@ -190,8 +190,11 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document quality features + composite score (rounded for oracle
     parity). Mirrors common LLM-data quality gates: length, mean word
     length, punctuation density, stopword density."""
-    toks = tokens(text_col)
-    n_words = F.size(toks)
+    # token_count_ws, not size(tokens(...)): non-ANSI size(NULL) is -1,
+    # which leaked a -1 "word count" for NULL text where the oracle says
+    # NULL (round-10 adversarial-corpus catch; NULL-in → NULL-out is the
+    # pinned contract)
+    n_words = token_count_ws(text_col)
     # Σ token lengths == chars excluding whitespace (tokens are exactly the
     # maximal non-whitespace runs) — translate-deletion of the \s charset
     # (regexp_replace pays Matcher.appendReplacement per match; see
@@ -495,7 +498,10 @@ def repetition_features(
     ).withColumn("__tri", word_ngrams(F.col("__toks"), 3))
     return grams.select(
         F.col(id_col),
-        F.size("__toks").alias("n_words"),
+        # NULL-safe count: size(NULL) is -1 under non-ANSI (round-10)
+        F.when(F.col("__toks").isNotNull(), F.size("__toks")).alias(
+            "n_words"
+        ),
         dup_frac(F.col("__toks")).alias("dup_word_frac"),
         dup_frac(F.col("__bi")).alias("dup_bigram_frac"),
         dup_frac(F.col("__tri")).alias("dup_trigram_frac"),
@@ -608,7 +614,11 @@ def bm25_topk(
     """
     toks = tokens(text_col)
     base = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
-        "__dl", F.size("__toks")
+        # NULL-safe doc length: size(NULL) = -1 would poison avgdl with
+        # -1 entries for NULL-text docs (AVG skips NULL on both engines;
+        # round-10 adversarial-corpus catch)
+        "__dl",
+        F.when(F.col("__toks").isNotNull(), F.size("__toks")),
     )
     def _eq(term: str):
         # a 1-arg lambda per term: a default-arg lambda would have arity 2
@@ -681,9 +691,15 @@ def oov_rate(
         .limit(vocab_size)
         .agg(F.collect_list("tok").alias("__vocab"))
     )
-    n = F.size(toks)
-    n_oov = F.size(
-        F.filter(toks, lambda t: ~F.array_contains(F.col("__vocab"), t))
+    # NULL-safe counts: size(NULL) is -1 under non-ANSI; NULL text must
+    # report NULL counts, not -1 (round-10 adversarial-corpus catch)
+    nn = F.col(text_col).isNotNull()
+    n = F.when(nn, F.size(toks))
+    n_oov = F.when(
+        nn,
+        F.size(
+            F.filter(toks, lambda t: ~F.array_contains(F.col("__vocab"), t))
+        ),
     )
     return (
         docs.crossJoin(F.broadcast(vocab_arr))
@@ -691,8 +707,10 @@ def oov_rate(
             id_col,
             n.alias("n_tokens"),
             n_oov.alias("n_oov"),
+            # two-branch when: empty text → 0.0, NULL text → NULL (an
+            # `otherwise(0.0)` would swallow the NULL branch)
             F.when(n > 0, F.round(n_oov / n, 6))
-            .otherwise(F.lit(0.0))
+            .when(n == 0, F.lit(0.0))
             .alias("oov_rate"),
         )
     )
@@ -1056,7 +1074,13 @@ def corpus_datacard(
         F.col(lang_col).alias("lang"),
         F.length(text_col).alias("__nc"),
         hash60(F.col(text_col)).alias("__h"),
-        F.round(quality_score_expr(text_col), 2).alias("__q"),
+        # NULL text has no quality score (the CASE battery would
+        # otherwise award its punct term to NULL on one engine only);
+        # AVG skips NULLs identically on both sides (round-10)
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.round(quality_score_expr(text_col), 2),
+        ).alias("__q"),
     )
     per_source = base.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

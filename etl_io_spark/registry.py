@@ -1026,7 +1026,7 @@ def _simhash_oracle(bits: int = 32) -> str:
     )
     return f"""
     WITH tok AS (
-      SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+      SELECT doc_id, UNNEST(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS t
       FROM documents
     ),
     hashed AS (SELECT doc_id, {h} AS h FROM tok)
@@ -1327,7 +1327,8 @@ _SW_ALT = "|".join(text.STOPWORDS)
     "text_quality",
     f"""
     WITH t AS (
-      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks,
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
              LENGTH(text) AS n_chars,
              LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
                AS n_punct
@@ -1369,7 +1370,7 @@ def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_count",
     f"""
     SELECT doc_id,
-           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS ws_tokens,
            len(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS bpe_tokens
     FROM documents
     """,
@@ -1393,7 +1394,7 @@ _DATACARD_SQL = f"""
     WITH t AS (
       SELECT source, lang, LENGTH(text) AS nc,
              {text.HASH60_DUCK.format(s='text')} AS h,
-             ROUND(
+             CASE WHEN text IS NULL THEN NULL ELSE ROUND(
                (CASE WHEN len(string_split_regex(trim(text), '\\s+'))
                           BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
                + (CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
@@ -1407,7 +1408,7 @@ _DATACARD_SQL = f"""
                         - LENGTH(regexp_replace(text, '[^a-zA-Z0-9\\s]',
                                                 '', 'g'))) * 1.0
                            / LENGTH(text) <= 0.1
-                       THEN 0.3 ELSE 0.0 END), 2) AS q
+                       THEN 0.3 ELSE 0.0 END), 2) END AS q
       FROM documents
     ),
     s AS (
@@ -1448,7 +1449,7 @@ def _corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FERTILITY_SQL = f"""
     WITH t AS (
       SELECT lang,
-             len(string_split_regex(trim(text), '\\s+')) AS ws,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS ws,
              len(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS bpe,
              LENGTH(regexp_replace(text, '\\s', '', 'g')) AS ch
       FROM documents
@@ -1518,11 +1519,13 @@ def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT doc_id, md5(text) AS md5_hex,
            {_H.format(s='text')} AS hash60,
+           CASE WHEN text IS NULL THEN NULL ELSE
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
                           [CAST(ascii(x) AS BIGINT)
                            for x in string_split_regex(text, '')]),
-             (acc, x) -> (acc * 31 + x) % {text.ROLLING_MOD}) AS rolling_hash
+             (acc, x) -> (acc * 31 + x) % {text.ROLLING_MOD}) END
+             AS rolling_hash
     FROM documents
     """,
 )
@@ -1871,7 +1874,7 @@ def _media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id,
            CAST(UNNEST(generate_series(0, CAST(doc_id % 10 AS INT), 2)) AS INT)
              AS frame_index,
-           md5(lower(hex(encode(text))) || ':' ||
+           md5(lower(hex(encode(COALESCE(text, '')))) || ':' ||
                UNNEST(generate_series(0, CAST(doc_id % 10 AS INT), 2)))
              AS frame_fingerprint
     FROM documents
@@ -1895,7 +1898,7 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id AS media_id,
              UNNEST(generate_series(0, CAST(doc_id % 10 AS INT), 2))
                AS frame_index,
-             md5(lower(hex(encode(text))) || ':' ||
+             md5(lower(hex(encode(COALESCE(text, '')))) || ':' ||
                  UNNEST(generate_series(0, CAST(doc_id % 10 AS INT), 2)))
                AS fp
       FROM documents
@@ -2315,11 +2318,29 @@ def _grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "percentiles_by_flag",
     """
+    -- explicit interpolation mirroring exact_percentiles TERM BY TERM
+    -- (v*(1-frac) + v*frac, frac = (n-1)*q - floor) + floor-form
+    -- rounding: quantile_cont's internal formula differs in the last
+    -- ulp and ROUND itself splits HALF_UP-vs-binary on terminating
+    -- interpolants (caught live at sf0.001)
+    WITH s AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-           ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-           ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75
-    FROM lineitem GROUP BY l_returnflag
+           FLOOR(SUM(CASE WHEN rn - 1 = FLOOR((n - 1) * 0.25) THEN v * (1 - ((n - 1) * 0.25 - FLOOR((n - 1) * 0.25)))
+                      WHEN rn - 1 = CEIL((n - 1) * 0.25) AND CEIL((n - 1) * 0.25) <> FLOOR((n - 1) * 0.25)
+                        THEN v * ((n - 1) * 0.25 - FLOOR((n - 1) * 0.25)) END) * 100 + 0.5) / 100 AS p25,
+           FLOOR(SUM(CASE WHEN rn - 1 = FLOOR((n - 1) * 0.50) THEN v * (1 - ((n - 1) * 0.50 - FLOOR((n - 1) * 0.50)))
+                      WHEN rn - 1 = CEIL((n - 1) * 0.50) AND CEIL((n - 1) * 0.50) <> FLOOR((n - 1) * 0.50)
+                        THEN v * ((n - 1) * 0.50 - FLOOR((n - 1) * 0.50)) END) * 100 + 0.5) / 100 AS p50,
+           FLOOR(SUM(CASE WHEN rn - 1 = FLOOR((n - 1) * 0.75) THEN v * (1 - ((n - 1) * 0.75 - FLOOR((n - 1) * 0.75)))
+                      WHEN rn - 1 = CEIL((n - 1) * 0.75) AND CEIL((n - 1) * 0.75) <> FLOOR((n - 1) * 0.75)
+                        THEN v * ((n - 1) * 0.75 - FLOOR((n - 1) * 0.75)) END) * 100 + 0.5) / 100 AS p75
+    FROM s GROUP BY l_returnflag
     """,
 )
 def _percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2514,7 +2535,9 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chunk_documents",
     r"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS toks
       FROM documents
     ),
     s AS (
@@ -2549,7 +2572,7 @@ def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dsir_weights_docs",
     f"""
     WITH toks AS (
-      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS l
+      SELECT doc_id, source, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS l
       FROM documents
     ),
     uni AS (SELECT doc_id, source, UNNEST(l) AS f FROM toks),
@@ -2595,7 +2618,7 @@ def _dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id,
              {_H_ID} % 32 AS shard,
-             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
       FROM documents
       WHERE text IS NOT NULL
     ),
@@ -3818,9 +3841,13 @@ def _zorder_code_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                            THEN 0 ELSE 1 END) AS INT) AS n_oov
       FROM nonempty GROUP BY doc_id
     )
-    SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens,
-           COALESCE(s.n_oov, 0) AS n_oov,
-           CASE WHEN COALESCE(s.n_tokens, 0) > 0
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(s.n_tokens, 0) END AS n_tokens,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(s.n_oov, 0) END AS n_oov,
+           CASE WHEN d.text IS NULL THEN NULL
+                WHEN COALESCE(s.n_tokens, 0) > 0
                 THEN ROUND(s.n_oov / s.n_tokens, 6) ELSE 0.0 END AS oov_rate
     FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
     """,
@@ -5421,10 +5448,10 @@ _HIST2D_SQL = """
     )
     SELECT CAST(LEAST(FLOOR((x - xlo) / ((xhi - xlo) / 20.0)), 19) AS BIGINT) AS bx,
            CAST(LEAST(FLOOR((y - ylo) / ((yhi - ylo) / 10.0)), 9) AS BIGINT) AS by,
-           ROUND(xlo + LEAST(FLOOR((x - xlo) / ((xhi - xlo) / 20.0)), 19)
-                 * ((xhi - xlo) / 20.0), 2) AS x_lo,
-           ROUND(ylo + LEAST(FLOOR((y - ylo) / ((yhi - ylo) / 10.0)), 9)
-                 * ((yhi - ylo) / 10.0), 2) AS y_lo,
+           FLOOR((xlo + LEAST(FLOOR((x - xlo) / ((xhi - xlo) / 20.0)), 19)
+                 * ((xhi - xlo) / 20.0)) * 100 + 0.5) / 100 AS x_lo,
+           FLOOR((ylo + LEAST(FLOOR((y - ylo) / ((yhi - ylo) / 10.0)), 9)
+                 * ((yhi - ylo) / 10.0)) * 100 + 0.5) / 100 AS y_lo,
            COUNT(*) AS n
     FROM pts, b
     GROUP BY 1, 2, 3, 4
@@ -6456,7 +6483,9 @@ _READABILITY_SQL = """
 @register("readability_docs", _READABILITY_SQL)
 def _readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _cat(spark, sf_dir).table("documents")
-    n_words = F.size(text.tokens("text"))
+    # token_count_ws, not size(tokens(...)): size(NULL) = -1 under
+    # non-ANSI leaked a -1 word count for NULL text (round-10)
+    n_words = text.token_count_ws("text")
     # regexp_count == size(regexp_extract_all): same matches without
     # materializing each one into an array (round-8 text-battery lesson)
     n_sents = F.regexp_count(F.col("text"), F.lit("[.!?]"))
@@ -7218,13 +7247,28 @@ def _charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Tail-heaviness ratio per group: p99 / p50 of price (exact percentiles)
 # ==========================================================================
 _TAIL_RATIO_SQL = """
-    SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-           ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
-           ROUND(ROUND(quantile_cont(l_extendedprice, 0.99), 2)
-                 / ROUND(quantile_cont(l_extendedprice, 0.50), 2), 6)
-             AS tail_ratio
-    FROM lineitem GROUP BY l_returnflag
+    -- same explicit-interpolation + floor-form discipline as
+    -- percentiles_by_flag (shared exact_percentiles Spark side)
+    WITH s AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    p AS (
+      SELECT l_returnflag,
+             FLOOR(SUM(CASE WHEN rn - 1 = FLOOR((n - 1) * 0.50) THEN v * (1 - ((n - 1) * 0.50 - FLOOR((n - 1) * 0.50)))
+                      WHEN rn - 1 = CEIL((n - 1) * 0.50) AND CEIL((n - 1) * 0.50) <> FLOOR((n - 1) * 0.50)
+                        THEN v * ((n - 1) * 0.50 - FLOOR((n - 1) * 0.50)) END) * 100 + 0.5) / 100 AS p50,
+             FLOOR(SUM(CASE WHEN rn - 1 = FLOOR((n - 1) * 0.99) THEN v * (1 - ((n - 1) * 0.99 - FLOOR((n - 1) * 0.99)))
+                      WHEN rn - 1 = CEIL((n - 1) * 0.99) AND CEIL((n - 1) * 0.99) <> FLOOR((n - 1) * 0.99)
+                        THEN v * ((n - 1) * 0.99 - FLOOR((n - 1) * 0.99)) END) * 100 + 0.5) / 100 AS p99
+      FROM s GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, p50, p99,
+           FLOOR(p99 / p50 * 1000000 + 0.5) / 1000000 AS tail_ratio
+    FROM p
 """
 
 
@@ -7234,9 +7278,13 @@ def _tail_ratio_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     pct = agg.exact_percentiles(
         li, ["l_returnflag"], "l_extendedprice", (0.50, 0.99), round_to=2
     )
+    from etl_io_spark.functions.numeric import round_floor
+
     return pct.select(
         "l_returnflag", "p50", "p99",
-        F.round(F.col("p99") / F.col("p50"), 6).alias("tail_ratio"),
+        # floor-form: a ratio of two 2-decimal-rounded doubles can
+        # terminate at the 6th decimal (same cross-engine ROUND class)
+        round_floor(F.col("p99") / F.col("p50"), 6).alias("tail_ratio"),
     )
 
 

@@ -127,6 +127,36 @@ def test_quality_features_empty_text(spark):
     assert r["n_words"] == 0 and r["mean_word_len"] == 0.0
 
 
+def test_text_battery_null_text_contract(spark):
+    """NULL text: counts are NULL (never the non-ANSI size(NULL) = -1
+    sentinel), ratios fall to their guarded defaults, and corpus stats
+    exclude the doc — the round-10 adversarial-corpus pin."""
+    from etl_io_spark.operators import filters
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id int, text string"
+    )
+    q = {r["doc_id"]: r for r in text.quality_features(df, "doc_id", "text").collect()}
+    assert q[1]["n_words"] is None and q[1]["n_chars"] is None
+    assert q[2]["n_words"] == 3
+
+    g = {r["doc_id"]: r for r in filters.gopher_rules(df, "doc_id", "text").collect()}
+    assert g[1]["n_words"] is None
+    assert g[1]["ellipsis_end_ratio"] is None
+    assert g[1]["ok_words"] is None
+    assert g[1]["keep"] is False  # some rule is definitively False
+
+    o = {r["doc_id"]: r for r in text.oov_rate(df, "doc_id", "text", 10).collect()}
+    assert o[1]["n_tokens"] is None and o[1]["n_oov"] is None
+    assert o[1]["oov_rate"] is None
+
+    rep = {r["doc_id"]: r for r in text.repetition_features(df, "doc_id", "text").collect()}
+    assert rep[1]["n_words"] is None
+
+    fp = {r["doc_id"]: r for r in text.fingerprint(df, "doc_id", "text").collect()}
+    assert fp[1]["md5_hex"] is None and fp[1]["rolling_hash"] is None
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="hello world, x2!")])
     r = df.select(
