@@ -109,8 +109,10 @@ def normalize_text(col: str | F.Column) -> F.Column:
     pass through before hashing so 'Fast  Join!' and 'fast join' agree."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.lower(c)
-    c = F.regexp_replace(c, "[^a-z0-9\\s]", " ")
-    c = F.regexp_replace(c, "\\s+", " ")
+    # explicit RE2 whitespace class, not Java's \s (round-10: Java \s
+    # also matches \x0B, which the DuckDB oracle's RE2 does not)
+    c = F.regexp_replace(c, "[^a-z0-9 \t\n\f\r]", " ")
+    c = F.regexp_replace(c, "[ \t\n\f\r]+", " ")
     return F.trim(c)
 
 

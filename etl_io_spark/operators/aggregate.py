@@ -449,7 +449,9 @@ def winsorize(
         df.join(F.broadcast(bounds), list(keys))
         .withColumn(
             f"{col}_wins",
-            F.round(
+            # floor-form: a clipped value can BE the interpolated bound,
+            # which terminates at the rounding position (round-10 class)
+            round_floor(
                 F.least(
                     F.greatest(F.col(col), F.col(lo_c)), F.col(hi_c)
                 ),
@@ -805,7 +807,13 @@ def quantile_normalize(
     # the caller never executes, and invisible to bench.py's timed
     # window)
     tot = df.agg(F.count(F.lit(1)).cast("double").alias("__N"))
-    wg = W.partitionBy(group_col).orderBy(value_col, id_col)
+    # explicit NULLS FIRST: Spark's ascending default, but DuckDB's
+    # default is NULLS LAST — an unpinned NULL value would rank at
+    # opposite ends of the distribution per engine (round-10
+    # adversarial-corpus catch on a NULL n_chars row)
+    wg = W.partitionBy(group_col).orderBy(
+        F.asc_nulls_first(value_col), F.asc_nulls_first(id_col)
+    )
     ranked = (
         df.select(
             id_col,
@@ -826,7 +834,9 @@ def quantile_normalize(
         F.col(value_col).alias("__gv"), F.col(id_col).alias("__gid")
     ).select(
         "__gv",
-        F.row_number().over(W.orderBy("__gv", "__gid")).alias("__grank"),
+        F.row_number()
+        .over(W.orderBy(F.asc_nulls_first("__gv"), F.asc_nulls_first("__gid")))
+        .alias("__grank"),
     )
     if broadcast_global:
         global_sorted = F.broadcast(global_sorted)

@@ -992,7 +992,7 @@ def segment_dedup(
     cost as MinHash shingling. Everything is Catalyst expressions, so the
     DuckDB oracle reproduces it bit-for-bit.
     """
-    toks = F.split(F.col(text_col), r"\s+")
+    toks = F.split(F.col(text_col), "[ \t\n\f\r]+")  # RE2 \s class
     nseg = F.greatest(
         F.ceil(F.size(toks) / F.lit(float(seg_tokens))), F.lit(1)
     ).cast("int")

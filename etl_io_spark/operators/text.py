@@ -53,9 +53,15 @@ def hash60(col: Column | str) -> Column:
 
 
 def tokens(col: str) -> Column:
-    """Whitespace tokenization: array of non-empty tokens."""
+    """Whitespace tokenization: array of non-empty tokens.
+
+    The split class is EXPLICIT ``[ \\t\\n\\f\\r]`` — RE2's ``\\s`` —
+    not Java's ``\\s`` (which also includes ``\\x0B``): every DuckDB
+    oracle tokenizes with RE2, and a vertical tab in the data would
+    otherwise split a token on one engine only (round-10 review catch;
+    pinned by the adversarial corpus's ``\\x0B`` row)."""
     return F.filter(
-        F.split(F.trim(F.col(col)), r"\s+"), lambda t: t != F.lit("")
+        F.split(F.trim(F.col(col)), "[ \t\n\f\r]+"), lambda t: t != F.lit("")
     )
 
 
@@ -94,7 +100,7 @@ def token_count_ws(col: str) -> Column:
     non-ANSI mode, which no consumer wanted: a -1 "count" silently
     shifted ``pack_sequences``'s running token sums. Null-text rows now
     fall out of token accounting instead (pinned by test)."""
-    return F.regexp_count(F.col(col), F.lit(r"\S+"))
+    return F.regexp_count(F.col(col), F.lit("[^ \t\n\f\r]+"))
 
 
 #: BPE-ish unit: runs of letters, runs of digits, or single other glyphs —
@@ -125,11 +131,14 @@ def token_count_bpe(col: str) -> Column:
     )
 
 
-#: Java regex ``\s`` without the UNICODE flag is exactly ``[ \t\n\x0B\f\r]``
-_WS = " \t\n\x0b\f\r"
+#: RE2's ``\s`` is exactly ``[ \t\n\f\r]`` — NOTE: narrower than Java's,
+#: which also includes ``\x0B``. The engine standardizes on the RE2 set
+#: (the DuckDB oracles' semantics); every Spark-side whitespace regex is
+#: spelled as this explicit class, never ``\s`` (round-10).
+_WS = " \t\n\f\r"
 
-#: Java regex ``[a-zA-Z0-9\s]`` as a literal charset — the ``translate``
-#: deletion set that counts punct without a regex pass.
+#: ``[a-zA-Z0-9\s]`` (RE2 ``\s``) as a literal charset — the
+#: ``translate`` deletion set that counts punct without a regex pass.
 _ALNUM_WS = (
     "abcdefghijklmnopqrstuvwxyz"
     "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789" + _WS
@@ -205,15 +214,20 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_words > 0, sum_tok_len.cast("double") / n_words
     ).otherwise(F.lit(0.0))
     score = quality_score_expr(text_col)
+    from etl_io_spark.functions.numeric import round_floor
+
     return spread(df).select(
         F.col(id_col),
         # bigint, matching SQL engines' LENGTH/len types — keeps the
         # compared schema drift-free for type-aware value hashing
         F.length(text_col).cast("bigint").alias("n_chars"),
         n_words.cast("bigint").alias("n_words"),
-        F.round(mean_wlen, 4).alias("mean_word_len"),
-        F.round(punct_ratio(text_col), 4).alias("punct_ratio"),
-        F.round(stopword_ratio(text_col), 4).alias("stopword_ratio"),
+        # floor-form for the int/int ratios (terminating-decimal ROUND
+        # class — round-10); quality_score keeps ROUND: its values are
+        # sums of {0, 0.3, 0.4}, never near a rounding boundary
+        round_floor(mean_wlen, 4).alias("mean_word_len"),
+        round_floor(punct_ratio(text_col), 4).alias("punct_ratio"),
+        round_floor(stopword_ratio(text_col), 4).alias("stopword_ratio"),
         F.round(score, 2).alias("quality_score"),
     )
 
@@ -477,8 +491,13 @@ def repetition_features(
     here, there is no generator at all)."""
 
     def dup_frac(arr: Column) -> Column:
+        from etl_io_spark.functions.numeric import round_floor
+
         n = F.size(arr)
-        return F.round(
+        # floor-form: 1 - distinct/n is an int/int ratio and terminates
+        # at the 6th decimal whenever n divides a power of 10 (the
+        # cross-engine ROUND class — round-10)
+        return round_floor(
             F.when(
                 n > 0,
                 1.0 - F.size(F.array_distinct(arr)) / n.cast("double"),
@@ -708,8 +727,11 @@ def oov_rate(
             n.alias("n_tokens"),
             n_oov.alias("n_oov"),
             # two-branch when: empty text → 0.0, NULL text → NULL (an
-            # `otherwise(0.0)` would swallow the NULL branch)
-            F.when(n > 0, F.round(n_oov / n, 6))
+            # `otherwise(0.0)` would swallow the NULL branch); floor-form
+            # for the terminating int/int ratio (round-10)
+            F.when(
+                n > 0, F.floor(n_oov / n * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+            )
             .when(n == 0, F.lit(0.0))
             .alias("oov_rate"),
         )
@@ -1196,7 +1218,7 @@ def rake_keywords(
         ).otherwise(F.lower(t)),
     )
     phrases_arr = F.filter(
-        F.split(F.array_join(sent, " "), "\\s*\x01\\s*"),
+        F.split(F.array_join(sent, " "), "[ \t\n\f\r]*\x01[ \t\n\f\r]*"),
         lambda p: p != F.lit(""),
     )
     occ = spread_text(df).select(

@@ -1349,9 +1349,9 @@ _SW_ALT = "|".join(text.STOPWORDS)
       FROM t
     )
     SELECT doc_id, n_chars, n_words,
-           ROUND(mean_word_len, 4) AS mean_word_len,
-           ROUND(punct_ratio, 4) AS punct_ratio,
-           ROUND(stopword_ratio, 4) AS stopword_ratio,
+           FLOOR(mean_word_len * 10000 + 0.5) / 10000 AS mean_word_len,
+           FLOOR(punct_ratio * 10000 + 0.5) / 10000 AS punct_ratio,
+           FLOOR(stopword_ratio * 10000 + 0.5) / 10000 AS stopword_ratio,
            ROUND(CAST((CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
                  + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
                  + (CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END)
@@ -2791,15 +2791,15 @@ def _decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     )
     SELECT doc_id, len(w) AS n_words,
-      ROUND(CASE WHEN len(w) > 0
+      FLOOR((CASE WHEN len(w) > 0
             THEN 1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE)
-            ELSE 0.0 END, 6) AS dup_word_frac,
-      ROUND(CASE WHEN len(bi) > 0
+            ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS dup_word_frac,
+      FLOOR((CASE WHEN len(bi) > 0
             THEN 1.0 - len(list_distinct(bi)) / CAST(len(bi) AS DOUBLE)
-            ELSE 0.0 END, 6) AS dup_bigram_frac,
-      ROUND(CASE WHEN len(tri) > 0
+            ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS dup_bigram_frac,
+      FLOOR((CASE WHEN len(tri) > 0
             THEN 1.0 - len(list_distinct(tri)) / CAST(len(tri) AS DOUBLE)
-            ELSE 0.0 END, 6) AS dup_trigram_frac
+            ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS dup_trigram_frac
     FROM grams
     """,
 )
@@ -3454,14 +3454,29 @@ def _trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "winsorize_prices",
     """
-    WITH bounds AS (
-      SELECT l_returnflag AS k,
-             quantile_cont(l_extendedprice, 0.05) AS lo,
-             quantile_cont(l_extendedprice, 0.95) AS hi
-      FROM lineitem GROUP BY 1
+    -- explicit interpolation + floor-form, mirroring exact_percentiles
+    -- term by term (same discipline as percentiles_by_flag — round 10;
+    -- quantile_cont's internal formula differs in the last ulp and the
+    -- final ROUND splits HALF_UP-vs-binary on terminating bounds)
+    WITH s AS (
+      SELECT l_returnflag AS k, l_extendedprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    bounds AS (
+      SELECT k,
+             FLOOR(SUM(CASE WHEN rn - 1 = FLOOR((n - 1) * 0.05) THEN v * (1 - ((n - 1) * 0.05 - FLOOR((n - 1) * 0.05)))
+                      WHEN rn - 1 = CEIL((n - 1) * 0.05) AND CEIL((n - 1) * 0.05) <> FLOOR((n - 1) * 0.05)
+                        THEN v * ((n - 1) * 0.05 - FLOOR((n - 1) * 0.05)) END) * 1000000000 + 0.5) / 1000000000 AS lo,
+             FLOOR(SUM(CASE WHEN rn - 1 = FLOOR((n - 1) * 0.95) THEN v * (1 - ((n - 1) * 0.95 - FLOOR((n - 1) * 0.95)))
+                      WHEN rn - 1 = CEIL((n - 1) * 0.95) AND CEIL((n - 1) * 0.95) <> FLOOR((n - 1) * 0.95)
+                        THEN v * ((n - 1) * 0.95 - FLOOR((n - 1) * 0.95)) END) * 1000000000 + 0.5) / 1000000000 AS hi
+      FROM s GROUP BY k
     )
     SELECT l_orderkey, l_linenumber,
-           ROUND(LEAST(GREATEST(l_extendedprice, ROUND(lo, 9)), ROUND(hi, 9)), 2)
+           FLOOR(LEAST(GREATEST(l_extendedprice, lo), hi) * 100 + 0.5) / 100
              AS l_extendedprice_wins
     FROM lineitem JOIN bounds ON l_returnflag = k
     """,
@@ -3848,7 +3863,8 @@ def _zorder_code_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE COALESCE(s.n_oov, 0) END AS n_oov,
            CASE WHEN d.text IS NULL THEN NULL
                 WHEN COALESCE(s.n_tokens, 0) > 0
-                THEN ROUND(s.n_oov / s.n_tokens, 6) ELSE 0.0 END AS oov_rate
+                THEN FLOOR(s.n_oov / s.n_tokens * 1000000 + 0.5) / 1000000
+                ELSE 0.0 END AS oov_rate
     FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
     """,
 )
@@ -7230,7 +7246,10 @@ def _charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.length("text")
     non_ascii = F.length(F.regexp_replace("text", "[ -~]", ""))
     digits = F.length(F.regexp_replace("text", "[^0-9]", ""))
-    ws = F.length(F.regexp_replace("text", r"\S", ""))
+    # translate-deletion count of the explicit RE2 whitespace set —
+    # Java's \S excludes \x0B from "whitespace" differently than RE2's
+    # (round-10 adversarial-corpus catch on a vertical-tab doc)
+    ws = F.length("text") - F.length(F.translate(F.col("text"), text._WS, ""))
     f = docs.select(
         "source", n.alias("__n"), non_ascii.alias("__na"),
         digits.alias("__d"), ws.alias("__w"),
@@ -8163,13 +8182,14 @@ def _temporal_dim_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ranked AS (
       SELECT doc_id, source, n_chars,
              ROW_NUMBER() OVER (PARTITION BY source
-                                ORDER BY n_chars, doc_id) AS rn,
+                                ORDER BY n_chars NULLS FIRST, doc_id) AS rn,
              COUNT(*) OVER (PARTITION BY source) AS ng
       FROM documents
     ),
     g AS (
       SELECT n_chars AS gv,
-             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS grank
+             ROW_NUMBER() OVER (ORDER BY n_chars NULLS FIRST, doc_id)
+               AS grank
       FROM documents
     ),
     n AS (SELECT COUNT(*) AS nt FROM documents)

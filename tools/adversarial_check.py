@@ -44,7 +44,12 @@ TABLES = (
 ADVERSARIAL_DOCS = [
     (9001, "''", "en", "src0", 0),                      # empty
     (9002, "'   '", "en", "src1", 3),                   # whitespace-only
-    (9003, "CAST(NULL AS VARCHAR)", "de", "src2", 0),   # NULL
+    (9003, "CAST(NULL AS VARCHAR)", "de", "src2", "NULL"),  # NULL text,
+    #   NULL n_chars too — keeps the n_chars == LENGTH(text) invariant so
+    #   n_chars CONSUMERS are also probed for NULL propagation
+    (9006, "'a' || chr(11) || 'b'", "en", "src1", 3),    # \x0B: RE2 \s
+    #   excludes vertical tab, Java \s includes it — one token on BOTH
+    #   engines only because the engine standardizes on the RE2 class
     (9004, "'solo'", "fr", "src3", 4),                  # single token
     (9005, "'  padded  both  ends  '", "en", "src0", 22),
 ]
@@ -70,8 +75,12 @@ def build(src: str, out: str) -> None:
     )
     for t in TABLES:
         dst = os.path.join(out, f"{t}.parquet")
-        if not os.path.exists(dst):
-            os.symlink(os.path.join(src, f"{t}.parquet"), dst)
+        # always refresh: a pre-existing (possibly dangling, possibly
+        # pointing at a DIFFERENT --sf) link would silently mix corpora —
+        # a false green for the row-count-dependent divergence classes
+        if os.path.islink(dst) or os.path.exists(dst):
+            os.remove(dst)
+        os.symlink(os.path.join(src, f"{t}.parquet"), dst)
 
 
 def main() -> None:
