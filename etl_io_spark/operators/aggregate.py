@@ -110,8 +110,13 @@ def exact_percentiles(
 
     w = Window.partitionBy(*keys).orderBy(col)
     part = Window.partitionBy(*keys)
+    # NULL measures are EXCLUDED up front — SQL quantile semantics
+    # (quantile_cont skips NULLs); ranking them would poison both the
+    # ranks and n, and Spark/DuckDB disagree on NULL sort position
+    # anyway (NULLS FIRST vs LAST defaults — round-10 review)
     base = (
         df.select(*keys, col)
+        .where(F.col(col).isNotNull())
         .withColumn("__rn", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(part))
     )

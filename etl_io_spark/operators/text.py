@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from etl_io_spark.caching import persist_tracked
 
-from etl_io_spark.functions.numeric import round_pz
+from etl_io_spark.functions.numeric import round_floor, round_pz
 from etl_io_spark.partitioning import spread
 
 #: compressed-bytes-per-partition floor for text maps. Parquet zstd
@@ -214,8 +214,6 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_words > 0, sum_tok_len.cast("double") / n_words
     ).otherwise(F.lit(0.0))
     score = quality_score_expr(text_col)
-    from etl_io_spark.functions.numeric import round_floor
-
     return spread(df).select(
         F.col(id_col),
         # bigint, matching SQL engines' LENGTH/len types — keeps the
@@ -491,8 +489,6 @@ def repetition_features(
     here, there is no generator at all)."""
 
     def dup_frac(arr: Column) -> Column:
-        from etl_io_spark.functions.numeric import round_floor
-
         n = F.size(arr)
         # floor-form: 1 - distinct/n is an int/int ratio and terminates
         # at the 6th decimal whenever n divides a power of 10 (the
@@ -729,9 +725,7 @@ def oov_rate(
             # two-branch when: empty text → 0.0, NULL text → NULL (an
             # `otherwise(0.0)` would swallow the NULL branch); floor-form
             # for the terminating int/int ratio (round-10)
-            F.when(
-                n > 0, F.floor(n_oov / n * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
-            )
+            F.when(n > 0, round_floor(n_oov / n, 6))
             .when(n == 0, F.lit(0.0))
             .alias("oov_rate"),
         )

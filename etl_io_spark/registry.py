@@ -2315,31 +2315,46 @@ def _grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # exact percentiles per group (linear interpolation in both engines)
 # --------------------------------------------------------------------------
+
+
+def _pctl_term_sql(q: str, alias: str, scale: int) -> str:
+    """One explicit-interpolation percentile term, mirroring
+    aggregate.exact_percentiles TERM BY TERM over a CTE with columns
+    (v, rn 1-based, n): weights ``v*(1-frac)`` / ``v*frac`` with
+    ``frac = (n-1)*q - floor``, floor-form rounded. ``q`` is CAST TO
+    DOUBLE — DuckDB evaluates a bare decimal literal times BIGINT in
+    exact DECIMAL (typeof = DECIMAL(22,2)), which diverges from Spark's
+    IEEE product for non-dyadic q exactly at the frac = 0.5 boundaries
+    the floor-form is sensitive to (round-10 review catch). One shared
+    generator so the three consumer oracles cannot drift."""
+    r = f"(n - 1) * CAST({q} AS DOUBLE)"
+    m = 10 ** scale
+    return (
+        f"FLOOR(SUM(CASE WHEN rn - 1 = FLOOR({r}) THEN v * (1 - ({r} - FLOOR({r})))\n"
+        f"                      WHEN rn - 1 = CEIL({r}) AND CEIL({r}) <> FLOOR({r})\n"
+        f"                        THEN v * ({r} - FLOOR({r})) END) * {m} + 0.5) / {m} AS {alias}"
+    )
+
+
 @register(
     "percentiles_by_flag",
-    """
+    f"""
     -- explicit interpolation mirroring exact_percentiles TERM BY TERM
     -- (v*(1-frac) + v*frac, frac = (n-1)*q - floor) + floor-form
     -- rounding: quantile_cont's internal formula differs in the last
     -- ulp and ROUND itself splits HALF_UP-vs-binary on terminating
-    -- interpolants (caught live at sf0.001)
+    -- interpolants (caught live at sf0.001); shared _pctl_term_sql
     WITH s AS (
       SELECT l_returnflag, l_extendedprice AS v,
              ROW_NUMBER() OVER (PARTITION BY l_returnflag
                                 ORDER BY l_extendedprice) AS rn,
              COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     )
     SELECT l_returnflag,
-           FLOOR(SUM(CASE WHEN rn - 1 = FLOOR((n - 1) * 0.25) THEN v * (1 - ((n - 1) * 0.25 - FLOOR((n - 1) * 0.25)))
-                      WHEN rn - 1 = CEIL((n - 1) * 0.25) AND CEIL((n - 1) * 0.25) <> FLOOR((n - 1) * 0.25)
-                        THEN v * ((n - 1) * 0.25 - FLOOR((n - 1) * 0.25)) END) * 100 + 0.5) / 100 AS p25,
-           FLOOR(SUM(CASE WHEN rn - 1 = FLOOR((n - 1) * 0.50) THEN v * (1 - ((n - 1) * 0.50 - FLOOR((n - 1) * 0.50)))
-                      WHEN rn - 1 = CEIL((n - 1) * 0.50) AND CEIL((n - 1) * 0.50) <> FLOOR((n - 1) * 0.50)
-                        THEN v * ((n - 1) * 0.50 - FLOOR((n - 1) * 0.50)) END) * 100 + 0.5) / 100 AS p50,
-           FLOOR(SUM(CASE WHEN rn - 1 = FLOOR((n - 1) * 0.75) THEN v * (1 - ((n - 1) * 0.75 - FLOOR((n - 1) * 0.75)))
-                      WHEN rn - 1 = CEIL((n - 1) * 0.75) AND CEIL((n - 1) * 0.75) <> FLOOR((n - 1) * 0.75)
-                        THEN v * ((n - 1) * 0.75 - FLOOR((n - 1) * 0.75)) END) * 100 + 0.5) / 100 AS p75
+           {_pctl_term_sql('0.25', 'p25', 2)},
+           {_pctl_term_sql('0.50', 'p50', 2)},
+           {_pctl_term_sql('0.75', 'p75', 2)}
     FROM s GROUP BY l_returnflag
     """,
 )
@@ -3453,26 +3468,22 @@ def _trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ==========================================================================
 @register(
     "winsorize_prices",
-    """
-    -- explicit interpolation + floor-form, mirroring exact_percentiles
-    -- term by term (same discipline as percentiles_by_flag — round 10;
-    -- quantile_cont's internal formula differs in the last ulp and the
-    -- final ROUND splits HALF_UP-vs-binary on terminating bounds)
+    f"""
+    -- explicit interpolation + floor-form via the shared
+    -- _pctl_term_sql generator (round 10; quantile_cont's internal
+    -- formula differs in the last ulp and the final ROUND splits
+    -- HALF_UP-vs-binary on terminating bounds)
     WITH s AS (
       SELECT l_returnflag AS k, l_extendedprice AS v,
              ROW_NUMBER() OVER (PARTITION BY l_returnflag
                                 ORDER BY l_extendedprice) AS rn,
              COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     ),
     bounds AS (
       SELECT k,
-             FLOOR(SUM(CASE WHEN rn - 1 = FLOOR((n - 1) * 0.05) THEN v * (1 - ((n - 1) * 0.05 - FLOOR((n - 1) * 0.05)))
-                      WHEN rn - 1 = CEIL((n - 1) * 0.05) AND CEIL((n - 1) * 0.05) <> FLOOR((n - 1) * 0.05)
-                        THEN v * ((n - 1) * 0.05 - FLOOR((n - 1) * 0.05)) END) * 1000000000 + 0.5) / 1000000000 AS lo,
-             FLOOR(SUM(CASE WHEN rn - 1 = FLOOR((n - 1) * 0.95) THEN v * (1 - ((n - 1) * 0.95 - FLOOR((n - 1) * 0.95)))
-                      WHEN rn - 1 = CEIL((n - 1) * 0.95) AND CEIL((n - 1) * 0.95) <> FLOOR((n - 1) * 0.95)
-                        THEN v * ((n - 1) * 0.95 - FLOOR((n - 1) * 0.95)) END) * 1000000000 + 0.5) / 1000000000 AS hi
+             {_pctl_term_sql('0.05', 'lo', 9)},
+             {_pctl_term_sql('0.95', 'hi', 9)}
       FROM s GROUP BY k
     )
     SELECT l_orderkey, l_linenumber,
@@ -7233,9 +7244,12 @@ _CHARSET_SQL = """
       FROM documents
     )
     SELECT source, CAST(SUM(n) AS BIGINT) AS n_chars,
-           ROUND(SUM(non_ascii) * 1.0 / SUM(n), 6) AS non_ascii_ratio,
-           ROUND(SUM(digits) * 1.0 / SUM(n), 6) AS digit_ratio,
-           ROUND(SUM(ws) * 1.0 / SUM(n), 6) AS ws_ratio
+           FLOOR(SUM(non_ascii) * 1.0 / SUM(n) * 1000000 + 0.5) / 1000000
+             AS non_ascii_ratio,
+           FLOOR(SUM(digits) * 1.0 / SUM(n) * 1000000 + 0.5) / 1000000
+             AS digit_ratio,
+           FLOOR(SUM(ws) * 1.0 / SUM(n) * 1000000 + 0.5) / 1000000
+             AS ws_ratio
     FROM f GROUP BY source
 """
 
@@ -7254,35 +7268,35 @@ def _charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", n.alias("__n"), non_ascii.alias("__na"),
         digits.alias("__d"), ws.alias("__w"),
     )
+    from etl_io_spark.functions.numeric import round_floor
+
+    # floor-form: sums-of-counts ratios terminate (round-10 class)
     return f.groupBy("source").agg(
         F.sum("__n").cast("bigint").alias("n_chars"),
-        F.round(F.sum("__na") / F.sum("__n"), 6).alias("non_ascii_ratio"),
-        F.round(F.sum("__d") / F.sum("__n"), 6).alias("digit_ratio"),
-        F.round(F.sum("__w") / F.sum("__n"), 6).alias("ws_ratio"),
+        round_floor(F.sum("__na") / F.sum("__n"), 6).alias("non_ascii_ratio"),
+        round_floor(F.sum("__d") / F.sum("__n"), 6).alias("digit_ratio"),
+        round_floor(F.sum("__w") / F.sum("__n"), 6).alias("ws_ratio"),
     )
 
 
 # ==========================================================================
 # Tail-heaviness ratio per group: p99 / p50 of price (exact percentiles)
 # ==========================================================================
-_TAIL_RATIO_SQL = """
+_TAIL_RATIO_SQL = f"""
     -- same explicit-interpolation + floor-form discipline as
-    -- percentiles_by_flag (shared exact_percentiles Spark side)
+    -- percentiles_by_flag (shared exact_percentiles Spark side and
+    -- shared _pctl_term_sql oracle generator)
     WITH s AS (
       SELECT l_returnflag, l_extendedprice AS v,
              ROW_NUMBER() OVER (PARTITION BY l_returnflag
                                 ORDER BY l_extendedprice) AS rn,
              COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     ),
     p AS (
       SELECT l_returnflag,
-             FLOOR(SUM(CASE WHEN rn - 1 = FLOOR((n - 1) * 0.50) THEN v * (1 - ((n - 1) * 0.50 - FLOOR((n - 1) * 0.50)))
-                      WHEN rn - 1 = CEIL((n - 1) * 0.50) AND CEIL((n - 1) * 0.50) <> FLOOR((n - 1) * 0.50)
-                        THEN v * ((n - 1) * 0.50 - FLOOR((n - 1) * 0.50)) END) * 100 + 0.5) / 100 AS p50,
-             FLOOR(SUM(CASE WHEN rn - 1 = FLOOR((n - 1) * 0.99) THEN v * (1 - ((n - 1) * 0.99 - FLOOR((n - 1) * 0.99)))
-                      WHEN rn - 1 = CEIL((n - 1) * 0.99) AND CEIL((n - 1) * 0.99) <> FLOOR((n - 1) * 0.99)
-                        THEN v * ((n - 1) * 0.99 - FLOOR((n - 1) * 0.99)) END) * 100 + 0.5) / 100 AS p99
+             {_pctl_term_sql('0.50', 'p50', 2)},
+             {_pctl_term_sql('0.99', 'p99', 2)}
       FROM s GROUP BY l_returnflag
     )
     SELECT l_returnflag, p50, p99,
