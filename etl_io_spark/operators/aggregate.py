@@ -163,15 +163,37 @@ def weighted_percentiles(
     that second exchange. Both carry distinct-value cardinality, not
     row count.
 
+    NULL contract: rows with a NULL value OR a NULL weight are excluded
+    up front (mirroring ``exact_percentiles``). A NULL value is not a
+    value ≤ anything, yet Spark's default ASC ordering puts NULLS FIRST
+    while DuckDB defaults NULLS LAST — without the filter a NULL-value
+    group's weight would inflate ``__tot`` and count toward every real
+    value's ``__cum`` on the Spark side only (ADVICE r10). NULL weights
+    are likewise dropped rather than treated as zero: ``SUM`` would skip
+    them anyway, but the zero-weight distinct value would still surface
+    as a selectable row, and "a value no units were sold at" is not a
+    weighted quantile. Oracles must carry the same two IS NOT NULL
+    predicates.
+
     Exactness: picks an EXISTING value (no interpolation), so the output
     is bit-identical cross-engine; with integral weights the cumulative
     and total sums are exact in any summation order, and ``q·total`` is
     the same single IEEE multiply on both engines — mirror the oracle as
-    ``cum >= q * total`` verbatim and no float-noise class applies.
+    ``cum >= q * total``, with one caveat: Spark's ``F.lit(float(q))``
+    is a DOUBLE, so the oracle must spell ``CAST(q AS DOUBLE) * tot``.
+    A bare decimal literal stays exact DECIMAL in DuckDB when the weight
+    column is integer/decimal-typed, which is a different multiply (it
+    only coincides when the weight is already stored as DOUBLE).
     """
     from pyspark.sql import Window
 
-    g = df.groupBy(*keys, value_col).agg(F.sum(weight_col).alias("__w"))
+    g = (
+        df.where(
+            F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+        )
+        .groupBy(*keys, value_col)
+        .agg(F.sum(weight_col).alias("__w"))
+    )
     run = (
         Window.partitionBy(*keys)
         .orderBy(value_col)

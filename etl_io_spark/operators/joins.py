@@ -179,6 +179,20 @@ def asof_join(
     rcols = list(right_cols) or [
         c for c in right.columns if c not in keys and c != ts_col
     ]
+    # "__rts" is reserved inside the payload struct and "__side"/
+    # "__payload"/"__mb"/"__mf"/"__m" as working columns — a user column
+    # with one of these names would create duplicate struct fields or be
+    # silently swallowed by the final drop() (ADVICE r10); fail loudly
+    reserved = {"__side", "__payload", "__mb", "__mf", "__m"}
+    clashes = sorted(
+        {c for c in left.columns if c in reserved}
+        | {c for c in rcols if c in reserved or c == "__rts"}
+    )
+    if clashes:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved | {'__rts'})}"
+            f" internally; rename input columns {clashes}"
+        )
     # the right event time rides inside the payload ("__rts") so nearest
     # and tolerance can measure the gap after the carry
     payload = F.struct(

@@ -2373,9 +2373,15 @@ def _percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "weighted_percentiles_prices",
     """
+    -- NULL value/weight rows excluded to mirror the operator's NULL
+    -- contract; CAST(q AS DOUBLE) matches Spark's F.lit(float(q))
+    -- multiply (a bare decimal literal would be exact DECIMAL math in
+    -- DuckDB for integer/decimal weights — see _pctl_term_sql)
     WITH g AS (
       SELECT l_returnflag, l_extendedprice AS v, SUM(l_quantity) AS w
-      FROM lineitem GROUP BY 1, 2
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      GROUP BY 1, 2
     ),
     c AS (
       SELECT l_returnflag, v,
@@ -2384,9 +2390,9 @@ def _percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g
     )
     SELECT l_returnflag,
-           MIN(CASE WHEN cum >= 0.25 * tot THEN v END) AS wp25,
-           MIN(CASE WHEN cum >= 0.5 * tot THEN v END) AS wp50,
-           MIN(CASE WHEN cum >= 0.9 * tot THEN v END) AS wp90
+           MIN(CASE WHEN cum >= CAST(0.25 AS DOUBLE) * tot THEN v END) AS wp25,
+           MIN(CASE WHEN cum >= CAST(0.5 AS DOUBLE) * tot THEN v END) AS wp50,
+           MIN(CASE WHEN cum >= CAST(0.9 AS DOUBLE) * tot THEN v END) AS wp90
     FROM c GROUP BY l_returnflag
     """,
 )

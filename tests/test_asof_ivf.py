@@ -34,6 +34,25 @@ def test_asof_join_picks_latest_at_or_before(spark):
     assert out[(2, _ts(5))] is None  # nothing before -> null (left join)
 
 
+def test_asof_join_rejects_reserved_column_names(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, _ts(10))], "k int, ts timestamp")
+    bad_right = spark.createDataFrame(
+        [(1, _ts(5), 1.0)], "k int, ts timestamp, __rts double"
+    )
+    with pytest.raises(ValueError, match="__rts"):
+        joins.asof_join(left, bad_right, on="k", right_cols=["__rts"])
+    bad_left = spark.createDataFrame(
+        [(1, _ts(10), 0)], "k int, ts timestamp, __mb int"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 1.0)], "k int, ts timestamp, v double"
+    )
+    with pytest.raises(ValueError, match="__mb"):
+        joins.asof_join(bad_left, right, on="k", right_cols=["v"])
+
+
 def test_asof_join_no_cross_key_leak(spark):
     left = spark.createDataFrame([(1, _ts(10))], "k int, ts timestamp")
     right = spark.createDataFrame(

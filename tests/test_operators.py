@@ -174,6 +174,33 @@ def test_weighted_percentiles_hand_computed(spark):
     assert row["wp90"] == 30.0
 
 
+def test_weighted_percentiles_excludes_null_values_and_weights(spark):
+    from etl_io_spark.operators import aggregate as agg
+
+    # NULL value rows and NULL weight rows must not affect the result:
+    # a NULL value is not a value <= anything (and Spark would sort it
+    # FIRST while DuckDB sorts it LAST), and a NULL-weight value must
+    # not surface as a zero-weight selectable row (ADVICE r10).
+    clean = spark.createDataFrame(
+        [("g", 10.0, 1), ("g", 20.0, 3), ("g", 30.0, 6)],
+        "g string, v double, w int",
+    )
+    dirty = spark.createDataFrame(
+        [
+            ("g", 10.0, 1),
+            ("g", 20.0, 3),
+            ("g", 30.0, 6),
+            ("g", None, 100),  # NULL value with huge weight
+            ("g", 5.0, None),  # NULL weight on the smallest value
+        ],
+        "g string, v double, w int",
+    )
+    qs = (0.1, 0.5, 0.9)
+    want = agg.weighted_percentiles(clean, ["g"], "v", "w", qs).collect()[0]
+    got = agg.weighted_percentiles(dirty, ["g"], "v", "w", qs).collect()[0]
+    assert got.asDict() == want.asDict()
+
+
 def test_exact_percentiles_single_row_group(spark):
     from etl_io_spark.operators import aggregate as agg
 

@@ -89,6 +89,11 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/sfadv")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    # symlink targets are resolved relative to the LINK's directory, not
+    # the CWD — a relative --sf would build dangling links under --out
+    # and surface as a confusing downstream check.py failure (ADVICE r10)
+    args.sf = os.path.abspath(args.sf)
+    args.out = os.path.abspath(args.out)
     build(args.sf, args.out)
     here = os.path.dirname(os.path.abspath(__file__))
     cmd = [sys.executable, os.path.join(here, "check.py"), "--sf", args.out]
