@@ -43,6 +43,50 @@ def register(name: str, sql: str | None = None):
 #: Everything not listed follows in registration order and is still covered
 #: by the stricter local gate (tools/check.py) and pytest.
 _WINDOW_ORDER: tuple[str, ...] = (
+    # Round-11 rotation (VERDICT r10 ask #1). Priority slots: the 14
+    # hardening-touched keys whose oracles/Spark sides changed in the
+    # two r10 adversarial waves but sat OUTSIDE the r10 window (swept
+    # green in HASHPARITY_r10.log and spot-verified exact, yet never
+    # driver-re-graded since the change), plus `weighted_percentiles_
+    # prices`, whose operator and oracle BOTH changed again this round
+    # (ADVICE r10: NULL value/weight exclusion + CAST(q AS DOUBLE) in
+    # the oracle — changed oracles always re-enter the window). Any key
+    # ADDED in r11 also enters here, the round it lands. Padding is
+    # stalest-first: all 18 remaining last-graded-r5 keys, then a
+    # last-graded-r6 slice, so driver coverage keeps cycling the whole
+    # 232-oracle registry. All entrants swept with tools/hash_parity.py
+    # at sf0.01 + sf0.1 BEFORE this rotation shipped
+    # (HASHPARITY_r11.log); no-oracle keys stay excluded (they can only
+    # return `err: no_oracle`).
+    #
+    # -- priority: r10 hardening-touched, driver-ungraded since (14)
+    "tokenizer_fertility", "dsir_weights_docs", "chunk_documents",
+    "oov_rate_docs", "media_frame_dedup", "percentiles_by_flag",
+    "tail_ratio_prices", "histogram2d_events", "winsorize_prices",
+    "quantile_normalize_chars", "repetition_ratio", "charset_profile",
+    "quote_spans_docs", "normalize_text_docs",
+    # -- priority: oracle/operator changed in r11 (1)
+    "weighted_percentiles_prices",
+    # -- priority: keys ADDED in r11 (uncommented as each lands; the
+    #    import-time _unknown_window guard forbids listing them early)
+    # -- sentinels: stalest, last graded r5 (18 = the full cohort)
+    "basket_rules_parts", "bloom_gate_orders", "count_distinct_group",
+    "countmin_users_events", "drop_nulls_filter", "embedding_top_pc",
+    "filter_length_distinct", "market_basket_pairs", "media_metadata",
+    "programs_pipeline", "qual_onehot_pipeline", "quant_pivot_pipeline",
+    "rake_keywords_docs", "range_join_attribution",
+    "session_baskets_events", "substring_dedup_docs",
+    "temporal_dim_join_orders", "units_count_pipeline",
+    # -- sentinels: last graded r6, diverse slice (13)
+    "above_avg_customers", "acf_events", "assortativity_trade",
+    "benford_totalprice", "bfs_trade_reach", "char_entropy_docs",
+    "chisq_priority_month", "containment_pairs", "corr_matrix_lineitem",
+    "cusum_changepoint_events", "dedup_yield", "ewma_events",
+    "fuzzy_name_pairs",
+)
+
+#: Previous rotation kept for provenance (r10, VERDICT r9 ask #1).
+_WINDOW_ORDER_R10: tuple[str, ...] = (
     # Round-10 rotation (VERDICT r9 ask #1). Priority slots: 6.
     # `mixture_token_plan` — added late in r9 AFTER that window was pinned,
     # so it is the ONE oracled key the driver has never graded (the r9
