@@ -146,22 +146,50 @@ def weighted_percentiles(
     value_col: str,
     weight_col: str,
     quantiles: Sequence[float],
+    n_buckets: int = 1024,
 ) -> DataFrame:
     """Exact weighted lower-quantiles per group: the smallest value whose
     cumulative weight (over values ≤ it) reaches ``q`` of the group's
     total weight — the weighted-median family (e.g. the quantity-weighted
     median price: "half the UNITS sold cost at most this much").
 
-    Shape: (1) a partial-aggregable ``groupBy(keys, value)`` collapses
-    the input to DISTINCT values carrying their summed weight — the
-    map-side combine means the window below sorts value cardinality, not
-    row count; (2) one per-key running-sum window over those distinct
-    values; (3) each quantile is a ``min(value WHERE cum >= q·total)``
-    reduction. Two exchanges total (PLANS.md runtime count): the
-    collapse shuffles on (keys, value), then the window re-keys on
-    ``keys`` alone — and the window's sort plus the final groupBy share
-    that second exchange. Both carry distinct-value cardinality, not
-    row count.
+    Shape — histogram-refinement bucket TARGETING (one refinement
+    level), zero data-sized exchanges: (1) a map-side per-group
+    (min, max, total-weight) stats pass; (2) a map-side per-(group,
+    fixed-width-bucket) weight-subtotal pass, then a per-group window
+    over the ≤``n_buckets`` subtotal rows (tiny) yields each bucket's
+    inclusive end-cumulative and exclusive prefix — from which each
+    quantile's TARGET bucket (the first whose end-cumulative reaches
+    ``q·total``) is known before any value is sorted; (3) one final
+    scan keeps only rows whose (group, bucket) is a target — a
+    broadcast semi-structured join against the one-row-per-(group,
+    quantile) target frame — collapses them to distinct values, runs
+    the running sum per (group, quantile) over that bucket-sized
+    sliver, and picks ``min(value WHERE prefix + local_cum >=
+    q·total)``. Three scans of the input, everything between them
+    broadcast-sized; the fact table is never shuffled, sorted, or
+    windowed.
+
+    Why not one ``Window.partitionBy(keys).orderBy(value)``: Spark
+    gives a window partition to ONE task. With few groups and many
+    distinct values (3 return flags x 34.7M prices at the 100x probe)
+    that is a sequential 11.6M-row sort per key — measured 5.0x the
+    DuckDB oracle with a 5.05x 10x->100x marginal; an intermediate
+    two-level prefix-sum variant still paid 2.5x marginal moving the
+    full distinct-value set through two exchanges. Targeting moves only
+    the target buckets (~values/n_buckets per quantile) — see
+    BASELINE.md round-11 for the A/B. ``n_buckets`` bounds the final
+    sliver: distinct-values/(groups x n_buckets) rows per (group,
+    quantile); raise it on a large cluster. Pass ``n_buckets=0`` for
+    the plain single-window plan — right when there are MANY groups
+    (each group's value list is short, windows already parallelize
+    across groups, and the per-group stats frame would be too big to
+    broadcast).
+
+    Skew note: buckets are fixed-width in VALUE space; a pathological
+    distribution concentrates mass in one bucket and the target sliver
+    grows toward that bucket's population — still bounded by one
+    bucket, never the full group.
 
     NULL contract: rows with a NULL value OR a NULL weight are excluded
     up front (mirroring ``exact_percentiles``). A NULL value is not a
@@ -187,32 +215,132 @@ def weighted_percentiles(
     """
     from pyspark.sql import Window
 
-    g = (
-        df.where(
-            F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    keys = list(keys)
+    quantiles = list(quantiles)
+    drop_group = False
+    if not keys:
+        # global quantiles: a constant synthetic group keeps every join
+        # and window below uniform (dropped from the output)
+        df = df.withColumn("__g", F.lit(1))
+        keys, drop_group = ["__g"], True
+    filt = df.where(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    )
+    if not (n_buckets and n_buckets > 1):
+        # single-window plan: right at high group cardinality
+        g = filt.groupBy(*keys, value_col).agg(
+            F.sum(weight_col).alias("__w")
         )
-        .groupBy(*keys, value_col)
-        .agg(F.sum(weight_col).alias("__w"))
+        run = (
+            Window.partitionBy(*keys)
+            .orderBy(value_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        part = Window.partitionBy(*keys)
+        base = g.withColumn("__cum", F.sum("__w").over(run)).withColumn(
+            "__tot", F.sum("__w").over(part)
+        )
+        aggs = [
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.lit(float(q)) * F.col("__tot"),
+                    F.col(value_col),
+                )
+            ).alias(f"wp{int(round(q * 100))}")
+            for q in quantiles
+        ]
+        out = base.groupBy(*keys).agg(*aggs)
+        return out.drop("__g") if drop_group else out
+
+    # -- pass 1: per-group stats (map-side combine; one row per group)
+    stats = filt.groupBy(*keys).agg(
+        F.min(value_col).alias("__lo"),
+        F.max(value_col).alias("__hi"),
+        F.sum(weight_col).alias("__tot"),
+    )
+    step = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    bucket = (
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col(value_col) - F.col("__lo")) / step),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("int")
+    )
+    # -- pass 2: per-(group, bucket) weight subtotals (map-side combine;
+    #    <= groups x n_buckets rows), then the ONLY sequential-per-group
+    #    window — over those subtotal rows
+    bt = (
+        filt.join(F.broadcast(stats), keys)
+        .groupBy(*keys, bucket.alias("__b"))
+        .agg(F.sum(weight_col).alias("__bw"))
+    )
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bt = bt.withColumn("__end", F.sum("__bw").over(wb)).withColumn(
+        "__prefix", F.col("__end") - F.col("__bw")
+    )
+    # each quantile's target bucket: the first whose inclusive
+    # end-cumulative reaches q*total — the answer value lives there
+    qarr = F.array(*[F.lit(float(q)) for q in quantiles])
+    tb = (
+        bt.join(F.broadcast(stats.select(*keys, "__tot")), keys)
+        .withColumn("__q", F.explode(qarr))
+        .groupBy(*keys, "__q")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("__end") >= F.col("__q") * F.col("__tot"),
+                    F.col("__b"),
+                )
+            ).alias("__b")
+        )
+    )
+    # (keys, q) -> target bucket + its exclusive prefix + group total:
+    # one row per group x quantile, broadcast onto the final scan
+    tinfo = tb.join(bt.select(*keys, "__b", "__prefix"), [*keys, "__b"]).join(
+        F.broadcast(stats.select(*keys, "__lo", "__hi", "__tot")), keys
+    )
+    # -- pass 3: keep only target-bucket rows (a row can serve several
+    #    quantiles — the join fans it out per matching q), collapse to
+    #    distinct values, run the running sum over the sliver. Integral
+    #    weights keep every sum exact in any order, so prefix +
+    #    local_cum matches the oracle's single running sum bit for bit
+    #    (< 2^53).
+    cand = filt.join(F.broadcast(tinfo), keys).where(
+        bucket == F.col("__b")
+    )
+    gq = cand.groupBy(*keys, "__q", "__prefix", "__tot", value_col).agg(
+        F.sum(weight_col).alias("__w")
     )
     run = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(*keys, "__q")
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    part = Window.partitionBy(*keys)
-    base = g.withColumn("__cum", F.sum("__w").over(run)).withColumn(
-        "__tot", F.sum("__w").over(part)
+    ans = gq.withColumn(
+        "__cum", F.col("__prefix") + F.sum("__w").over(run)
+    ).groupBy(*keys, "__q").agg(
+        F.min(
+            F.when(
+                F.col("__cum") >= F.col("__q") * F.col("__tot"),
+                F.col(value_col),
+            )
+        ).alias("__v")
     )
     aggs = [
         F.min(
-            F.when(
-                F.col("__cum") >= F.lit(float(q)) * F.col("__tot"),
-                F.col(value_col),
-            )
+            F.when(F.col("__q") == F.lit(float(q)), F.col("__v"))
         ).alias(f"wp{int(round(q * 100))}")
         for q in quantiles
     ]
-    return base.groupBy(*keys).agg(*aggs)
+    out = ans.groupBy(*keys).agg(*aggs)
+    return out.drop("__g") if drop_group else out
 
 
 def histogram(
