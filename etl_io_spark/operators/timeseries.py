@@ -331,38 +331,96 @@ def rolling_distinct(
     at least one event in ``[d - window_days + 1, d]``.
 
     Spark has no ``count_distinct`` over a RANGE window (per-row set
-    state); the scalable form is cover-day fan-out: collapse events to
-    distinct (key, day) pairs first (a partial-aggregable groupBy — the
-    fan-out input is active-pair-sized, not event-sized), explode each
-    pair onto the ``window_days`` cover days it contributes to, and
-    count distinct keys per cover day. Shuffle volume is
-    ``window_days × |distinct pairs|`` of (day, key) int rows — linear,
-    bounded, and keyed by day, so no single-task straggler at any scale.
-    Cover days with no events of their own are dropped (semi-join
-    against the active-day set) so leading/trailing partial windows
-    don't fabricate days the data never saw."""
+    state). The r10 form was cover-day fan-out (explode each distinct
+    (key, day) pair onto its ``window_days`` cover days, count distinct
+    keys per day) — ``window_days x |pairs|`` shuffle rows plus
+    count_distinct's dedup exchange; the 100x-events probe measured a
+    3.16x 10x->100x marginal against the oracle (BASELINE.md r11).
+
+    The shipped form is an interval SWEEP, fan-out-free: (1) collapse
+    events to distinct (key, day) pairs (partial-aggregable groupBy);
+    (2) per key, merge overlapping cover intervals ``[d, d+W-1]`` with
+    gaps-and-islands — a new island starts when the day gap >= W — so
+    each key contributes DISJOINT covered intervals; (3) emit +1 at
+    each interval's start day and -1 the day after it ends, aggregate
+    deltas per day (tiny: <= 2 x islands rows), and one running sum
+    over the day axis turns deltas into "distinct keys whose coverage
+    contains this day". Active days that are not interval endpoints
+    ride along as zero-delta rows so the prefix sum lands on them; only
+    active days are returned (partial leading/trailing windows never
+    fabricate days the data never saw).
+
+    Scale: shuffles are the pair dedup and the per-key island window —
+    both |pairs|-sized and keyed by the entity; ``window_days`` no
+    longer multiplies anything. The final running sum is a single-task
+    window over ONE row per distinct day (bounded by the calendar —
+    ~366/year — not by data volume), after a day-level aggregate whose
+    map-side combine has already collapsed everything else."""
     if window_days < 1:
-        # sequence(d, d-1) would default to a -1 step and silently credit
-        # users to PAST days instead of failing
+        # a descending interval would silently credit users to PAST
+        # days instead of failing
         raise ValueError(f"window_days must be >= 1, got {window_days}")
     day = F.col(ts_col).cast("date")
     pairs = df.select(
         F.col(key_col).alias("__k"), day.alias("__d")
     ).distinct()
-    days = pairs.select(F.col("__d").alias("day")).distinct()
-    cover = pairs.select(
-        "__k",
-        F.explode(
-            F.sequence(
-                F.col("__d"), F.date_add(F.col("__d"), window_days - 1)
-            )
-        ).alias("day"),
+    wk = Window.partitionBy("__k").orderBy("__d")
+    islands = (
+        pairs.withColumn(
+            "__new",
+            F.when(
+                F.datediff(
+                    F.col("__d"), F.lag("__d").over(wk)
+                ).isNull()
+                | (
+                    F.datediff(F.col("__d"), F.lag("__d").over(wk))
+                    >= window_days
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(
+                wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("__k", "__isl")
+        .agg(
+            F.min("__d").alias("__start"),
+            F.date_add(F.max("__d"), window_days - 1).alias("__end"),
+        )
+    )
+    deltas = islands.select(
+        F.col("__start").alias("day"), F.lit(1).alias("__delta")
+    ).unionByName(
+        islands.select(
+            F.date_add(F.col("__end"), 1).alias("day"),
+            F.lit(-1).alias("__delta"),
+        )
+    )
+    # active days ride along with delta 0 so the prefix sum lands on
+    # them; the flag filters the output back to data-backed days
+    axis = deltas.withColumn("__active", F.lit(0)).unionByName(
+        pairs.select(
+            F.col("__d").alias("day"),
+            F.lit(0).alias("__delta"),
+            F.lit(1).alias("__active"),
+        )
+    )
+    per_day = axis.groupBy("day").agg(
+        F.sum("__delta").alias("__delta"),
+        F.max("__active").alias("__active"),
+    )
+    run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     return (
-        cover.join(days, "day", "left_semi")
-        .groupBy("day")
-        .agg(
-            F.count_distinct("__k").alias(f"rolling_{window_days}d_distinct")
+        per_day.withColumn("__cum", F.sum("__delta").over(run))
+        .where(F.col("__active") == 1)
+        .select(
+            "day",
+            F.col("__cum").alias(f"rolling_{window_days}d_distinct"),
         )
     )
 

@@ -123,11 +123,14 @@ def test_weighted_percentiles_partial_agg_then_window(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_rolling_dau_semi_join_builds_day_side(spark):
+def test_rolling_dau_sweep_no_fanout_no_join(spark):
     plan = _plan(spark, "rolling_dau_events")
-    # the cover fan-out probes the tiny active-day set (semi join), and
-    # nothing degenerates into a nested loop
-    assert "LeftSemi" in plan
+    # the interval sweep replaced the cover-day fan-out (r11): no
+    # explode/generator, no join at all, no count_distinct expand —
+    # just keyed windows and partial-aggregable groupBys
+    assert "Generate" not in plan  # explode is gone
+    assert "Join" not in plan
+    assert "Expand" not in plan  # count_distinct rewrite is gone
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
