@@ -1256,3 +1256,37 @@ def rake_keywords(
             (F.col("__ps") / F.lit(1000.0)).alias("score"),
         )
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus boilerplate detector: the ``top_k`` word ``n``-grams by
+    DOCUMENT frequency (each document counts a gram once, however many
+    times it repeats inside) — the CCNet/C4-style pre-pass for spotting
+    shared headers, footers, license blurbs, and template chrome before
+    a boilerplate-strip rule is written. Returns (gram, doc_freq),
+    tie-broken by gram ascending so the top-k cut is deterministic.
+
+    Plan: shingle map-side (``word_ngrams`` — sequence + element_at, no
+    per-shingle sub-array), explode, and ``count_distinct(doc)`` per
+    gram — Spark plans the distinct as a partial per-partition dedup
+    before the exchange, so the shuffle carries distinct (gram, doc)
+    pairs, not raw shingle volume. The final selection is
+    ``ORDER BY doc_freq DESC, gram LIMIT k`` — Catalyst's TakeOrdered,
+    a per-partition top-k + driver merge of k-row heaps, never a global
+    sort (same shape the plan test pins for top_k_orders)."""
+    grams = word_ngrams(text_col, n)
+    pairs = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__doc"), F.explode(grams).alias("gram")
+    )
+    return (
+        pairs.groupBy("gram")
+        .agg(F.count_distinct("__doc").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
+        .limit(top_k)
+    )

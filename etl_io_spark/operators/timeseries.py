@@ -13,7 +13,7 @@ them onto the same partitioning.
 
 from __future__ import annotations
 
-from etl_io_spark.functions.numeric import round_pz  # noqa: E402
+from etl_io_spark.functions.numeric import round_floor, round_pz  # noqa: E402
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -749,4 +749,87 @@ def cusum_changepoint(
             ),
             round_to,
         ).alias("cusum_stat"),
+    )
+
+
+def stl_decompose(
+    df: DataFrame,
+    ts_col: str = "ts",
+    period: int = 7,
+    trend_window: int = 7,
+    round_to: int = 4,
+) -> DataFrame:
+    """Additive moving-average decomposition of the daily event-count
+    series: ``y = trend + seasonal + resid`` per day (the classical
+    decomposition — one smoothing pass, not the iterated loess of
+    Cleveland STL; absent from the reference, which has no timestamp
+    types at all).
+
+    * ``trend`` — centered moving average of width ``trend_window``
+      (odd) over the ACTIVE-day series in row order; edge days without
+      a full window are trimmed (standard MA convention), so the output
+      has ``n_days - trend_window + 1`` rows.
+    * ``seasonal`` — per-phase mean of the detrended series, where
+      ``phase = epoch_day % period`` (epoch-day arithmetic, NOT
+      day-of-week builtins: Spark's ``dayofweek`` is 1=Sunday while
+      DuckDB's is 0=Sunday — the modulo convention is engine-neutral).
+    * ``resid`` — detrended minus seasonal; the three parts sum to
+      ``y`` exactly before rounding.
+
+    Cross-engine exactness: every intermediate is an INTEGER numerator
+    (counts, ``y*w - sum_w``, per-phase integer sums) divided ONCE at
+    output — both engines perform the identical int64→double division,
+    then the identical floor-form round, so the output is bit-exact
+    without any float-summation-order exposure.
+
+    Scale: one partial-aggregable day groupBy (shuffle carries one row
+    per distinct day), one calendar-bounded single-task window over the
+    day axis (~366 rows/year), one broadcast-sized phase-stats join.
+    Nothing is event-volume-sized past the first combine."""
+    if trend_window % 2 != 1 or trend_window < 1:
+        raise ValueError(
+            f"trend_window must be odd and >= 1, got {trend_window}"
+        )
+    if period < 1:
+        raise ValueError(f"period must be >= 1, got {period}")
+    half = trend_window // 2
+    daily = df.groupBy(F.col(ts_col).cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    w = Window.orderBy("day").rowsBetween(-half, half)
+    full = (
+        daily.withColumn("__sw", F.sum("y").over(w))
+        .withColumn("__cw", F.count(F.lit(1)).over(w))
+        .where(F.col("__cw") == trend_window)
+        .withColumn(
+            "__dn", F.col("y") * F.lit(trend_window) - F.col("__sw")
+        )
+        .withColumn(
+            "__ph",
+            F.pmod(
+                F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")),
+                F.lit(period),
+            ),
+        )
+    )
+    phase = full.groupBy("__ph").agg(
+        F.sum("__dn").alias("__sp"), F.count(F.lit(1)).alias("__np")
+    )
+    j = full.join(F.broadcast(phase), "__ph")
+    den = (F.lit(trend_window) * F.col("__np")).cast("double")
+    return j.select(
+        "day",
+        "y",
+        round_floor(
+            F.col("__sw").cast("double") / F.lit(float(trend_window)),
+            round_to,
+        ).alias("trend"),
+        round_floor(F.col("__sp").cast("double") / den, round_to).alias(
+            "seasonal"
+        ),
+        round_floor(
+            (F.col("__dn") * F.col("__np") - F.col("__sp")).cast("double")
+            / den,
+            round_to,
+        ).alias("resid"),
     )

@@ -393,3 +393,81 @@ def session_entry_exit(
             F.col("n_bounces") / F.col("n_sessions").cast("double"), round_to
         ).alias("bounce_rate"),
     )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conversion_type: str = "purchase",
+    lookback_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """U-shaped (position-based) multi-touch conversion attribution:
+    every non-conversion touch is assigned to the user's NEXT conversion
+    within ``lookback_seconds`` (an as-of-forward match — each touch
+    credits exactly one conversion), then the conversion's credit is
+    split across its ordered touches: a lone touch takes it all, two
+    touches split evenly, three-plus give 40% to the first, 40% to the
+    last, and 20% shared across the middles. Returns per touch type:
+    ``n_touches`` and total fractional ``credit`` (conversions).
+
+    Credit is computed in integer BASIS POINTS (10000 = one
+    conversion) with the largest-remainder method for the middle share
+    (each middle gets ``2000 div (n-2)``; the remainder goes one
+    basis point apiece to the earliest middles) — attribution stays an
+    exact integer partition of 10000 per conversion, sums are exact in
+    any order on any engine, and the single divide-by-10000 at output
+    is the same IEEE op everywhere. No float-summation-order exposure.
+
+    Plan: conversions dedup to one per (user, ts) (min id — keeps the
+    as-of deterministic under timestamp ties), one as-of forward join
+    (the union-trick single shuffle, see ``joins.asof_join``), one
+    keyed window over per-conversion touch sets, one partial-aggregable
+    groupBy(type). Everything is keyed by user / conversion — no
+    fan-out, no range join, no driver collect."""
+    from etl_io_spark.operators.joins import asof_join
+
+    convs = (
+        events.where(F.col(type_col) == conversion_type)
+        .groupBy(F.col(user_col), F.col(ts_col))
+        .agg(F.min(id_col).alias("__conv_id"))
+    )
+    touches = events.where(
+        F.col(type_col) != conversion_type
+    ).select(user_col, ts_col, type_col, id_col)
+    m = asof_join(
+        touches,
+        convs,
+        on=user_col,
+        ts_col=ts_col,
+        right_cols=["__conv_id"],
+        direction="forward",
+        tolerance_seconds=float(lookback_seconds),
+    ).where(F.col("__conv_id_asof").isNotNull())
+    wc = Window.partitionBy("__conv_id_asof")
+    wo = wc.orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    n = F.count(F.lit(1)).over(wc)
+    rn = F.row_number().over(wo)
+    mid_share = F.expr("2000 DIV (__n - 2)")
+    mid_extra = F.when(
+        F.col("__rn") - 1 <= F.lit(2000) % (F.col("__n") - F.lit(2)), 1
+    ).otherwise(0)
+    bp = (
+        F.when(F.col("__n") == 1, 10000)
+        .when(F.col("__n") == 2, 5000)
+        .when(F.col("__rn") == 1, 4000)
+        .when(F.col("__rn") == F.col("__n"), 4000)
+        .otherwise(mid_share + mid_extra)
+    )
+    return (
+        m.withColumn("__n", n)
+        .withColumn("__rn", rn)
+        .withColumn("__bp", bp.cast("bigint"))
+        .groupBy(F.col(type_col).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            (F.sum("__bp") / F.lit(10000.0)).alias("credit"),
+        )
+    )

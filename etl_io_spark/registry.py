@@ -67,8 +67,10 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "quote_spans_docs", "normalize_text_docs",
     # -- priority: oracle/operator changed in r11 (1)
     "weighted_percentiles_prices",
-    # -- priority: keys ADDED in r11 (uncommented as each lands; the
-    #    import-time _unknown_window guard forbids listing them early)
+    # -- priority: keys ADDED in r11 (3 — new keys always enter the
+    #    window the round they land)
+    "stl_decompose_events", "conversion_attribution_events",
+    "boilerplate_ngrams_docs",
     # -- sentinels: stalest, last graded r5 (18 = the full cohort)
     "basket_rules_parts", "bloom_gate_orders", "count_distinct_group",
     "countmin_users_events", "drop_nulls_filter", "embedding_top_pc",
@@ -77,12 +79,12 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "rake_keywords_docs", "range_join_attribution",
     "session_baskets_events", "substring_dedup_docs",
     "temporal_dim_join_orders", "units_count_pipeline",
-    # -- sentinels: last graded r6, diverse slice (13)
+    # -- sentinels: last graded r6, diverse slice (14)
     "above_avg_customers", "acf_events", "assortativity_trade",
     "benford_totalprice", "bfs_trade_reach", "char_entropy_docs",
     "chisq_priority_month", "containment_pairs", "corr_matrix_lineitem",
     "cusum_changepoint_events", "dedup_yield", "ewma_events",
-    "fuzzy_name_pairs",
+    "fuzzy_name_pairs", "incremental_dedup",
 )
 
 #: Previous rotation kept for provenance (r10, VERDICT r9 ask #1).
@@ -8404,6 +8406,145 @@ def _potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dormant_customer_balance", pipelines.DORMANT_CUSTOMER_BALANCE_SQL)
 def _dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.dormant_customer_balance(_cat(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Round 11: classical decomposition, multi-touch attribution, boilerplate
+# n-grams. All three enter _WINDOW_ORDER this round (new keys always do).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stl_decompose_events",
+    """
+    -- mirrors timeseries.stl_decompose TERM BY TERM: every intermediate
+    -- is an integer numerator (counts; y*w - sum_w; per-phase sums)
+    -- divided ONCE at output, then floor-form rounded — bit-exact with
+    -- no float-summation-order exposure. Phase = epoch_day % 7 (not
+    -- dayofweek: Spark is 1=Sunday, DuckDB 0=Sunday).
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT day, y,
+             SUM(y) OVER (ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sw,
+             COUNT(*) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cw
+      FROM daily
+    ),
+    fullw AS (
+      SELECT day, y, sw, y * 7 - sw AS dn,
+             date_diff('day', DATE '1970-01-01', day) % 7 AS ph
+      FROM win WHERE cw = 7
+    ),
+    phs AS (SELECT ph, SUM(dn) AS sp, COUNT(*) AS np FROM fullw GROUP BY ph)
+    SELECT day, y,
+           FLOOR(CAST(sw AS DOUBLE) / 7.0 * 10000 + 0.5) / 10000
+             AS trend,
+           FLOOR(CAST(sp AS DOUBLE) / CAST(7 * np AS DOUBLE) * 10000 + 0.5)
+             / 10000 AS seasonal,
+           FLOOR(CAST(dn * np - sp AS DOUBLE) / CAST(7 * np AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS resid
+    FROM fullw JOIN phs USING (ph)
+    """,
+)
+def _stl_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily event-count series:
+    trend (7-day centered MA), weekly seasonal (per-phase mean of the
+    detrended series), residual."""
+    ev = _cat(spark, sf_dir).table("events")
+    return timeseries.stl_decompose(ev, "ts", period=7, trend_window=7)
+
+
+@register(
+    "conversion_attribution_events",
+    """
+    -- U-shaped multi-touch attribution in integer basis points
+    -- (largest-remainder middles) — exact integer partition of 10000
+    -- per conversion, summation-order-proof; single /10000.0 at output.
+    -- The as-of forward assignment dedups conversions per (user, ts)
+    -- (min event_id) so timestamp ties cannot diverge across engines.
+    WITH c AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS cts,
+             MIN(event_id) AS conv_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    t AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    m AS (
+      SELECT t.event_type, t.ts, t.event_id, c.conv_id, c.cts
+      FROM t ASOF LEFT JOIN c
+        ON t.user_id = c.user_id AND t.ts <= c.cts
+    ),
+    k AS (
+      SELECT event_type, conv_id,
+             COUNT(*) OVER (PARTITION BY conv_id) AS n,
+             ROW_NUMBER() OVER (PARTITION BY conv_id
+                                ORDER BY ts, event_id) AS rn
+      FROM m
+      WHERE conv_id IS NOT NULL
+        AND cts - ts <= INTERVAL 604800 SECONDS
+    ),
+    bp AS (
+      SELECT event_type,
+             CASE WHEN n = 1 THEN 10000
+                  WHEN n = 2 THEN 5000
+                  WHEN rn = 1 THEN 4000
+                  WHEN rn = n THEN 4000
+                  ELSE 2000 // (n - 2)
+                       + CASE WHEN rn - 1 <= 2000 % (n - 2)
+                              THEN 1 ELSE 0 END
+             END AS bp
+      FROM k
+    )
+    SELECT event_type AS touch_type, COUNT(*) AS n_touches,
+           SUM(bp) / 10000.0 AS credit
+    FROM bp GROUP BY event_type
+    """,
+)
+def _conversion_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution over the events
+    funnel: fractional conversion credit per touch type within a 7-day
+    lookback."""
+    ev = _cat(spark, sf_dir).table("events")
+    return win.multi_touch_attribution(
+        ev, lookback_seconds=7 * 86400
+    )
+
+
+@register(
+    "boilerplate_ngrams_docs",
+    """
+    -- doc-frequency top-k word trigrams; _TOKS_SQL-convention RE2
+    -- tokenization (Spark side spells the explicit [ \\t\\n\\f\\r]
+    -- class); deterministic top-k cut via (doc_freq DESC, gram ASC)
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+      FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 3
+    )
+    SELECT gram, COUNT(*) AS doc_freq
+    FROM g GROUP BY gram
+    ORDER BY doc_freq DESC, gram LIMIT 50
+    """,
+)
+def _boilerplate_ngrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word trigrams by document frequency — the boilerplate
+    pre-pass (shared headers/footers/license blurbs) for corpus
+    curation."""
+    docs = _cat(spark, sf_dir).table("documents")
+    return text.boilerplate_ngrams(docs, "doc_id", "text", n=3, top_k=50)
 
 
 #: The ONLY keys allowed to skip the SQL oracle (driver grades rows-only).

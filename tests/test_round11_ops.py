@@ -1,0 +1,178 @@
+"""Round-11 operators: classical decomposition, multi-touch attribution,
+boilerplate n-grams."""
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_io_spark.operators import text, timeseries, window as win
+
+
+def _ts(d: int, h: int = 0) -> datetime.datetime:
+    return datetime.datetime(2024, 1, d, h, 0)
+
+
+# ---------------------------------------------------------------- STL
+
+
+def test_stl_reconstruction_and_trim(spark):
+    # 21 days, 3 events on Mondays-ish pattern: y varies; check the
+    # identity y ~= trend + seasonal + resid (exact before rounding,
+    # so within 3 * 0.5e-4 after the three floor-rounds)
+    rows = []
+    eid = 0
+    for d in range(1, 22):
+        n = 2 + (d % 7 == 0) * 3 + (d % 3 == 0)
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, _ts(d)))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = timeseries.stl_decompose(df, "ts", period=7, trend_window=7)
+    got = {r["day"]: r for r in out.collect()}
+    # edge trim: 21 active days, window 7 -> 15 rows, days 4..18
+    assert len(got) == 15
+    assert min(got) == datetime.date(2024, 1, 4)
+    assert max(got) == datetime.date(2024, 1, 18)
+    for r in got.values():
+        assert r["y"] == pytest.approx(
+            r["trend"] + r["seasonal"] + r["resid"], abs=2e-4
+        )
+
+
+def test_stl_constant_series_flat(spark):
+    rows = [(d * 10 + k, _ts(d)) for d in range(1, 15) for k in range(3)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = timeseries.stl_decompose(df, "ts", period=7, trend_window=7).collect()
+    for r in out:
+        assert r["trend"] == 3.0
+        assert r["seasonal"] == 0.0
+        assert r["resid"] == 0.0
+
+
+def test_stl_rejects_even_window(spark):
+    df = spark.createDataFrame([(1, _ts(1))], "event_id long, ts timestamp")
+    with pytest.raises(ValueError, match="odd"):
+        timeseries.stl_decompose(df, "ts", trend_window=6)
+
+
+# ------------------------------------------------- multi-touch attribution
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_attribution_u_shape_hand_computed(spark):
+    # user 1: 5 touches then a purchase -> first/last 0.4, middles
+    # share 0.2: 2000 // 3 = 666 bp with remainder 2 -> earliest two
+    # middles get 667, third 666
+    rows = [(i, _ts(1, i), 1, "view") for i in range(1, 6)]
+    rows.append((99, _ts(1, 7), 1, "purchase"))
+    out = {
+        r["touch_type"]: r
+        for r in win.multi_touch_attribution(_events(spark, rows)).collect()
+    }
+    assert out["view"]["n_touches"] == 5
+    # 4000 + 4000 + 667 + 667 + 666 = 10000
+    assert out["view"]["credit"] == 1.0
+
+
+def test_attribution_split_by_type_and_counts(spark):
+    # touches: view, click, view -> purchase. order: v(1h) c(2h) v(3h)
+    # first v: 4000, middle c: 2000, last v: 4000
+    rows = [
+        (1, _ts(1, 1), 1, "view"),
+        (2, _ts(1, 2), 1, "click"),
+        (3, _ts(1, 3), 1, "view"),
+        (9, _ts(1, 5), 1, "purchase"),
+    ]
+    out = {
+        r["touch_type"]: r
+        for r in win.multi_touch_attribution(_events(spark, rows)).collect()
+    }
+    assert out["view"]["credit"] == 0.8
+    assert out["click"]["credit"] == 0.2
+
+
+def test_attribution_lone_and_pair(spark):
+    rows = [
+        (1, _ts(1, 1), 1, "view"),
+        (9, _ts(1, 2), 1, "purchase"),  # lone touch: 1.0
+        (2, _ts(2, 1), 2, "click"),
+        (3, _ts(2, 2), 2, "view"),
+        (8, _ts(2, 3), 2, "purchase"),  # pair: 0.5 each
+    ]
+    out = {
+        r["touch_type"]: r["credit"]
+        for r in win.multi_touch_attribution(_events(spark, rows)).collect()
+    }
+    assert out["view"] == 1.5
+    assert out["click"] == 0.5
+
+
+def test_attribution_lookback_cutoff_and_orphans(spark):
+    rows = [
+        (1, _ts(1), 1, "view"),  # 10 days before purchase: outside 7d
+        (2, _ts(10), 1, "click"),  # inside
+        (9, _ts(11), 1, "purchase"),
+        (3, _ts(20), 2, "view"),  # no purchase at all
+    ]
+    out = {
+        r["touch_type"]: r
+        for r in win.multi_touch_attribution(_events(spark, rows)).collect()
+    }
+    assert set(out) == {"click"}
+    assert out["click"]["credit"] == 1.0
+
+
+def test_attribution_credit_conserved(spark):
+    # total credit == number of credited conversions, whatever the mix
+    rows = []
+    eid = 0
+    for u in range(1, 8):
+        for k in range(u - 1):  # u-1 touches then purchase
+            eid += 1
+            rows.append((eid, _ts(1, k), u, "view" if k % 2 else "click"))
+        eid += 1
+        rows.append((eid, _ts(2), u, "purchase"))
+    # user 1 contributes 0 touches -> uncredited conversion
+    out = win.multi_touch_attribution(_events(spark, rows)).agg(
+        F.sum("credit").alias("s")
+    ).collect()[0]
+    assert out["s"] == 6.0
+
+
+# ------------------------------------------------------ boilerplate n-grams
+
+
+def test_boilerplate_doc_frequency_counts_docs_once(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick fox the quick fox"),  # gram repeats in-doc
+            (2, "the quick fox jumps"),
+            (3, "a b"),  # too short for trigram
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["gram"]: r["doc_freq"]
+        for r in text.boilerplate_ngrams(df, top_k=10).collect()
+    }
+    assert out["the quick fox"] == 2  # doc 1 counts once
+    assert out["quick fox the"] == 1
+    assert "a b" not in out
+
+
+def test_boilerplate_topk_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "z y x"), (2, "a b c"), (3, "m n o")],
+        "doc_id long, text string",
+    )
+    out = text.boilerplate_ngrams(df, top_k=2).collect()
+    # all doc_freq 1: gram ascending wins the cut
+    assert [r["gram"] for r in out] == ["a b c", "m n o"]

@@ -108,6 +108,10 @@ PROBE = [
     "asof_forward_events",
     "rolling_dau_events",
     "epoch_shuffle_docs",
+    # round-11 additions
+    "stl_decompose_events",
+    "conversion_attribution_events",
+    "boilerplate_ngrams_docs",
 ]
 
 
