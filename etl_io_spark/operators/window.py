@@ -421,34 +421,60 @@ def multi_touch_attribution(
     any order on any engine, and the single divide-by-10000 at output
     is the same IEEE op everywhere. No float-summation-order exposure.
 
-    Plan: conversions dedup to one per (user, ts) (min id — keeps the
-    as-of deterministic under timestamp ties), one as-of forward join
-    (the union-trick single shuffle, see ``joins.asof_join``), one
-    keyed window over per-conversion touch sets, one partial-aggregable
-    groupBy(type). Everything is keyed by user / conversion — no
+    Plan — a single scan, a single data-sized exchange: conversions and
+    touches come from the SAME table, so the as-of forward assignment
+    inlines as one carry window over all events (``joins.asof_join``'s
+    union trick without the union): order (user, ts DESC, conv-side
+    first, id DESC) and carry the last conversion (ts, id) struct —
+    at equal timestamps the touch still sees the conversion (side
+    ordering) and the carried struct is the MIN-id conversion (id DESC
+    puts it last in scan order), matching the oracle's per-(user, ts)
+    dedup without a groupBy. The rank/count windows then partition by
+    (user, conv) — conv is functionally dependent on user, so the
+    subset rule reuses the same exchange. Total: 1 exchange + 2 sorts
+    (carry order, position order) + a partial-aggregable groupBy(type);
+    vs the compose-from-asof_join form this drops a second scan, the
+    union, and a conversions-dedup exchange (BASELINE.md r11 A/B). No
     fan-out, no range join, no driver collect."""
-    from etl_io_spark.operators.joins import asof_join
-
-    convs = (
-        events.where(F.col(type_col) == conversion_type)
-        .groupBy(F.col(user_col), F.col(ts_col))
-        .agg(F.min(id_col).alias("__conv_id"))
+    is_conv = F.col(type_col) == conversion_type
+    ev = events.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(type_col),
+        F.col(id_col),
+        F.when(is_conv, 0).otherwise(1).alias("__side"),
+        F.when(
+            is_conv,
+            F.struct(
+                F.col(ts_col).alias("__cts"), F.col(id_col).alias("__cid")
+            ),
+        ).alias("__p"),
     )
-    touches = events.where(
-        F.col(type_col) != conversion_type
-    ).select(user_col, ts_col, type_col, id_col)
-    m = asof_join(
-        touches,
-        convs,
-        on=user_col,
-        ts_col=ts_col,
-        right_cols=["__conv_id"],
-        direction="forward",
-        tolerance_seconds=float(lookback_seconds),
-    ).where(F.col("__conv_id_asof").isNotNull())
-    wc = Window.partitionBy("__conv_id_asof")
+    wcarry = (
+        Window.partitionBy(user_col)
+        .orderBy(
+            F.col(ts_col).desc(), F.col("__side").asc(), F.col(id_col).desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = F.unix_micros(F.col("__c.__cts")) - F.unix_micros(F.col(ts_col))
+    m = (
+        ev.withColumn("__c", F.last("__p", ignorenulls=True).over(wcarry))
+        .where(
+            (F.col("__side") == 1)
+            & F.col("__c").isNotNull()
+            & (gap <= F.lit(int(lookback_seconds) * 1_000_000))
+        )
+        .withColumn("__conv_id_asof", F.col("__c.__cid"))
+    )
+    wc = Window.partitionBy(user_col, "__conv_id_asof")
     wo = wc.orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
-    n = F.count(F.lit(1)).over(wc)
+    # the count rides the SAME ordered spec with a full frame (identical
+    # value to an unordered partition count) so both windows share one
+    # sort — an unordered count spec forced its own (user, conv) sort
+    n = F.count(F.lit(1)).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     rn = F.row_number().over(wo)
     mid_share = F.expr("2000 DIV (__n - 2)")
     mid_extra = F.when(
