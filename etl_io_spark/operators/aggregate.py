@@ -215,8 +215,19 @@ def weighted_percentiles(
     """
     from pyspark.sql import Window
 
+    from pyspark.sql.types import NumericType
+
     keys = list(keys)
     quantiles = list(quantiles)
+    if n_buckets and not isinstance(
+        df.schema[value_col].dataType, NumericType
+    ):
+        # bucket arithmetic ((v - lo) / step) needs a numeric value; any
+        # merely ORDERABLE type (DATE, STRING) silently falls back to
+        # the single-window plan the old implementation used (r11
+        # self-review catch — callers with non-numeric values must not
+        # crash on upgrade)
+        n_buckets = 0
     drop_group = False
     if not keys:
         # global quantiles: a constant synthetic group keeps every join

@@ -187,11 +187,16 @@ def asof_join(
     clashes = sorted(
         {c for c in left.columns if c in reserved}
         | {c for c in rcols if c in reserved or c == "__rts"}
+        # the output withColumn would silently OVERWRITE a left column
+        # that already bears a payload output name (r11 self-review —
+        # the same silent-swallow class the working-name guard covers)
+        | {f"{c}{suffix}" for c in rcols if f"{c}{suffix}" in left.columns}
     )
     if clashes:
         raise ValueError(
             f"asof_join reserves column names {sorted(reserved | {'__rts'})}"
-            f" internally; rename input columns {clashes}"
+            f" and the payload output names (<right_col>{suffix!r}) "
+            f"internally; rename input columns {clashes}"
         )
     # the right event time rides inside the payload ("__rts") so nearest
     # and tolerance can measure the gap after the carry

@@ -1273,15 +1273,18 @@ def boilerplate_ngrams(
     tie-broken by gram ascending so the top-k cut is deterministic.
 
     Plan: shingle map-side (``word_ngrams`` — sequence + element_at, no
-    per-shingle sub-array), ``array_distinct`` per document (in-doc
-    repeats collapse before anything moves, and it is what makes the
-    count a DOC frequency), explode, then a plain partial-aggregable
-    ``count`` per gram — one exchange, map-side combined; ``id_col`` is
-    accepted for signature symmetry with the other document operators
-    but never shuffled. The final selection is ``ORDER BY doc_freq
-    DESC, gram LIMIT k`` — Catalyst's TakeOrdered, a per-partition
-    top-k + driver merge of k-row heaps, never a global sort (same
-    shape the plan test pins for top_k_orders)."""
+    per-shingle sub-array; the token array is bound to a column FIRST —
+    higher-order functions are interpreted with no CSE, so shingling
+    the raw string re-tokenizes the document once per gram),
+    ``array_distinct`` per row (in-row repeats collapse before anything
+    moves), then ``count_distinct(id)`` per gram — the distinct agg's
+    partial per-partition dedup keeps the exchange at distinct
+    (gram, doc) pairs, and it is what makes the count a true DOC
+    frequency even when the same ``id_col`` spans multiple rows. The
+    final selection is ``ORDER BY doc_freq DESC, gram LIMIT k`` —
+    Catalyst's TakeOrdered, a per-partition top-k + driver merge of
+    k-row heaps, never a global sort (same shape the plan test pins for
+    top_k_orders)."""
     # Tokenize into a BOUND column first: word_ngrams over the raw
     # string would capture the split+filter inside the transform lambda
     # (higher-order functions are interpreted, no CSE) and re-tokenize
@@ -1292,16 +1295,17 @@ def boilerplate_ngrams(
     # frequency is a plain partial-aggregable count — no count_distinct
     # dedup machinery, one exchange with map-side combine.
     toked = spread_text(df.where(F.col(text_col).isNotNull())).select(
-        tokens(text_col).alias("__toks")
+        F.col(id_col).alias("__doc"), tokens(text_col).alias("__toks")
     )
     pairs = toked.select(
+        "__doc",
         F.explode(
             F.array_distinct(word_ngrams(F.col("__toks"), n))
-        ).alias("gram")
+        ).alias("gram"),
     )
     return (
         pairs.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .agg(F.count_distinct("__doc").alias("doc_freq"))
         .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
         .limit(top_k)
     )

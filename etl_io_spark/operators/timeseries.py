@@ -361,9 +361,17 @@ def rolling_distinct(
         # days instead of failing
         raise ValueError(f"window_days must be >= 1, got {window_days}")
     day = F.col(ts_col).cast("date")
-    pairs = df.select(
-        F.col(key_col).alias("__k"), day.alias("__d")
-    ).distinct()
+    # NULL keys/timestamps are excluded explicitly: the SQL mirror drops
+    # them implicitly (COUNT(DISTINCT key) skips NULL keys;
+    # generate_series over a NULL day yields no rows) while Spark's
+    # window/groupBy would happily count a NULL key and fabricate a
+    # day=NULL output row (r11 self-review catch — same class as the
+    # weighted_percentiles NULL fix)
+    pairs = (
+        df.where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(key_col).alias("__k"), day.alias("__d"))
+        .distinct()
+    )
     wk = Window.partitionBy("__k").orderBy("__d")
     islands = (
         pairs.withColumn(
@@ -793,8 +801,14 @@ def stl_decompose(
     if period < 1:
         raise ValueError(f"period must be >= 1, got {period}")
     half = trend_window // 2
-    daily = df.groupBy(F.col(ts_col).cast("date").alias("day")).agg(
-        F.count(F.lit(1)).alias("y")
+    # drop NULL timestamps BEFORE the day groupBy: a day=NULL row would
+    # enter the centered-MA window NULLS FIRST on Spark but NULLS LAST
+    # in a SQL mirror, corrupting the edge days on one engine only (r11
+    # self-review catch); oracles carry the same WHERE ts IS NOT NULL
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.col(ts_col).cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
     )
     w = Window.orderBy("day").rowsBetween(-half, half)
     full = (

@@ -437,6 +437,14 @@ def multi_touch_attribution(
     union, and a conversions-dedup exchange (BASELINE.md r11 A/B). No
     fan-out, no range join, no driver collect."""
     is_conv = F.col(type_col) == conversion_type
+    # NULL users/timestamps are excluded explicitly to mirror what a SQL
+    # ASOF join does implicitly (a NULL join key or NULL ts comparison
+    # never matches) — Spark's Window.partitionBy would instead group
+    # all NULL users TOGETHER and credit their touches (r11 self-review
+    # catch)
+    events = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
     ev = events.select(
         F.col(user_col),
         F.col(ts_col),

@@ -2444,9 +2444,13 @@ def _percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def _weighted_percentiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted price percentiles per return flag: 'half the
-    UNITS sold cost at most wp50'. One partial-aggregable distinct-value
-    collapse + one keyed running-sum window + a min-reduction per
-    quantile — a single exchange end to end."""
+    UNITS sold cost at most wp50'. Histogram-refinement bucket
+    targeting (aggregate.weighted_percentiles): three map-side passes,
+    broadcast-sized intermediates, the fact never shuffled/sorted —
+    only the rows inside each quantile's target bucket are collapsed
+    and windowed. The oracle keeps the naive running-sum form (the
+    semantics spec); outputs are bit-exact because integral weights sum
+    exactly in any order."""
     li = _cat(spark, sf_dir).table("lineitem")
     return agg.weighted_percentiles(
         li, ["l_returnflag"], "l_extendedprice", "l_quantity",
@@ -8424,7 +8428,7 @@ def _dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- dayofweek: Spark is 1=Sunday, DuckDB 0=Sunday).
     WITH daily AS (
       SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS y
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     win AS (
       SELECT day, y,

@@ -115,10 +115,14 @@ def test_asof_forward_single_shuffle_no_range_join(spark):
     assert "Window" in plan
 
 
-def test_weighted_percentiles_partial_agg_then_window(spark):
+def test_weighted_percentiles_bucket_targeting_plan(spark):
     plan = _plan(spark, "weighted_percentiles_prices")
-    # distinct-value collapse must partial-aggregate before the window
+    # histogram-refinement targeting (r11): stats/subtotal passes are
+    # map-side partial aggregates, intermediates join back via
+    # BROADCAST, and the fact is never exchanged for a window — the
+    # only windows run over broadcast-sized or target-bucket slivers
     assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
     assert "Window" in plan
     assert "CartesianProduct" not in plan
 

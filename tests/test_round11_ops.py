@@ -176,3 +176,90 @@ def test_boilerplate_topk_deterministic_tiebreak(spark):
     out = text.boilerplate_ngrams(df, top_k=2).collect()
     # all doc_freq 1: gram ascending wins the cut
     assert [r["gram"] for r in out] == ["a b c", "m n o"]
+
+
+# --------------------------------------------- r11 self-review NULL pins
+
+
+def test_stl_ignores_null_timestamps(spark):
+    rows = [(d * 10 + k, _ts(d)) for d in range(1, 15) for k in range(3)]
+    clean = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    dirty = spark.createDataFrame(
+        rows + [(999, None)], "event_id long, ts timestamp"
+    )
+    want = sorted(map(tuple, timeseries.stl_decompose(clean, "ts").collect()))
+    got = sorted(map(tuple, timeseries.stl_decompose(dirty, "ts").collect()))
+    assert got == want
+
+
+def test_rolling_distinct_ignores_null_key_and_ts(spark):
+    clean = spark.createDataFrame(
+        [(1, _ts(1)), (2, _ts(1)), (1, _ts(3))], "user_id long, ts timestamp"
+    )
+    dirty = spark.createDataFrame(
+        [(1, _ts(1)), (2, _ts(1)), (1, _ts(3)), (None, _ts(1)), (7, None)],
+        "user_id long, ts timestamp",
+    )
+    want = sorted(
+        map(tuple, timeseries.rolling_distinct(clean, "user_id", "ts").collect())
+    )
+    got = sorted(
+        map(tuple, timeseries.rolling_distinct(dirty, "user_id", "ts").collect())
+    )
+    assert got == want
+    assert all(r[0] is not None for r in got)  # no fabricated NULL day
+
+
+def test_attribution_ignores_null_users(spark):
+    rows = [
+        (3, _ts(1, 1), 9, "view"),
+        (4, _ts(1, 2), 9, "purchase"),
+        (1, _ts(1, 1), None, "view"),  # NULL user: never matches in SQL
+        (2, _ts(1, 2), None, "purchase"),
+    ]
+    out = {
+        r["touch_type"]: r["credit"]
+        for r in win.multi_touch_attribution(_events(spark, rows)).collect()
+    }
+    assert out == {"view": 1.0}
+
+
+def test_weighted_percentiles_non_numeric_value_falls_back(spark):
+    import datetime as dt
+
+    from etl_io_spark.operators import aggregate as agg
+
+    df = spark.createDataFrame(
+        [("g", dt.date(2024, 1, 1), 1), ("g", dt.date(2024, 1, 5), 3)],
+        "g string, v date, w int",
+    )
+    # default n_buckets must not crash on an orderable-but-non-numeric
+    # value column: silent fallback to the single-window plan
+    row = agg.weighted_percentiles(df, ["g"], "v", "w", (0.5,)).collect()[0]
+    assert row["wp50"] == dt.date(2024, 1, 5)  # cum 1 < 2 -> next value
+
+
+def test_asof_join_rejects_suffix_collision(spark):
+    from etl_io_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(1, _ts(1), 0.0)], "k int, ts timestamp, v_asof double"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(1), 1.0)], "k int, ts timestamp, v double"
+    )
+    with pytest.raises(ValueError, match="v_asof"):
+        joins.asof_join(left, right, on="k", right_cols=["v"])
+
+
+def test_boilerplate_counts_distinct_doc_ids(spark):
+    # the same doc_id split across rows still counts once per gram
+    df = spark.createDataFrame(
+        [(1, "the quick fox"), (1, "the quick fox jumps"), (2, "the quick fox")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["gram"]: r["doc_freq"]
+        for r in text.boilerplate_ngrams(df, top_k=10).collect()
+    }
+    assert out["the quick fox"] == 2
