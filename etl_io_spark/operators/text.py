@@ -1309,3 +1309,62 @@ def boilerplate_ngrams(
         .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
         .limit(top_k)
     )
+
+
+def boilerplate_density(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document boilerplate density: the fraction of the document's
+    DISTINCT word ``n``-grams whose corpus document frequency is >=
+    ``min_df`` — the per-doc counterpart of ``boilerplate_ngrams`` (a
+    high fraction marks template chrome / mirrored pages; the standard
+    curation gate thresholds on it). Documents with fewer than ``n``
+    tokens yield no grams and are absent from the output (nothing to
+    measure, mirroring the SQL grouping); NULL text is excluded.
+
+    Plan: shingle map-side over a BOUND token column (HOFs are
+    interpreted — binding avoids per-gram re-tokenization),
+    ``array_distinct`` per row, explode, then a (doc, gram) ``distinct``
+    so multi-row documents still count once; each gram's document
+    frequency comes from an UNSORTED count window partitioned by gram
+    (no self-join, no second aggregate branch), and one partial-agg
+    groupBy(doc) folds the density. Three keyed exchanges, all carrying
+    distinct (doc, gram) pairs — never raw shingle volume. A
+    stop-the-world gram (present in every document) makes one window
+    partition doc-sized; that is the theoretical max and still
+    |docs| << |pairs|.
+
+    ``boiler_frac`` is an int/int ratio → floor-form rounding (the
+    terminating-decimal ROUND class); oracles mirror
+    ``FLOOR(CAST(SUM(..) AS DOUBLE) / COUNT(*) * 10^k + 0.5) / 10^k``
+    term by term."""
+    from pyspark.sql import Window
+
+    toked = spread_text(df.where(F.col(text_col).isNotNull())).select(
+        F.col(id_col).alias("__doc"), tokens(text_col).alias("__toks")
+    )
+    pairs = toked.select(
+        "__doc",
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("__toks"), n))
+        ).alias("gram"),
+    ).distinct()
+    wg = Window.partitionBy("gram")
+    flagged = pairs.withColumn(
+        "__gdf", F.count(F.lit(1)).over(wg)
+    )
+    return flagged.groupBy(F.col("__doc").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        round_floor(
+            F.sum(
+                F.when(F.col("__gdf") >= min_df, 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            round_to,
+        ).alias("boiler_frac"),
+    )

@@ -847,3 +847,93 @@ def stl_decompose(
             round_to,
         ).alias("resid"),
     )
+
+
+def survival_curve(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_gap_days: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival estimate of per-key activity LIFETIMES
+    (days between a key's first and last event) with right censoring:
+    a key whose last activity falls within ``censor_gap_days`` of the
+    corpus's last day may still be alive, so it contributes to the
+    at-risk set without counting as a churn event — the standard
+    churn/retention estimator (absent from the reference; complements
+    ``cohort_retention``'s raw activity curves with the censored MLE).
+
+    Returns one row per distinct EVENT duration: ``duration_days``,
+    ``n_at_risk`` (keys with lifetime >= duration), ``n_events``
+    (uncensored lifetimes equal to it), ``survival`` = Π (1 - d_i/n_i)
+    over event durations <= it.
+
+    Cross-engine exactness: lifetimes, at-risk and event counts are
+    pure integer arithmetic; the product is evaluated as
+    ``EXP(SUM(LN(1 - d/n)))`` with the SUM taken by a running window
+    over the duration order — a deterministic, identical sequence of
+    IEEE adds on both engines (a product/sum aggregate would be
+    summation-order-exposed), so plain ROUND is safe (ln/exp outputs
+    are non-terminating). NULL keys/timestamps are excluded explicitly
+    (the SQL mirror's COUNT/grouping would drop or misplace them —
+    r11 NULL-contract checklist).
+
+    Scale: one partial-aggregable groupBy(key) collapses events to
+    lifetimes; a one-row global max broadcasts in-plan (no collect);
+    everything after the second groupBy is duration-grain — bounded by
+    the calendar, not the data — including the single-task running
+    window."""
+    filt = df.where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+    lives = filt.groupBy(key_col).agg(
+        F.min(F.col(ts_col).cast("date")).alias("__first"),
+        F.max(F.col(ts_col).cast("date")).alias("__last"),
+    )
+    # corpus max derives from lives, not a second scan of the fact —
+    # both consumers sit over the identical groupBy exchange, so
+    # ReuseExchange dedups it and the input is scanned once
+    corpus = lives.agg(F.max("__last").alias("__maxd"))
+    per_key = lives.crossJoin(F.broadcast(corpus)).select(
+        F.datediff("__last", "__first").alias("__dur"),
+        (
+            F.datediff("__maxd", "__last") >= F.lit(int(censor_gap_days))
+        ).alias("__event"),
+    )
+    by_dur = per_key.groupBy("__dur").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__event").cast("bigint")).alias("__d"),
+    )
+    wo = Window.orderBy("__dur")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # at-risk = keys with lifetime >= this duration = total - shorter
+    base = (
+        by_dur.withColumn(
+            "__tot", F.sum("__n").over(
+                wo.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+        )
+        .withColumn("__cum_n", F.sum("__n").over(run))
+        .withColumn(
+            "n_at_risk", F.col("__tot") - F.col("__cum_n") + F.col("__n")
+        )
+        .withColumn(
+            "__lnterm",
+            F.when(
+                F.col("__d") > 0,
+                F.log(
+                    F.lit(1.0)
+                    - F.col("__d").cast("double")
+                    / F.col("n_at_risk").cast("double")
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("__lnsum", F.sum("__lnterm").over(run))
+    )
+    return base.where(F.col("__d") > 0).select(
+        F.col("__dur").alias("duration_days"),
+        "n_at_risk",
+        F.col("__d").alias("n_events"),
+        F.round(F.exp("__lnsum"), round_to).alias("survival"),
+    )

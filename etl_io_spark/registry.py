@@ -67,10 +67,12 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "quote_spans_docs", "normalize_text_docs",
     # -- priority: oracle/operator changed in r11 (1)
     "weighted_percentiles_prices",
-    # -- priority: keys ADDED in r11 (3 — new keys always enter the
-    #    window the round they land)
+    # -- priority: keys ADDED in r11 (5 — new keys always enter the
+    #    window the round they land; two late additions displaced the
+    #    two newest r6 sentinels to keep the window at exactly 50)
     "stl_decompose_events", "conversion_attribution_events",
-    "boilerplate_ngrams_docs",
+    "boilerplate_ngrams_docs", "boilerplate_density_docs",
+    "survival_curve_users",
     # -- sentinels: stalest, last graded r5 (18 = the full cohort)
     "basket_rules_parts", "bloom_gate_orders", "count_distinct_group",
     "countmin_users_events", "drop_nulls_filter", "embedding_top_pc",
@@ -79,12 +81,11 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "rake_keywords_docs", "range_join_attribution",
     "session_baskets_events", "substring_dedup_docs",
     "temporal_dim_join_orders", "units_count_pipeline",
-    # -- sentinels: last graded r6, diverse slice (14)
+    # -- sentinels: last graded r6, diverse slice (12)
     "above_avg_customers", "acf_events", "assortativity_trade",
     "benford_totalprice", "bfs_trade_reach", "char_entropy_docs",
     "chisq_priority_month", "containment_pairs", "corr_matrix_lineitem",
     "cusum_changepoint_events", "dedup_yield", "ewma_events",
-    "fuzzy_name_pairs", "incremental_dedup",
 )
 
 #: Previous rotation kept for provenance (r10, VERDICT r9 ask #1).
@@ -8549,6 +8550,94 @@ def _boilerplate_ngrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation."""
     docs = _cat(spark, sf_dir).table("documents")
     return text.boilerplate_ngrams(docs, "doc_id", "text", n=3, top_k=50)
+
+
+@register(
+    "boilerplate_density_docs",
+    """
+    -- per-doc fraction of distinct trigrams with corpus doc-freq >= 2;
+    -- int/int ratio -> floor-form round mirrored term by term
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+      FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 3
+    ),
+    f AS (SELECT gram, COUNT(*) AS gdf FROM g GROUP BY gram)
+    SELECT doc_id, COUNT(*) AS n_grams,
+           FLOOR(CAST(SUM(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 10000 + 0.5) / 10000 AS boiler_frac
+    FROM g JOIN f USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def _boilerplate_density_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate density: fraction of the doc's distinct
+    trigrams that are corpus-frequent (doc freq >= 2) — the per-doc
+    curation gate that composes with boilerplate_ngrams."""
+    docs = _cat(spark, sf_dir).table("documents")
+    return text.boilerplate_density(docs, "doc_id", "text", n=3, min_df=2)
+
+
+@register(
+    "survival_curve_users",
+    """
+    -- Kaplan-Meier over per-user activity lifetimes, right-censored at
+    -- 1 day before the corpus max day (the testdata generator keeps
+    -- every user active through the final days, so wider gaps censor
+    -- EVERYONE and grade an empty frame). Integer counts; the product is
+    -- EXP(SUM(LN(1 - d/n))) with the SUM taken by the ordered running
+    -- window — a deterministic identical sequence of IEEE adds on both
+    -- engines (a product aggregate would be order-exposed). CASTs pin
+    -- BIGINT (DuckDB SUM(int) is HUGEINT — the r9 type-drift class).
+    WITH e AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    lives AS (
+      SELECT user_id, MIN(d) AS fd, MAX(d) AS ld FROM e GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(d) AS maxd FROM e),
+    pk AS (
+      SELECT date_diff('day', fd, ld) AS dur,
+             CASE WHEN date_diff('day', ld, maxd) >= 1 THEN 1 ELSE 0 END
+               AS ev
+      FROM lives, mx
+    ),
+    bd AS (
+      SELECT dur, COUNT(*) AS n, CAST(SUM(ev) AS BIGINT) AS d
+      FROM pk GROUP BY dur
+    ),
+    km AS (
+      SELECT dur, n, d,
+             CAST(SUM(n) OVER () - SUM(n) OVER (ORDER BY dur) + n
+                  AS BIGINT) AS n_at_risk
+      FROM bd
+    ),
+    km2 AS (
+      SELECT dur, n_at_risk, d,
+             SUM(CASE WHEN d > 0
+                      THEN LN(1 - CAST(d AS DOUBLE)
+                                  / CAST(n_at_risk AS DOUBLE))
+                      ELSE 0.0 END) OVER (ORDER BY dur) AS lnsum
+      FROM km
+    )
+    SELECT dur AS duration_days, n_at_risk, d AS n_events,
+           ROUND(EXP(lnsum), 6) AS survival
+    FROM km2 WHERE d > 0
+    """,
+)
+def _survival_curve_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn curve over user activity lifetimes (events
+    table), right-censored for users still active near the corpus
+    end."""
+    ev = _cat(spark, sf_dir).table("events")
+    return timeseries.survival_curve(ev, "user_id", "ts", censor_gap_days=1)
 
 
 #: The ONLY keys allowed to skip the SQL oracle (driver grades rows-only).

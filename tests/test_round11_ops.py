@@ -263,3 +263,74 @@ def test_boilerplate_counts_distinct_doc_ids(spark):
         for r in text.boilerplate_ngrams(df, top_k=10).collect()
     }
     assert out["the quick fox"] == 2
+
+
+# ------------------------------------------- boilerplate density + KM
+
+
+def test_boilerplate_density_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),  # grams: abg, bgd
+            (2, "alpha beta gamma"),  # gram: abg (shared with 1)
+            (3, "x y z w"),  # grams unique to doc 3
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.boilerplate_density(df, min_df=2).collect()
+    }
+    assert out[1]["n_grams"] == 2
+    assert out[1]["boiler_frac"] == 0.5  # abg shared, bgd unique
+    assert out[2]["boiler_frac"] == 1.0
+    assert out[3]["boiler_frac"] == 0.0
+
+
+def test_boilerplate_density_multirow_doc_counts_once(spark):
+    # the same doc_id on two rows must not inflate its own grams into
+    # "boilerplate" via self-matching
+    df = spark.createDataFrame(
+        [(1, "p q r"), (1, "p q r"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["boiler_frac"]
+        for r in text.boilerplate_density(df, min_df=2).collect()
+    }
+    assert out[1] == 0.0  # one distinct doc -> gdf 1 < 2
+    assert out[2] == 0.0
+
+
+def test_survival_curve_hand_computed(spark):
+    rows = [
+        (1, _ts(1)),  # u1: dur 0, event
+        (2, _ts(1)), (2, _ts(3)),  # u2: dur 2, event
+        (3, _ts(2)), (3, _ts(4)),  # u3: dur 2, event
+        (4, _ts(1)), (4, _ts(19)),  # u4: dur 18, censored (gap 1 < 3)
+        (5, None),  # NULL ts: excluded
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r["duration_days"]: r
+        for r in timeseries.survival_curve(
+            df, "user_id", "ts", censor_gap_days=3
+        ).collect()
+    }
+    # corpus max = day 20... actually day 19; u4 gap = 0 -> censored
+    assert set(out) == {0, 2}
+    assert out[0]["n_at_risk"] == 4 and out[0]["n_events"] == 1
+    assert out[0]["survival"] == 0.75
+    assert out[2]["n_at_risk"] == 3 and out[2]["n_events"] == 2
+    # 3/4 * (1 - 2/3) = 0.25
+    assert out[2]["survival"] == 0.25
+
+
+def test_survival_curve_all_censored_empty(spark):
+    # u1 last day 10 (gap 0), u2 last day 9 (gap 1) — both inside the
+    # 5-day censor window, so there are no churn events to estimate
+    df = spark.createDataFrame(
+        [(1, _ts(1)), (1, _ts(10)), (2, _ts(9))], "user_id long, ts timestamp"
+    )
+    out = timeseries.survival_curve(df, "user_id", "ts", censor_gap_days=5)
+    assert out.count() == 0

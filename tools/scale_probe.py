@@ -112,6 +112,8 @@ PROBE = [
     "stl_decompose_events",
     "conversion_attribution_events",
     "boilerplate_ngrams_docs",
+    "boilerplate_density_docs",
+    "survival_curve_users",
 ]
 
 
