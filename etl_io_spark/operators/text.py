@@ -1287,27 +1287,39 @@ def boilerplate_ngrams(
     top_k_orders)."""
     # Tokenize into a BOUND column first: word_ngrams over the raw
     # string would capture the split+filter inside the transform lambda
-    # (higher-order functions are interpreted, no CSE) and re-tokenize
-    # the whole document once per gram per element_at — measured 33 us
-    # per gram vs ~1 us bound (the trap word_ngrams' docstring names).
-    # array_distinct BEFORE the explode: in-document repeats collapse
-    # map-side, so (doc, gram) is unique by construction and doc
-    # frequency is a plain partial-aggregable count — no count_distinct
-    # dedup machinery, one exchange with map-side combine.
-    toked = spread_text(df.where(F.col(text_col).isNotNull())).select(
-        F.col(id_col).alias("__doc"), tokens(text_col).alias("__toks")
-    )
-    pairs = toked.select(
-        "__doc",
-        F.explode(
-            F.array_distinct(word_ngrams(F.col("__toks"), n))
-        ).alias("gram"),
-    )
+    pairs = _doc_gram_pairs(df, id_col, text_col, n)
     return (
         pairs.groupBy("gram")
         .agg(F.count_distinct("__doc").alias("doc_freq"))
         .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
         .limit(top_k)
+    )
+
+
+def _doc_gram_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(__doc, gram) rows for the boilerplate family — one row per
+    (document, distinct n-gram-within-row). Encodes two invariants both
+    callers must share: (1) the token array is BOUND to a column before
+    ``word_ngrams`` touches it (higher-order functions are interpreted,
+    no CSE — shingling the raw string re-tokenizes the document once
+    per gram per element_at, measured 33 us vs ~1 us per gram); (2) the
+    NULL contract: NULL text AND NULL ids are excluded — an
+    unidentified document cannot carry document frequency, and leaving
+    NULLs in would make engines disagree (Spark's count_distinct skips
+    NULL docs while a SQL COUNT(*) over distinct pairs counts the NULL
+    pseudo-doc once; GROUP BY would merge ALL NULL-id docs into one).
+    ``array_distinct`` collapses in-row repeats map-side before
+    anything moves."""
+    toked = spread_text(
+        df.where(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+    ).select(F.col(id_col).alias("__doc"), tokens(text_col).alias("__toks"))
+    return toked.select(
+        "__doc",
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("__toks"), n))
+        ).alias("gram"),
     )
 
 
@@ -1345,15 +1357,7 @@ def boilerplate_density(
     term by term."""
     from pyspark.sql import Window
 
-    toked = spread_text(df.where(F.col(text_col).isNotNull())).select(
-        F.col(id_col).alias("__doc"), tokens(text_col).alias("__toks")
-    )
-    pairs = toked.select(
-        "__doc",
-        F.explode(
-            F.array_distinct(word_ngrams(F.col("__toks"), n))
-        ).alias("gram"),
-    ).distinct()
+    pairs = _doc_gram_pairs(df, id_col, text_col, n).distinct()
     wg = Window.partitionBy("gram")
     flagged = pairs.withColumn(
         "__gdf", F.count(F.lit(1)).over(wg)

@@ -920,14 +920,25 @@ def survival_curve(
         )
         .withColumn(
             "__lnterm",
+            # the terminal bucket can have d == n (every remaining
+            # at-risk key churns there): true survival is 0, but
+            # Spark's non-ANSI log(0) returns NULL (the window SUM
+            # would silently DROP the term and report ~1.0) and a SQL
+            # LN(0) raises — both sides spell the -infinity term
+            # explicitly so EXP(-inf) lands the exact 0.0 (r11 review)
             F.when(
+                (F.col("__d") > 0) & (F.col("__d") >= F.col("n_at_risk")),
+                F.lit(float("-inf")),
+            )
+            .when(
                 F.col("__d") > 0,
                 F.log(
                     F.lit(1.0)
                     - F.col("__d").cast("double")
                     / F.col("n_at_risk").cast("double")
                 ),
-            ).otherwise(F.lit(0.0)),
+            )
+            .otherwise(F.lit(0.0)),
         )
         .withColumn("__lnsum", F.sum("__lnterm").over(run))
     )

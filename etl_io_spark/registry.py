@@ -8532,7 +8532,8 @@ def _conversion_attribution_events(spark: SparkSession, sf_dir: str) -> DataFram
       SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\\s+'),
                          x -> x <> '') AS toks
-      FROM documents WHERE text IS NOT NULL
+      FROM documents
+      WHERE text IS NOT NULL AND doc_id IS NOT NULL
     ),
     g AS (
       SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
@@ -8561,7 +8562,8 @@ def _boilerplate_ngrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\\s+'),
                          x -> x <> '') AS toks
-      FROM documents WHERE text IS NOT NULL
+      FROM documents
+      WHERE text IS NOT NULL AND doc_id IS NOT NULL
     ),
     g AS (
       SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
@@ -8620,8 +8622,14 @@ def _boilerplate_density_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bd
     ),
     km2 AS (
+      -- d = n (terminal bucket, everyone churns): LN(0) would RAISE in
+      -- DuckDB and return NULL (silently dropped from the SUM) in
+      -- Spark — both sides spell the -infinity term explicitly so
+      -- EXP(-inf) lands the exact 0.0
       SELECT dur, n_at_risk, d,
-             SUM(CASE WHEN d > 0
+             SUM(CASE WHEN d > 0 AND d >= n_at_risk
+                      THEN CAST('-infinity' AS DOUBLE)
+                      WHEN d > 0
                       THEN LN(1 - CAST(d AS DOUBLE)
                                   / CAST(n_at_risk AS DOUBLE))
                       ELSE 0.0 END) OVER (ORDER BY dur) AS lnsum

@@ -307,7 +307,7 @@ def test_survival_curve_hand_computed(spark):
         (1, _ts(1)),  # u1: dur 0, event
         (2, _ts(1)), (2, _ts(3)),  # u2: dur 2, event
         (3, _ts(2)), (3, _ts(4)),  # u3: dur 2, event
-        (4, _ts(1)), (4, _ts(19)),  # u4: dur 18, censored (gap 1 < 3)
+        (4, _ts(1)), (4, _ts(19)),  # u4: dur 18, censored (gap 0 < 3)
         (5, None),  # NULL ts: excluded
     ]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
@@ -334,3 +334,42 @@ def test_survival_curve_all_censored_empty(spark):
     )
     out = timeseries.survival_curve(df, "user_id", "ts", censor_gap_days=5)
     assert out.count() == 0
+
+
+def test_survival_curve_terminal_bucket_reaches_zero(spark):
+    # everyone at risk at the max duration churns: log(0) must not be
+    # silently dropped (Spark non-ANSI log(0) = NULL, window SUM skips
+    # NULLs -> survival would read ~1.0); the explicit -inf term pins
+    # the exact 0.0 (r11 review catch)
+    rows = [
+        (1, _ts(1)), (1, _ts(6)),  # dur 5, churned
+        (2, _ts(2)), (2, _ts(7)),  # dur 5, churned
+        (3, _ts(20)),  # keeps corpus max at day 20 -> 1&2 gaps >= 3
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r["duration_days"]: r
+        for r in timeseries.survival_curve(
+            df, "user_id", "ts", censor_gap_days=3
+        ).collect()
+    }
+    # u3 dur 0 gap 0: censored. At dur 5: n_at_risk 2, d 2 -> S = 0.0
+    assert out[5]["n_events"] == 2 and out[5]["n_at_risk"] == 2
+    assert out[5]["survival"] == 0.0
+
+
+def test_boilerplate_family_ignores_null_doc_ids(spark):
+    clean = spark.createDataFrame(
+        [(1, "p q r"), (2, "p q r")], "doc_id long, text string"
+    )
+    dirty = spark.createDataFrame(
+        [(1, "p q r"), (2, "p q r"), (None, "p q r"), (None, "x y z")],
+        "doc_id long, text string",
+    )
+    for fn in (
+        lambda d: text.boilerplate_ngrams(d, top_k=10),
+        lambda d: text.boilerplate_density(d, min_df=2),
+    ):
+        want = sorted(map(tuple, fn(clean).collect()))
+        got = sorted(map(tuple, fn(dirty).collect()))
+        assert got == want
