@@ -948,3 +948,57 @@ def survival_curve(
         F.col("__d").alias("n_events"),
         F.round(F.exp("__lnsum"), round_to).alias("survival"),
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-key LINEAR time interpolation of missing values: each NULL
+    takes the straight-line value between its nearest non-null
+    neighbors in time (the pandas ``interpolate(method='time')``
+    contract); leading/trailing NULLs — no neighbor on one side — stay
+    NULL. Distinct from ``impute_group_mean`` (which ignores WHEN the
+    gap happens). ``was_interpolated`` marks filled rows.
+
+    One keyed sort serves all four neighbor lookups: ``last(value/ts,
+    ignorenulls)`` over the preceding frame and ``first(...)`` over the
+    following frame share the same (key, ts-ordered) window partition —
+    Spark evaluates both frames in a single Window pipeline over one
+    exchange + one sort.
+
+    Exactness: the interpolation expression — prev + (next - prev) *
+    (ts - prev_ts) / (next_ts - prev_ts) with timestamps in integral
+    microseconds — is a fixed sequence of IEEE ops on identical inputs,
+    mirrored term by term in oracles, then floor-form rounded (value
+    data is typically fixed-decimal, the terminating-ROUND class).
+    Duplicate timestamps within a key make neighbor choice
+    engine-ambiguous — pass ``tiebreak_col`` (a unique id) to pin the
+    total order, and mirror it in the oracle's window ORDER BY."""
+    um = F.unix_micros(F.col(ts_col)).cast("double")
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev_f = w.rowsBetween(Window.unboundedPreceding, -1)
+    next_f = w.rowsBetween(1, Window.unboundedFollowing)
+    pv = F.last(value_col, ignorenulls=True).over(prev_f)
+    pt = F.last(
+        F.when(F.col(value_col).isNotNull(), um), ignorenulls=True
+    ).over(prev_f)
+    nv = F.first(value_col, ignorenulls=True).over(next_f)
+    nt = F.first(
+        F.when(F.col(value_col).isNotNull(), um), ignorenulls=True
+    ).over(next_f)
+    interp = pv + (nv - pv) * (um - pt) / (nt - pt)
+    filled = F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
+        round_floor(interp, round_to)
+    )
+    return df.withColumn(
+        "was_interpolated",
+        F.col(value_col).isNull() & interp.isNotNull(),
+    ).withColumn(value_col, filled)

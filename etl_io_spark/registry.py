@@ -72,7 +72,7 @@ _WINDOW_ORDER: tuple[str, ...] = (
     #    two newest r6 sentinels to keep the window at exactly 50)
     "stl_decompose_events", "conversion_attribution_events",
     "boilerplate_ngrams_docs", "boilerplate_density_docs",
-    "survival_curve_users",
+    "survival_curve_users", "impute_interpolate_events",
     # -- sentinels: stalest, last graded r5 (18 = the full cohort)
     "basket_rules_parts", "bloom_gate_orders", "count_distinct_group",
     "countmin_users_events", "drop_nulls_filter", "embedding_top_pc",
@@ -81,11 +81,11 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "rake_keywords_docs", "range_join_attribution",
     "session_baskets_events", "substring_dedup_docs",
     "temporal_dim_join_orders", "units_count_pipeline",
-    # -- sentinels: last graded r6, diverse slice (12)
+    # -- sentinels: last graded r6, diverse slice (11)
     "above_avg_customers", "acf_events", "assortativity_trade",
     "benford_totalprice", "bfs_trade_reach", "char_entropy_docs",
     "chisq_priority_month", "containment_pairs", "corr_matrix_lineitem",
-    "cusum_changepoint_events", "dedup_yield", "ewma_events",
+    "cusum_changepoint_events", "dedup_yield",
 )
 
 #: Previous rotation kept for provenance (r10, VERDICT r9 ask #1).
@@ -8646,6 +8646,68 @@ def _survival_curve_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     end."""
     ev = _cat(spark, sf_dir).table("events")
     return timeseries.survival_curve(ev, "user_id", "ts", censor_gap_days=1)
+
+
+@register(
+    "impute_interpolate_events",
+    """
+    -- the events table has no NULL values, so the key deterministically
+    -- masks value where event_id % 7 = 0 and interpolates the gaps;
+    -- interpolation arithmetic mirrored TERM BY TERM (epoch-us doubles,
+    -- prev + (next-prev)*(t-pt)/(nt-pt), floor-form round); windows
+    -- ordered (ts, event_id) on both sides — duplicate user timestamps
+    -- would otherwise make neighbor choice engine-ambiguous
+    WITH m AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    n AS (
+      SELECT event_id, user_id, v,
+             CAST(epoch_us(ts) AS DOUBLE) AS um,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL
+                             THEN CAST(epoch_us(ts) AS DOUBLE) END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+             FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL
+                              THEN CAST(epoch_us(ts) AS DOUBLE) END
+                         IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      FROM m
+    )
+    SELECT event_id,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE FLOOR((pv + (nv - pv) * (um - pt) / (nt - pt))
+                           * 10000 + 0.5) / 10000 END AS value,
+           (v IS NULL
+            AND pv + (nv - pv) * (um - pt) / (nt - pt) IS NOT NULL)
+             AS was_interpolated
+    FROM n
+    """,
+)
+def _impute_interpolate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear time interpolation of (deterministically masked)
+    missing event values — the pandas interpolate(method='time')
+    contract; leading/trailing gaps stay NULL."""
+    ev = _cat(spark, sf_dir).table("events")
+    masked = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    out = timeseries.interpolate_linear(
+        masked, "user_id", "ts", "value", tiebreak_col="event_id"
+    )
+    return out.select("event_id", "value", "was_interpolated")
 
 
 #: The ONLY keys allowed to skip the SQL oracle (driver grades rows-only).

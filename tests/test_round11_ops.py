@@ -373,3 +373,49 @@ def test_boilerplate_family_ignores_null_doc_ids(spark):
         want = sorted(map(tuple, fn(clean).collect()))
         got = sorted(map(tuple, fn(dirty).collect()))
         assert got == want
+
+
+# --------------------------------------------------- linear interpolation
+
+
+def test_interpolate_linear_hand_computed(spark):
+    rows = [
+        (1, _ts(1, 0), 1, 10.0),
+        (2, _ts(1, 2), 1, None),  # 2h of 4h gap: 10 + 0.5*(30-10) = 20
+        (3, _ts(1, 4), 1, 30.0),
+        (4, _ts(1, 6), 1, None),  # trailing: no next -> stays NULL
+        (5, _ts(2, 0), 2, None),  # leading: no prev -> stays NULL
+        (6, _ts(2, 1), 2, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = {
+        r["event_id"]: r
+        for r in timeseries.interpolate_linear(
+            df, "user_id", "ts", "value", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert out[2]["value"] == 20.0 and out[2]["was_interpolated"]
+    assert out[1]["value"] == 10.0 and not out[1]["was_interpolated"]
+    assert out[4]["value"] is None and not out[4]["was_interpolated"]
+    assert out[5]["value"] is None and not out[5]["was_interpolated"]
+
+
+def test_interpolate_linear_uneven_spacing(spark):
+    # 1h then 3h to the next observation: weight is time, not rows
+    rows = [
+        (1, _ts(1, 0), 1, 0.0),
+        (2, _ts(1, 1), 1, None),  # 1/4 of the way: 0 + 0.25*8 = 2.0
+        (3, _ts(1, 4), 1, 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = {
+        r["event_id"]: r["value"]
+        for r in timeseries.interpolate_linear(
+            df, "user_id", "ts", "value", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert out[2] == 2.0

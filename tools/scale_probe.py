@@ -114,6 +114,7 @@ PROBE = [
     "boilerplate_ngrams_docs",
     "boilerplate_density_docs",
     "survival_curve_users",
+    "impute_interpolate_events",
 ]
 
 
