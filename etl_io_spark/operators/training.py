@@ -767,3 +767,133 @@ def target_encode_oof(
             F.sum("n_rows").over(w) > F.col("n_rows"), round_floor(oof, round_to)
         ).alias("oof_mean"),
     )
+
+
+def mixture_waterfill(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    weights_bp: dict[str, int],
+    budget_tokens: int,
+    default_bp: int = 0,
+    max_epochs_bp: int = 40_000,
+) -> DataFrame:
+    """Water-filling token allocation: split ``budget_tokens`` across
+    groups in proportion to their weights, CAPPED by each group's
+    availability (``tokens_available * max_epochs_bp / 10^4``), with the
+    deficit of saturated groups REDISTRIBUTED to the rest — the
+    allocator ``mixture_token_plan`` stops short of (it reports unmet
+    deficits; this one finds the water level λ with
+    ``Σ min(cap_i, λ·w_i) = budget``). Completes the mixing family:
+    weighted_mix executes rates, temperature_mix derives shares,
+    mixture_token_plan budgets shares against availability, THIS
+    reallocates.
+
+    Closed form, no iteration: sort groups by ``cap/weight`` ascending —
+    the saturated set is always a PREFIX of that order — and test each
+    prefix with EXACT int64 cross-multiplication
+    (``cap_i·W_rem <= B_rem·w_i``, no float λ ever materializes).
+    Unsaturated groups get ``(B - Σ sat caps)·w_i div W_unsat`` plus a
+    largest-remainder distribution of the flooring shortfall (at most
+    |unsaturated|-1 tokens, +1 apiece to the biggest remainders, ties
+    by group name) — the allocation is an exact integer partition of
+    ``min(budget, Σ caps)``, bit-identical on any engine. Zero-weight
+    groups allocate 0; when every weighted group saturates, the
+    leftover stays unallocated (visible as Σ planned < budget).
+
+    Shape: one partial-aggregable groupBy over the corpus (the only
+    data-sized stage — the text is scanned once); everything after is
+    |groups| rows under single-partition windows (the group frame is
+    mixture-spec-sized by construction)."""
+    bp_map = (
+        F.create_map(
+            *[F.lit(x) for g, b in sorted(weights_bp.items()) for x in (g, b)]
+        )
+        if weights_bp
+        else F.lit(None).cast("map<string,bigint>")
+    )
+    avail = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws(text_col)).cast("bigint").alias(
+            "tokens_available"
+        ),
+    )
+    keyed = avail.withColumn(
+        "weight_bp",
+        F.coalesce(
+            F.element_at(bp_map, F.col(group_col)), F.lit(default_bp)
+        ).cast("bigint"),
+    ).withColumn(
+        "cap_tokens",
+        F.expr(
+            f"tokens_available * CAST({int(max_epochs_bp)} AS BIGINT)"
+            " div 10000"
+        ),
+    )
+    B = F.lit(int(budget_tokens)).cast("bigint")
+    ratio = F.when(
+        F.col("weight_bp") > 0,
+        F.col("cap_tokens").cast("double") / F.col("weight_bp"),
+    ).otherwise(F.lit(float("inf")))
+    order = Window.orderBy(ratio.asc(), F.col(group_col).asc())
+    every = order.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    prior = order.rowsBetween(Window.unboundedPreceding, -1)
+    c_prev = F.coalesce(F.sum("cap_tokens").over(prior), F.lit(0))
+    w_prev = F.coalesce(F.sum("weight_bp").over(prior), F.lit(0))
+    w_tot = F.sum("weight_bp").over(every)
+    # saturated iff cap/w <= (B - C_prev)/(W_tot - W_prev), cross-mult
+    sat = (F.col("weight_bp") > 0) & (
+        F.col("cap_tokens") * (w_tot - w_prev) <= (B - c_prev) * F.col("weight_bp")
+    )
+    base = keyed.withColumn("__sat", sat)
+    c_sat = F.coalesce(
+        F.sum(F.when(F.col("__sat"), F.col("cap_tokens"))).over(every),
+        F.lit(0),
+    )
+    w_unsat = F.coalesce(
+        F.sum(F.when(~F.col("__sat"), F.col("weight_bp"))).over(every),
+        F.lit(0),
+    )
+    num = (B - c_sat) * F.col("weight_bp")
+    xfloor = F.when(
+        F.col("__sat"), F.col("cap_tokens")
+    ).when(w_unsat > 0, F.expr("__num div __wu")).otherwise(F.lit(0))
+    b2 = (
+        base.withColumn("__num", F.when(~F.col("__sat"), num).otherwise(F.lit(0)))
+        .withColumn("__wu", w_unsat)
+        .withColumn("__cs", c_sat)
+        .withColumn("__xf", xfloor)
+    )
+    shortfall = F.when(
+        F.col("__wu") > 0,
+        (B - F.col("__cs"))
+        - F.sum(F.when(~F.col("__sat"), F.col("__xf")).otherwise(F.lit(0))).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    ).otherwise(F.lit(0))
+    rem = F.when(
+        (~F.col("__sat")) & (F.col("weight_bp") > 0) & (F.col("__wu") > 0),
+        F.col("__num") % F.col("__wu"),
+    ).otherwise(F.lit(-1))
+    rn = F.row_number().over(
+        Window.orderBy(rem.desc(), F.col(group_col).asc())
+    )
+    b3 = b2.withColumn("__short", shortfall).withColumn(
+        "__bonus",
+        F.when((rem >= 0) & (rn <= F.col("__short")), 1).otherwise(0),
+    )
+    return b3.select(
+        group_col,
+        "n_docs",
+        "tokens_available",
+        "cap_tokens",
+        "weight_bp",
+        F.col("__sat").alias("saturated"),
+        (F.col("__xf") + F.col("__bonus")).cast("bigint").alias(
+            "planned_tokens"
+        ),
+    )

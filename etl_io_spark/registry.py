@@ -73,6 +73,7 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "stl_decompose_events", "conversion_attribution_events",
     "boilerplate_ngrams_docs", "boilerplate_density_docs",
     "survival_curve_users", "impute_interpolate_events",
+    "mixture_waterfill_langs",
     # -- sentinels: stalest, last graded r5 (18 = the full cohort)
     "basket_rules_parts", "bloom_gate_orders", "count_distinct_group",
     "countmin_users_events", "drop_nulls_filter", "embedding_top_pc",
@@ -81,11 +82,11 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "rake_keywords_docs", "range_join_attribution",
     "session_baskets_events", "substring_dedup_docs",
     "temporal_dim_join_orders", "units_count_pipeline",
-    # -- sentinels: last graded r6, diverse slice (11)
+    # -- sentinels: last graded r6, diverse slice (10)
     "above_avg_customers", "acf_events", "assortativity_trade",
     "benford_totalprice", "bfs_trade_reach", "char_entropy_docs",
     "chisq_priority_month", "containment_pairs", "corr_matrix_lineitem",
-    "cusum_changepoint_events", "dedup_yield",
+    "cusum_changepoint_events",
 )
 
 #: Previous rotation kept for provenance (r10, VERDICT r9 ask #1).
@@ -8708,6 +8709,110 @@ def _impute_interpolate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         masked, "user_id", "ts", "value", tiebreak_col="event_id"
     )
     return out.select("event_id", "value", "was_interpolated")
+
+
+@register(
+    "mixture_waterfill_langs",
+    """
+    -- water-filling token allocation: sort by cap/weight, saturated set
+    -- is a prefix, tested with EXACT int64 cross-multiplication; the
+    -- flooring shortfall distributes largest-remainder-first. All
+    -- integer arithmetic (// and % on BIGINT only; window SUMs cast
+    -- back from HUGEINT); ratio is an ORDER key only, identical doubles
+    -- on both engines.
+    WITH avail AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(len(list_filter(string_split_regex(trim(text),
+                  '\\s+'), x -> x <> ''))) AS BIGINT) AS tokens_available
+      FROM documents GROUP BY lang
+    ),
+    keyed AS (
+      SELECT lang, n_docs, tokens_available,
+             CAST(COALESCE(CASE lang WHEN 'en' THEN 5000
+                                     WHEN 'de' THEN 2500
+                                     WHEN 'fr' THEN 1500 END,
+                           1000) AS BIGINT) AS weight_bp,
+             tokens_available * CAST(40000 AS BIGINT) // 10000
+               AS cap_tokens
+      FROM avail
+    ),
+    ord_ AS (
+      SELECT *, CASE WHEN weight_bp > 0
+                     THEN CAST(cap_tokens AS DOUBLE) / weight_bp
+                     ELSE CAST('infinity' AS DOUBLE) END AS ratio
+      FROM keyed
+    ),
+    pre AS (
+      SELECT *,
+        CAST(COALESCE(SUM(cap_tokens) OVER (ORDER BY ratio, lang
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS c_prev,
+        CAST(COALESCE(SUM(weight_bp) OVER (ORDER BY ratio, lang
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS w_prev,
+        CAST(SUM(weight_bp) OVER () AS BIGINT) AS w_tot
+      FROM ord_
+    ),
+    s AS (
+      SELECT *, (weight_bp > 0 AND cap_tokens * (w_tot - w_prev)
+                 <= (CAST(50000 AS BIGINT) - c_prev) * weight_bp) AS sat
+      FROM pre
+    ),
+    agg2 AS (
+      SELECT *,
+        CAST(COALESCE(SUM(CASE WHEN sat THEN cap_tokens END) OVER (), 0)
+             AS BIGINT) AS c_sat,
+        CAST(COALESCE(SUM(CASE WHEN NOT sat THEN weight_bp END)
+             OVER (), 0) AS BIGINT) AS w_unsat
+      FROM s
+    ),
+    xf AS (
+      SELECT *,
+        CASE WHEN NOT sat
+             THEN (CAST(50000 AS BIGINT) - c_sat) * weight_bp
+             ELSE CAST(0 AS BIGINT) END AS num,
+        CASE WHEN sat THEN cap_tokens
+             WHEN w_unsat > 0
+               THEN ((CAST(50000 AS BIGINT) - c_sat) * weight_bp)
+                    // w_unsat
+             ELSE 0 END AS xfloor
+      FROM agg2
+    ),
+    sh AS (
+      SELECT *,
+        CASE WHEN w_unsat > 0
+             THEN (CAST(50000 AS BIGINT) - c_sat)
+                  - CAST(SUM(CASE WHEN NOT sat THEN xfloor ELSE 0 END)
+                         OVER () AS BIGINT)
+             ELSE 0 END AS short,
+        CASE WHEN NOT sat AND weight_bp > 0 AND w_unsat > 0
+             THEN num % w_unsat ELSE -1 END AS rem
+      FROM xf
+    ),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rn
+      FROM sh
+    )
+    SELECT lang, n_docs, tokens_available, cap_tokens, weight_bp,
+           sat AS saturated,
+           CAST(xfloor + CASE WHEN rem >= 0 AND rn <= short
+                              THEN 1 ELSE 0 END AS BIGINT)
+             AS planned_tokens
+    FROM rk
+    """,
+)
+def _mixture_waterfill_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-aware water-filling allocation of a 50k-token budget across
+    languages (en 50%, de 25%, fr 15%, default 10% weights; 4-epoch
+    repeat cap). The SF ladder exercises every regime: sf0.001 budget >
+    all caps (all saturated, leftover unallocated), sf0.01 mixed,
+    sf0.1 nothing saturated."""
+    docs = _cat(spark, sf_dir).table("documents")
+    return training.mixture_waterfill(
+        docs, "lang", "text",
+        {"en": 5000, "de": 2500, "fr": 1500},
+        budget_tokens=50_000, default_bp=1000, max_epochs_bp=40_000,
+    )
 
 
 #: The ONLY keys allowed to skip the SQL oracle (driver grades rows-only).

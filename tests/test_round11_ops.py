@@ -419,3 +419,65 @@ def test_interpolate_linear_uneven_spacing(spark):
         ).collect()
     }
     assert out[2] == 2.0
+
+
+# ----------------------------------------------------- water-fill mixture
+
+
+def test_mixture_waterfill_invariants(spark):
+    import random
+
+    from etl_io_spark.operators import training
+
+    random.seed(7)
+    for _ in range(4):
+        n = random.randint(1, 6)
+        rows, weights = [], {}
+        for i in range(n):
+            toks = random.randint(0, 50)
+            rows.append((i, f"g{i}", " ".join(["w"] * toks)))
+            weights[f"g{i}"] = random.choice([0, 500, 1000, 2500, 5000])
+        budget = random.randint(0, 300)
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = {
+            r["lang"]: r
+            for r in training.mixture_waterfill(
+                df, "lang", "text", weights, budget, max_epochs_bp=20000
+            ).collect()
+        }
+        # exact partition of min(budget, total weighted capacity)
+        cap_w = sum(r["cap_tokens"] for r in out.values() if r["weight_bp"] > 0)
+        assert sum(r["planned_tokens"] for r in out.values()) == min(
+            budget, cap_w
+        )
+        for r in out.values():
+            assert 0 <= r["planned_tokens"] <= r["cap_tokens"]
+            if r["weight_bp"] == 0:
+                assert r["planned_tokens"] == 0
+        # water level: unsaturated allocations proportional within 1 token
+        uns = [r for r in out.values() if not r["saturated"] and r["weight_bp"] > 0]
+        if len(uns) >= 2:
+            lam = [r["planned_tokens"] / r["weight_bp"] for r in uns]
+            assert max(lam) - min(lam) <= 1.0 / min(
+                r["weight_bp"] for r in uns
+            ) + 1e-12
+
+
+def test_mixture_waterfill_redistributes_deficit(spark):
+    from etl_io_spark.operators import training
+
+    # a: cap 4 (saturates under equal weights), b: plenty -> b absorbs
+    # a's deficit: 4 + 16 = 20
+    df = spark.createDataFrame(
+        [(1, "a", "w w"), (2, "b", " ".join(["w"] * 40))],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r["lang"]: r
+        for r in training.mixture_waterfill(
+            df, "lang", "text", {"a": 5000, "b": 5000}, 20,
+            max_epochs_bp=20000,
+        ).collect()
+    }
+    assert out["a"]["saturated"] and out["a"]["planned_tokens"] == 4
+    assert not out["b"]["saturated"] and out["b"]["planned_tokens"] == 16

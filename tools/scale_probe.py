@@ -115,6 +115,7 @@ PROBE = [
     "boilerplate_density_docs",
     "survival_curve_users",
     "impute_interpolate_events",
+    "mixture_waterfill_langs",
 ]
 
 
