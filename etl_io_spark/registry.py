@@ -54,10 +54,10 @@ _WINDOW_ORDER: tuple[str, ...] = (
     # ADDED in r11 also enters here, the round it lands. Padding is
     # stalest-first: all 18 remaining last-graded-r5 keys, then a
     # last-graded-r6 slice, so driver coverage keeps cycling the whole
-    # 232-oracle registry. All entrants swept with tools/hash_parity.py
-    # at sf0.01 + sf0.1 BEFORE this rotation shipped
-    # (HASHPARITY_r11.log); no-oracle keys stay excluded (they can only
-    # return `err: no_oracle`).
+    # 239-oracle registry. Totals: 14 + 1 + 7 + 18 + 10 = 50. All
+    # entrants swept with tools/hash_parity.py at sf0.01 + sf0.1 BEFORE
+    # this rotation shipped (HASHPARITY_r11.log + 5 addenda); no-oracle
+    # keys stay excluded (they can only return `err: no_oracle`).
     #
     # -- priority: r10 hardening-touched, driver-ungraded since (14)
     "tokenizer_fertility", "dsir_weights_docs", "chunk_documents",
@@ -67,9 +67,9 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "quote_spans_docs", "normalize_text_docs",
     # -- priority: oracle/operator changed in r11 (1)
     "weighted_percentiles_prices",
-    # -- priority: keys ADDED in r11 (5 — new keys always enter the
-    #    window the round they land; two late additions displaced the
-    #    two newest r6 sentinels to keep the window at exactly 50)
+    # -- priority: keys ADDED in r11 (7 — new keys always enter the
+    #    window the round they land; the late additions displaced the
+    #    four newest r6 sentinels to keep the window at exactly 50)
     "stl_decompose_events", "conversion_attribution_events",
     "boilerplate_ngrams_docs", "boilerplate_density_docs",
     "survival_curve_users", "impute_interpolate_events",
