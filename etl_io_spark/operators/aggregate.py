@@ -219,6 +219,21 @@ def weighted_percentiles(
 
     keys = list(keys)
     quantiles = list(quantiles)
+    # internal working columns join back onto the user's frame — a user
+    # column bearing one of these names would produce ambiguous/duplicate
+    # columns or a silently wrong join (the same silent-swallow class
+    # asof_join guards against, joins.py:186); fail loudly (r11 ADVICE)
+    reserved = {
+        "__g", "__q", "__b", "__bw", "__end", "__prefix", "__tot",
+        "__lo", "__hi", "__w", "__cum", "__v",
+    }
+    clashes = sorted(c for c in df.columns if c in reserved)
+    if clashes:
+        raise ValueError(
+            f"weighted_percentiles reserves column names "
+            f"{sorted(reserved)} internally; rename input columns "
+            f"{clashes}"
+        )
     if n_buckets and not isinstance(
         df.schema[value_col].dataType, NumericType
     ):

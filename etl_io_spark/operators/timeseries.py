@@ -994,7 +994,13 @@ def interpolate_linear(
     nt = F.first(
         F.when(F.col(value_col).isNotNull(), um), ignorenulls=True
     ).over(next_f)
-    interp = pv + (nv - pv) * (um - pt) / (nt - pt)
+    # Coincident neighbors (pt == nt, possible with duplicate (key, ts)
+    # rows) would divide by zero: Spark's non-ANSI double division gives
+    # NaN/Inf (was_interpolated would read true with a garbage value)
+    # while DuckDB's behavior differs (NULL or raise). Such gaps are
+    # unfillable — keep them NULL identically on both engines (r11
+    # ADVICE).
+    interp = F.when(nt != pt, pv + (nv - pv) * (um - pt) / (nt - pt))
     filled = F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
         round_floor(interp, round_to)
     )

@@ -437,13 +437,17 @@ def multi_touch_attribution(
     union, and a conversions-dedup exchange (BASELINE.md r11 A/B). No
     fan-out, no range join, no driver collect."""
     is_conv = F.col(type_col) == conversion_type
-    # NULL users/timestamps are excluded explicitly to mirror what a SQL
-    # ASOF join does implicitly (a NULL join key or NULL ts comparison
-    # never matches) — Spark's Window.partitionBy would instead group
-    # all NULL users TOGETHER and credit their touches (r11 self-review
-    # catch)
+    # NULL users/timestamps/types are excluded explicitly to mirror what
+    # the SQL mirror does implicitly (a NULL join key or NULL ts
+    # comparison never matches; WHERE event_type <> 'purchase' drops
+    # NULL types) — Spark's Window.partitionBy would instead group all
+    # NULL users TOGETHER, and a NULL type falls through
+    # F.when(is_conv, 0).otherwise(1) to the TOUCH side, fabricating a
+    # touch_type=NULL output group (r11 self-review + r11 ADVICE catch)
     events = events.where(
-        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
     )
     ev = events.select(
         F.col(user_col),

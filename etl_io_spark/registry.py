@@ -8472,6 +8472,9 @@ def _stl_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- per conversion, summation-order-proof; single /10000.0 at output.
     -- The as-of forward assignment dedups conversions per (user, ts)
     -- (min event_id) so timestamp ties cannot diverge across engines.
+    -- NULL contract: WHERE event_type <> 'purchase' implicitly drops
+    -- NULL-type rows (and NULL user/ts never ASOF-match); the Spark
+    -- side excludes all three explicitly (window.py NULL filter).
     WITH c AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS cts,
              MIN(event_id) AS conv_id
