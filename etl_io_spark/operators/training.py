@@ -897,3 +897,120 @@ def mixture_waterfill(
             "planned_tokens"
         ),
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Byte-pair-encoding tokenizer TRAINING: learn ``n_merges`` merge
+    rules from the corpus (the real upgrade of ``token_count_bpe``'s
+    regex proxy and ``tokenizer_fertility``'s diagnostic — reference
+    scope stops at tabulation, etl_io.py:947). Returns the merge table:
+    one row per round — ``(round, lsym, rsym, pair_count)``, the pair
+    merged that round and its corpus frequency at merge time.
+
+    Algorithm (Sennrich et al. 2016, "Neural Machine Translation of
+    Rare Words with Subword Units"): collapse the corpus to a
+    (word, freq) vocabulary; start from character segmentations; each
+    round count adjacent symbol pairs weighted by word frequency, merge
+    the most frequent pair (ties: lexicographic smallest (left, right))
+    greedily left-to-right non-overlapping in every word.
+
+    Spark shape — corpus-sized work happens ONCE: a single tokenize +
+    groupBy(word) pass builds the vocabulary; every merge round runs
+    over the VOCAB table (distinct words — orders of magnitude smaller
+    than the corpus, and constant across rounds). Per round: one
+    map-side pair explode + partially-aggregated groupBy(pair), one
+    TakeOrdered argmax (a 1-row driver collect, same class as the
+    connected-components convergence count), then a NARROW map that
+    rewrites segmentations — no shuffle. The rewritten vocab is
+    persisted per round (lineage stays depth-1; a lazy unrolled plan
+    would nest the vocab subtree twice per round = 2^R logical-plan
+    blowup).
+
+    Cross-engine exactness: the segmentation is a DOUBLE-SPACE-joined
+    symbol string (``"  h  e  y  "``) — merging pair (a, b) is then the
+    literal ``replace(seg, ' a  b ', ' ab ')``: each match consumes one
+    space of each flanking pair, so adjacent matches stay matchable and
+    scanning resumes past the replacement — exactly greedy
+    left-to-right non-overlapping BPE, with identical semantics in
+    Spark's ``replace`` and DuckDB's (verified incl. the ``aaa`` +
+    ``(a,a)`` overlap case; RE2 has no lookarounds, so the classic
+    regex formulation cannot be mirrored). Words are lowercased and
+    restricted to pure ``a-z`` via a ``translate`` deletion test (no
+    regex, no locale exposure); counts are integral; the argmax
+    tie-break (count DESC, left ASC, right ASC) is a total order over
+    ASCII strings on both engines.
+
+    NULL contract: NULL text rows are dropped explicitly (the oracle's
+    UNNEST over split tokens drops them implicitly)."""
+    wf = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.lower(F.col(text_col)).alias("__lt"))
+        .select(F.explode(tokens("__lt")).alias("__w"))
+        .where(
+            (F.col("__w") != "")
+            & (
+                F.length(
+                    F.translate(
+                        F.col("__w"), "abcdefghijklmnopqrstuvwxyz", ""
+                    )
+                )
+                == 0
+            )
+        )
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+    )
+    seg = F.concat(
+        F.lit("  "), F.array_join(F.split("__w", ""), "  "), F.lit("  ")
+    )
+    w = persist_tracked(wf.select("__freq", seg.alias("__seg")))
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, int(n_merges) + 1):
+        syms = F.filter(
+            F.split("__seg", "  ", -1), lambda x: x != F.lit("")
+        )
+        base = w.select("__freq", syms.alias("__syms")).where(
+            F.size("__syms") >= 2
+        )
+        pair = F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__syms") - 1),
+                lambda i: F.struct(
+                    F.element_at("__syms", i).alias("l"),
+                    F.element_at("__syms", i + F.lit(1)).alias("r"),
+                ),
+            )
+        )
+        cnts = (
+            base.select("__freq", pair.alias("__p"))
+            .groupBy(
+                F.col("__p.l").alias("__l"), F.col("__p.r").alias("__r")
+            )
+            .agg(F.sum("__freq").alias("__cnt"))
+        )
+        top = cnts.orderBy(
+            F.col("__cnt").desc(), F.col("__l").asc(), F.col("__r").asc()
+        ).limit(1).collect()
+        if not top:
+            break
+        lsym, rsym, cnt = top[0]["__l"], top[0]["__r"], top[0]["__cnt"]
+        merges.append((rnd, lsym, rsym, int(cnt)))
+        w = persist_tracked(
+            w.select(
+                "__freq",
+                F.replace(
+                    "__seg",
+                    F.lit(f" {lsym}  {rsym} "),
+                    F.lit(f" {lsym}{rsym} "),
+                ).alias("__seg"),
+            )
+        )
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "round int, lsym string, rsym string, pair_count bigint",
+    )

@@ -8818,6 +8818,147 @@ def _mixture_waterfill_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled-CTE mirror of ``training.bpe_train`` (the established
+    iterative-oracle pattern: pagerank/LPA/k-core). Each round: pair
+    counts from the previous segmentation, a 1-row argmax (count DESC,
+    left, right), and a literal double-space ``replace`` re-segmentation
+    — byte-identical to the Spark side's (see bpe_train's docstring for
+    why replace, not regex: RE2 has no lookarounds)."""
+    parts = [
+        """
+    WITH wf AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT UNNEST(list_filter(string_split_regex(trim(lower(text)),
+                      '\\s+'), x -> x <> '')) AS w
+        FROM documents WHERE text IS NOT NULL
+      )
+      WHERE w <> ''
+        AND length(translate(w, 'abcdefghijklmnopqrstuvwxyz', '')) = 0
+      GROUP BY w
+    ),
+    w0 AS (
+      SELECT freq, '  ' || array_to_string(string_split(w, ''), '  ')
+             || '  ' AS seg
+      FROM wf
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""",
+    s{k} AS (
+      SELECT freq, list_filter(string_split(seg, '  '), x -> x <> '') AS s
+      FROM w{k - 1}
+    ),
+    p{k} AS (
+      SELECT s[i] AS l, s[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM s{k}, UNNEST(range(1, len(s))) AS u(i)
+      GROUP BY s[i], s[i + 1]
+    ),
+    b{k} AS (SELECT {k} AS rnd, l, r, cnt FROM p{k}
+             ORDER BY cnt DESC, l, r LIMIT 1),
+    w{k} AS (
+      SELECT freq, replace(seg, ' ' || l || '  ' || r || ' ',
+                           ' ' || l || r || ' ') AS seg
+      FROM w{k - 1}, b{k}
+    )"""
+        )
+    union = "\n          UNION ALL ".join(
+        f"SELECT * FROM b{k}" for k in range(1, n_merges + 1)
+    )
+    parts.append(
+        f"""
+    SELECT rnd AS round, l AS lsym, r AS rsym, cnt AS pair_count
+    FROM ({union})
+    """
+    )
+    return "".join(parts)
+
+
+@register("bpe_train_merges", _bpe_oracle_sql(8))
+def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the documents corpus: the first 8
+    learned merge rules with their corpus pair frequencies (flagship
+    iterative op, VERDICT r11 ask #6)."""
+    docs = _cat(spark, sf_dir).table("documents")
+    return training.bpe_train(docs, "text", n_merges=8)
+
+
+@register(
+    "survival_curve_censored_users",
+    """
+    -- Kaplan-Meier with a NON-TRIVIAL censored fraction (VERDICT r11
+    -- ask #5): the testdata keeps every user active to the corpus end,
+    -- so the plain key's censoring branch grades trivially. Each
+    -- user's stream is deterministically truncated at their first
+    -- activity day + (user_id % 28) days — synthetic heterogeneous
+    -- lifetimes — then right-censored at 7 days before the truncated
+    -- corpus max: users whose last kept activity falls in that final
+    -- week (~25% of residues) enter the at-risk sets without counting
+    -- as churn events. Same EXP(SUM(LN)) running-window product and
+    -- explicit -infinity terminal term as survival_curve_users.
+    WITH e AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    fd AS (SELECT user_id, MIN(d) AS fdy FROM e GROUP BY user_id),
+    kept AS (
+      SELECT e.user_id, e.d FROM e JOIN fd USING (user_id)
+      WHERE date_diff('day', fdy, d) <= user_id % 28
+    ),
+    lives AS (
+      SELECT user_id, MIN(d) AS fd2, MAX(d) AS ld FROM kept
+      GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(d) AS maxd FROM kept),
+    pk AS (
+      SELECT date_diff('day', fd2, ld) AS dur,
+             CASE WHEN date_diff('day', ld, maxd) >= 7 THEN 1 ELSE 0 END
+               AS ev
+      FROM lives, mx
+    ),
+    bd AS (
+      SELECT dur, COUNT(*) AS n, CAST(SUM(ev) AS BIGINT) AS d
+      FROM pk GROUP BY dur
+    ),
+    km AS (
+      SELECT dur, n, d,
+             CAST(SUM(n) OVER () - SUM(n) OVER (ORDER BY dur) + n
+                  AS BIGINT) AS n_at_risk
+      FROM bd
+    ),
+    km2 AS (
+      SELECT dur, n_at_risk, d,
+             SUM(CASE WHEN d > 0 AND d >= n_at_risk
+                      THEN CAST('-infinity' AS DOUBLE)
+                      WHEN d > 0
+                      THEN LN(1 - CAST(d AS DOUBLE)
+                                  / CAST(n_at_risk AS DOUBLE))
+                      ELSE 0.0 END) OVER (ORDER BY dur) AS lnsum
+      FROM km
+    )
+    SELECT dur AS duration_days, n_at_risk, d AS n_events,
+           ROUND(EXP(lnsum), 6) AS survival
+    FROM km2 WHERE d > 0
+    """,
+)
+def _survival_curve_censored_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn curve with deterministic per-user lifetime
+    truncation (first day + user_id % 28) and a 7-day censor window —
+    the key that grades the censoring branch non-trivially."""
+    ev = _cat(spark, sf_dir).table("events")
+    d = ev.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select("user_id", F.col("ts").cast("date").alias("__d"))
+    fd = d.groupBy("user_id").agg(F.min("__d").alias("__fd"))
+    kept = d.join(fd, "user_id").where(
+        F.datediff("__d", "__fd") <= F.pmod("user_id", F.lit(28))
+    )
+    return timeseries.survival_curve(
+        kept, "user_id", "__d", censor_gap_days=7
+    )
+
+
 #: The ONLY keys allowed to skip the SQL oracle (driver grades rows-only).
 #: Gate (VERDICT r5 ask #9): every rows-only key must carry an
 #: accuracy-vs-exact test, named here so a future registration can't

@@ -613,6 +613,11 @@ CONSTRUCTION_MAY_RUN_JOBS = {
     "entity_resolution",
     "entity_resolution_scalable",  # same CC tail, FastSS candidate gen
     "curation_pipeline",  # composes fuzzy_dedup_keep_best's CC rounds
+    # BPE training collects a 1-row argmax per merge round (the merged
+    # pair must become a literal in the next round's replace — a lazy
+    # unrolled plan would nest the vocab subtree twice per round, a 2^R
+    # logical-plan blowup), the same class as the CC convergence count.
+    "bpe_train_merges",
 }
 
 

@@ -87,3 +87,96 @@ def test_weighted_percentiles_rejects_reserved_columns(spark):
     )
     with pytest.raises(ValueError, match="__tot"):
         agg.weighted_percentiles(df, ["g"], "v", "w", (0.5,))
+
+
+# ------------------------------------------------------- BPE training
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bpe_train_hand_computed(spark):
+    from etl_io_spark.operators import training
+
+    # corpus: "low" x5, "lower" x2 -> freqs low=5 lower=2
+    # round 1 pairs: (l,o)=7 (o,w)=7 (w,e)=2 (e,r)=2 -> tie 7, lex
+    #   smallest left: (l,o) merges -> lo
+    # round 2: (lo,w)=7 (w,e)=2 (e,r)=2 -> (lo,w) -> low
+    # round 3: (low,e)=2 (e,r)=2 -> tie 2: (e,r) < (low,e) -> er
+    # round 4: (low,er)=2 -> lower
+    docs = _docs(spark, ["low " * 5, "lower lower"])
+    out = [
+        tuple(r)
+        for r in training.bpe_train(docs, "text", n_merges=4)
+        .orderBy("round")
+        .collect()
+    ]
+    assert out == [
+        (1, "l", "o", 7),
+        (2, "lo", "w", 7),
+        (3, "e", "r", 2),
+        (4, "low", "er", 2),
+    ]
+
+
+def test_bpe_train_overlap_greedy_and_early_stop(spark):
+    from etl_io_spark.operators import training
+
+    # "aaa": round 1 pair (a,a) count 2 -> greedy non-overlap merge
+    # gives [aa, a]; round 2 merges (aa, a) -> aaa; round 3: no pairs
+    # left anywhere -> early stop (2 rows despite n_merges=5)
+    docs = _docs(spark, ["aaa"])
+    out = [
+        tuple(r)
+        for r in training.bpe_train(docs, "text", n_merges=5)
+        .orderBy("round")
+        .collect()
+    ]
+    assert out == [(1, "a", "a", 2), (2, "aa", "a", 1)]
+
+
+def test_bpe_train_filters_nonalpha_and_null(spark):
+    from etl_io_spark.operators import training
+
+    # tokens with digits/punct are excluded; NULL text dropped; case
+    # folded ("AB ab" both count as "ab")
+    docs = _docs(spark, ["AB ab", "x9 a-b", None])
+    out = [
+        tuple(r)
+        for r in training.bpe_train(docs, "text", n_merges=2)
+        .orderBy("round")
+        .collect()
+    ]
+    assert out == [(1, "a", "b", 2)]
+
+
+# --------------------------------------------- censored survival curve
+
+
+def test_survival_censoring_reduces_events_not_risk(spark):
+    from etl_io_spark.operators import timeseries
+
+    # 4 users: lifetimes 0, 1, 2, 3 days; corpus max = day 10.
+    # censor_gap_days=3: users whose last activity is within 3 days of
+    # day 10 censor. u4 (last=day 10) and u3 (last=day 9: gap 1) and
+    # u2 (last=day 8: gap 2) censor; u1 (last=day 1: gap 9) is an event.
+    rows = [
+        (1, _ts(1)), (1, _ts(1, 5)),          # dur 0, event
+        (2, _ts(7)), (2, _ts(8)),             # dur 1, censored (gap 2)
+        (3, _ts(7)), (3, _ts(9)),             # dur 2, censored (gap 1)
+        (4, _ts(7)), (4, _ts(10)),            # dur 3, censored (gap 0)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = timeseries.survival_curve(
+        df, "user_id", "ts", censor_gap_days=3
+    ).collect()
+    # only dur=0 is an event row: d=1, n_at_risk=4 -> survival 0.75
+    assert len(out) == 1
+    r = out[0]
+    assert r["duration_days"] == 0
+    assert r["n_at_risk"] == 4
+    assert r["n_events"] == 1
+    assert r["survival"] == 0.75
