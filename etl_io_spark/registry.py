@@ -8897,8 +8897,13 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- week (~25% of residues) enter the at-risk sets without counting
     -- as churn events. Same EXP(SUM(LN)) running-window product and
     -- explicit -infinity terminal term as survival_curve_users.
+    -- events collapse to DISTINCT (user, day) FIRST: the curve only
+    -- needs each user's min/max kept day, so the fd lookup + truncation
+    -- filter run over the ~|users| x |days| frame, not the raw events
+    -- (at 100x the raw form double-scanned 10M rows: 6.2 s -> distinct
+    -- is one map-side-combining shuffle)
     WITH e AS (
-      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
       FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
     fd AS (SELECT user_id, MIN(d) AS fdy FROM e GROUP BY user_id),
@@ -8947,15 +8952,32 @@ def _survival_curve_censored_users(spark: SparkSession, sf_dir: str) -> DataFram
     truncation (first day + user_id % 28) and a 7-day censor window —
     the key that grades the censoring branch non-trivially."""
     ev = _cat(spark, sf_dir).table("events")
-    d = ev.where(
-        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
-    ).select("user_id", F.col("ts").cast("date").alias("__d"))
-    fd = d.groupBy("user_id").agg(F.min("__d").alias("__fd"))
-    kept = d.join(fd, "user_id").where(
-        F.datediff("__d", "__fd") <= F.pmod("user_id", F.lit(28))
+    # ONE user-keyed exchange end to end: the truncation needs each
+    # user's first day BEFORE it can pick the last kept day — instead of
+    # distinct + fd groupBy + join (three corpus passes, 6.2→5.0 s at
+    # the 100x probe), collect the user's DISTINCT day set map-side
+    # (calendar-bounded: ≤ corpus days per user), compute first/last-
+    # kept per row with array ops, and feed the two boundary days to
+    # survival_curve — whose groupBy(user_id) rides the same
+    # hashpartitioning(user_id) exchange (subset rule). The oracle keeps
+    # the equivalent DISTINCT + MIN-join form; every op is integer/date
+    # arithmetic, so the formulations are value-identical by
+    # construction.
+    per_user = (
+        ev.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(F.collect_set(F.col("ts").cast("date")).alias("__ds"))
+    )
+    fd = F.array_min("__ds")
+    m = F.pmod("user_id", F.lit(28))
+    last_kept = F.array_max(
+        F.filter("__ds", lambda x: F.datediff(x, fd) <= m)
+    )
+    feed = per_user.select(
+        "user_id", F.explode(F.array(fd, last_kept)).alias("__d")
     )
     return timeseries.survival_curve(
-        kept, "user_id", "__d", censor_gap_days=7
+        feed, "user_id", "__d", censor_gap_days=7
     )
 
 
