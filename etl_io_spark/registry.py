@@ -43,6 +43,52 @@ def register(name: str, sql: str | None = None):
 #: Everything not listed follows in registration order and is still covered
 #: by the stricter local gate (tools/check.py) and pytest.
 _WINDOW_ORDER: tuple[str, ...] = (
+    # Round-12 rotation (VERDICT r11 ask #2: stalest-graded cohort).
+    # Priority slots (5): the 2 keys ADDED this round (new keys always
+    # enter the window the round they land) and the 3 keys whose
+    # operator or oracle changed in the r11-ADVICE hardening pass
+    # (conversion_attribution_events: NULL event_type exclusion;
+    # impute_interpolate_events: coincident-neighbor divide-by-zero
+    # guard; weighted_percentiles_prices: reserved-working-name guard
+    # — changed code always re-grades). Then the ENTIRE
+    # last-driver-graded-r6 cohort (26 — the stalest oracled keys in
+    # the registry) and a 19-key diverse slice of the
+    # last-graded-r7 cohort (sources/pipelines, SCD, embeddings,
+    # training, windows, aggregates); the remaining 14 r7 keys rotate
+    # in r13. No oracled key's latest grading is older than r6 going
+    # in, and none will be older than r7 coming out. All 50 swept with
+    # tools/hash_parity.py at sf0.01 + sf0.1 BEFORE this rotation
+    # shipped (HASHPARITY_r12.log); rows-only keys stay excluded (they
+    # can only return `err: no_oracle`). Totals: 5 + 26 + 19 = 50.
+    #
+    # -- priority: keys ADDED in r12 (2)
+    "bpe_train_merges", "survival_curve_censored_users",
+    # -- priority: operator/oracle changed in r12 (3)
+    "conversion_attribution_events", "impute_interpolate_events",
+    "weighted_percentiles_prices",
+    # -- sentinels: stalest, last graded r6 (26 = the full cohort)
+    "incremental_dedup", "cross_source_dups", "snm_neardup_docs",
+    "segment_dedup_docs", "dedup_yield", "lsh_eval", "fuzzy_name_pairs",
+    "ks_test_values", "leadlag_correlation", "corr_stats_flags",
+    "mutual_information_flags", "revenue_gini", "zipf_exponent",
+    "robust_anomaly_events", "sole_late_suppliers", "shipping_priority",
+    "regional_revenue", "nations_trade_volume", "small_quantity_revenue",
+    "ewma_events", "twap_events", "resample_ffill_events",
+    "sessionize_events", "readability_docs", "target_encode_orders",
+    "rendezvous_shards_docs",
+    # -- sentinels: last graded r7, diverse slice (19; the other 14
+    #    r7-graded oracled keys rotate in r13)
+    "select_project_filter", "group_count", "window_topk_per_group",
+    "embedding_neardup", "split_assign", "stratified_sample",
+    "weighted_mix", "profile_lineitem", "dq_violations",
+    "merge_upsert_customer", "scd2_snapshot_lookup",
+    "changelog_compaction", "snapshot_diff_orders", "zorder_code_orders",
+    "anomaly_zscore_events", "embedding_centroids", "kmeans_embeddings",
+    "grouping_sets_flags", "rfm_segments",
+)
+
+#: Previous rotation kept for provenance (r11, VERDICT r10 ask #1).
+_WINDOW_ORDER_R11: tuple[str, ...] = (
     # Round-11 rotation (VERDICT r10 ask #1). Priority slots: the 14
     # hardening-touched keys whose oracles/Spark sides changed in the
     # two r10 adversarial waves but sat OUTSIDE the r10 window (swept
