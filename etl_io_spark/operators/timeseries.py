@@ -997,9 +997,10 @@ def interpolate_linear(
     # Coincident neighbors (pt == nt, possible with duplicate (key, ts)
     # rows) would divide by zero: Spark's non-ANSI double division gives
     # NaN/Inf (was_interpolated would read true with a garbage value)
-    # while DuckDB's behavior differs (NULL or raise). Such gaps are
-    # unfillable — keep them NULL identically on both engines (r11
-    # ADVICE).
+    # while DuckDB's result is version-dependent (1.0.0: 0.0/0.0 = NULL;
+    # >= 1.1 defaults to IEEE NaN). Such gaps are unfillable — keep them
+    # NULL identically on both engines (r11 ADVICE; the oracle carries
+    # the mirrored nt <> pt guard).
     interp = F.when(nt != pt, pv + (nv - pv) * (um - pt) / (nt - pt))
     filled = F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
         round_floor(interp, round_to)

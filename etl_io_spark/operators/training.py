@@ -968,6 +968,7 @@ def bpe_train(
         F.lit("  "), F.array_join(F.split("__w", ""), "  "), F.lit("  ")
     )
     w = persist_tracked(wf.select("__freq", seg.alias("__seg")))
+    prev: DataFrame | None = None
     merges: list[tuple[int, str, str, int]] = []
     for rnd in range(1, int(n_merges) + 1):
         syms = F.filter(
@@ -995,10 +996,19 @@ def bpe_train(
         top = cnts.orderBy(
             F.col("__cnt").desc(), F.col("__l").asc(), F.col("__r").asc()
         ).limit(1).collect()
+        # this collect materialized w's cache, so the ROUND-BEFORE-LAST
+        # vocab (w's parent, fully consumed by that materialization) can
+        # be released now — the loop holds at most two cached copies at
+        # a time instead of n_merges + 1 (r12 self-review)
+        if prev is not None:
+            prev.unpersist()
         if not top:
             break
         lsym, rsym, cnt = top[0]["__l"], top[0]["__r"], top[0]["__cnt"]
         merges.append((rnd, lsym, rsym, int(cnt)))
+        if rnd == int(n_merges):
+            break  # the final re-segmentation has no consumer
+        prev = w
         w = persist_tracked(
             w.select(
                 "__freq",

@@ -8733,11 +8733,16 @@ def _survival_curve_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
       FROM m
     )
+    -- nt <> pt guard mirrored from the Spark side (coincident
+    -- neighbors at duplicate (user, ts) are unfillable): without it
+    -- parity rests on DuckDB-version division semantics (1.0.0's
+    -- 0.0/0.0 = NULL vs >=1.1's IEEE NaN default)
     SELECT event_id,
            CASE WHEN v IS NOT NULL THEN v
-                ELSE FLOOR((pv + (nv - pv) * (um - pt) / (nt - pt))
+                WHEN nt <> pt
+                THEN FLOOR((pv + (nv - pv) * (um - pt) / (nt - pt))
                            * 10000 + 0.5) / 10000 END AS value,
-           (v IS NULL
+           (v IS NULL AND nt <> pt
             AND pv + (nv - pv) * (um - pt) / (nt - pt) IS NOT NULL)
              AS was_interpolated
     FROM n
