@@ -1024,3 +1024,74 @@ def bpe_train(
         merges,
         "round int, lsym string, rsym string, pair_count bigint",
     )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge list (``bpe_train`` output order) to the
+    corpus and report per-document subword cost: ``(doc_id, n_words,
+    bpe_tokens)`` over the document's lowercase pure-``a-z`` words (the
+    exact training-side filter). The train→apply pair is the end-to-end
+    tokenizer-budget pipeline: bpe_tokens/n_words is the corpus
+    fertility under the trained merges (upgrade of
+    ``tokenizer_fertility``'s static proxy).
+
+    Shape: the merge chain is applied to the DISTINCT word table only
+    (``n_merges`` chained literal ``replace``s on the double-space
+    segmentation — narrow maps over |vocab| rows, see ``bpe_train`` for
+    the representation's engine-identical greedy semantics); symbol
+    counts come from pure length arithmetic (symbols = spaces/2 − 1 —
+    the representation pads 2(n+1) spaces), not an array split. The
+    corpus pays one (doc, word) count shuffle; the |vocab|-row symbol
+    table joins AQE-adaptively (broadcast at moderate scale)."""
+    words = (
+        docs.where(
+            F.col(text_col).isNotNull() & F.col(doc_id_col).isNotNull()
+        )
+        .select(
+            F.col(doc_id_col), F.lower(F.col(text_col)).alias("__lt")
+        )
+        .select(F.col(doc_id_col), F.explode(tokens("__lt")).alias("__w"))
+        .where(
+            (F.col("__w") != "")
+            & (
+                F.length(
+                    F.translate(
+                        F.col("__w"), "abcdefghijklmnopqrstuvwxyz", ""
+                    )
+                )
+                == 0
+            )
+        )
+    )
+    dw = words.groupBy(doc_id_col, "__w").agg(
+        F.count(F.lit(1)).alias("__k")
+    )
+    seg = F.concat(
+        F.lit("  "), F.array_join(F.split("__w", ""), "  "), F.lit("  ")
+    )
+    for lsym, rsym in merges:
+        seg = F.replace(
+            seg, F.lit(f" {lsym}  {rsym} "), F.lit(f" {lsym}{rsym} ")
+        )
+    nsym = (
+        (F.length(seg) - F.length(F.translate(seg, " ", ""))) / F.lit(2)
+        - F.lit(1)
+    ).cast("bigint")
+    vs = words.select("__w").distinct().select(
+        "__w", nsym.alias("__nsym")
+    )
+    return (
+        dw.join(vs, "__w")
+        .groupBy(doc_id_col)
+        .agg(
+            F.sum("__k").cast("bigint").alias("n_words"),
+            F.sum(F.col("__k") * F.col("__nsym"))
+            .cast("bigint")
+            .alias("bpe_tokens"),
+        )
+    )

@@ -52,17 +52,20 @@ _WINDOW_ORDER: tuple[str, ...] = (
     # guard; weighted_percentiles_prices: reserved-working-name guard
     # — changed code always re-grades). Then the ENTIRE
     # last-driver-graded-r6 cohort (26 — the stalest oracled keys in
-    # the registry) and a 19-key diverse slice of the
+    # the registry) and a 18-key diverse slice of the
     # last-graded-r7 cohort (sources/pipelines, SCD, embeddings,
-    # training, windows, aggregates); the remaining 14 r7 keys rotate
+    # training, windows, aggregates); the remaining 15 r7 keys rotate
     # in r13. No oracled key's latest grading is older than r6 going
     # in, and none will be older than r7 coming out. All 50 swept with
     # tools/hash_parity.py at sf0.01 + sf0.1 BEFORE this rotation
     # shipped (HASHPARITY_r12.log); rows-only keys stay excluded (they
-    # can only return `err: no_oracle`). Totals: 5 + 26 + 19 = 50.
+    # can only return `err: no_oracle`). Totals: 6 + 26 + 18 = 50 (the
+    # late-landed bpe_token_counts_docs displaced rfm_segments, which
+    # rotates with the rest of the r7 cohort in r13).
     #
-    # -- priority: keys ADDED in r12 (2)
+    # -- priority: keys ADDED in r12 (3)
     "bpe_train_merges", "survival_curve_censored_users",
+    "bpe_token_counts_docs",
     # -- priority: operator/oracle changed in r12 (3)
     "conversion_attribution_events", "impute_interpolate_events",
     "weighted_percentiles_prices",
@@ -84,7 +87,7 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "merge_upsert_customer", "scd2_snapshot_lookup",
     "changelog_compaction", "snapshot_diff_orders", "zorder_code_orders",
     "anomaly_zscore_events", "embedding_centroids", "kmeans_embeddings",
-    "grouping_sets_flags", "rfm_segments",
+    "grouping_sets_flags",
 )
 
 #: Previous rotation kept for provenance (r11, VERDICT r10 ask #1).
@@ -8869,13 +8872,15 @@ def _mixture_waterfill_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
+def _bpe_chain_sql(n_merges: int) -> str:
     """Unrolled-CTE mirror of ``training.bpe_train`` (the established
     iterative-oracle pattern: pagerank/LPA/k-core). Each round: pair
     counts from the previous segmentation, a 1-row argmax (count DESC,
     left, right), and a literal double-space ``replace`` re-segmentation
     — byte-identical to the Spark side's (see bpe_train's docstring for
-    why replace, not regex: RE2 has no lookarounds)."""
+    why replace, not regex: RE2 has no lookarounds). The word column
+    rides the whole chain so the apply oracle can join the trained
+    vocabulary back onto documents."""
     parts = [
         """
     WITH wf AS (
@@ -8889,7 +8894,7 @@ def _bpe_oracle_sql(n_merges: int) -> str:
       GROUP BY w
     ),
     w0 AS (
-      SELECT freq, '  ' || array_to_string(string_split(w, ''), '  ')
+      SELECT w, freq, '  ' || array_to_string(string_split(w, ''), '  ')
              || '  ' AS seg
       FROM wf
     )"""
@@ -8909,21 +8914,57 @@ def _bpe_oracle_sql(n_merges: int) -> str:
     b{k} AS (SELECT {k} AS rnd, l, r, cnt FROM p{k}
              ORDER BY cnt DESC, l, r LIMIT 1),
     w{k} AS (
-      SELECT freq, replace(seg, ' ' || l || '  ' || r || ' ',
-                           ' ' || l || r || ' ') AS seg
+      SELECT w, freq, replace(seg, ' ' || l || '  ' || r || ' ',
+                              ' ' || l || r || ' ') AS seg
       FROM w{k - 1}, b{k}
     )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
     union = "\n          UNION ALL ".join(
         f"SELECT * FROM b{k}" for k in range(1, n_merges + 1)
     )
-    parts.append(
-        f"""
+    return (
+        _bpe_chain_sql(n_merges)
+        + f"""
     SELECT rnd AS round, l AS lsym, r AS rsym, cnt AS pair_count
     FROM ({union})
     """
     )
-    return "".join(parts)
+
+
+def _bpe_apply_oracle_sql(n_merges: int) -> str:
+    """Merge chain + apply tail: per-doc word counts join the trained
+    vocabulary's final segmentation; symbol count is pure length
+    arithmetic over the double-space representation (2(n+1) pad
+    spaces), BIGINT `//` only (the DECIMAL-division trap class)."""
+    return (
+        _bpe_chain_sql(n_merges)
+        + f""",
+    docw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split_regex(trim(lower(text)),
+                      '\\s+'), x -> x <> '')) AS w
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+      )
+      WHERE w <> ''
+        AND length(translate(w, 'abcdefghijklmnopqrstuvwxyz', '')) = 0
+    ),
+    dw AS (SELECT doc_id, w, COUNT(*) AS k FROM docw GROUP BY doc_id, w),
+    vs AS (
+      SELECT w, (length(seg) - length(replace(seg, ' ', ''))) // 2 - 1
+               AS nsym
+      FROM w{n_merges}
+    )
+    SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_words,
+           CAST(SUM(k * nsym) AS BIGINT) AS bpe_tokens
+    FROM dw JOIN vs USING (w)
+    GROUP BY doc_id
+    """
+    )
 
 
 @register("bpe_train_merges", _bpe_oracle_sql(8))
@@ -8933,6 +8974,22 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative op, VERDICT r11 ask #6)."""
     docs = _cat(spark, sf_dir).table("documents")
     return training.bpe_train(docs, "text", n_merges=8)
+
+
+@register("bpe_token_counts_docs", _bpe_apply_oracle_sql(8))
+def _bpe_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→apply BPE pipeline: learn 8 merges, then re-segment the
+    corpus and report per-document (n_words, bpe_tokens) — the corpus
+    fertility under the TRAINED tokenizer (vs tokenizer_fertility's
+    static proxy). The merge application runs over the distinct-word
+    table only; symbol counts are length arithmetic, no array split."""
+    docs = _cat(spark, sf_dir).table("documents")
+    mrows = sorted(
+        training.bpe_train(docs, "text", n_merges=8).collect(),
+        key=lambda r: r["round"],
+    )
+    merges = [(r["lsym"], r["rsym"]) for r in mrows]
+    return training.bpe_token_counts(docs, merges, "doc_id", "text")
 
 
 @register(

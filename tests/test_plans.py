@@ -618,6 +618,7 @@ CONSTRUCTION_MAY_RUN_JOBS = {
     # unrolled plan would nest the vocab subtree twice per round, a 2^R
     # logical-plan blowup), the same class as the CC convergence count.
     "bpe_train_merges",
+    "bpe_token_counts_docs",  # trains (collects) before applying
 }
 
 

@@ -180,3 +180,28 @@ def test_survival_censoring_reduces_events_not_risk(spark):
     assert r["n_at_risk"] == 4
     assert r["n_events"] == 1
     assert r["survival"] == 0.75
+
+
+def test_bpe_token_counts_hand_computed(spark):
+    from etl_io_spark.operators import training
+
+    # merges (lo), (lo,w): "low" -> [low] = 1 symbol, "lower" ->
+    # [low, e, r] = 3, "cat" -> untouched 3 chars; "x9" filtered out
+    docs = _docs(spark, ["low low lower", "cat x9", None])
+    out = {
+        r["doc_id"]: (r["n_words"], r["bpe_tokens"])
+        for r in training.bpe_token_counts(
+            docs, [("l", "o"), ("lo", "w")]
+        ).collect()
+    }
+    assert out[0] == (3, 2 * 1 + 3)
+    assert out[1] == (1, 3)
+    assert 2 not in out  # NULL text contributes nothing
+
+
+def test_bpe_token_counts_no_merges_counts_chars(spark):
+    from etl_io_spark.operators import training
+
+    docs = _docs(spark, ["ab abc"])
+    out = training.bpe_token_counts(docs, []).collect()[0]
+    assert (out["n_words"], out["bpe_tokens"]) == (2, 5)
