@@ -645,40 +645,48 @@ def dsir_logratio(
     for up-sampling quality/domain-matched data before training. Returns
     ``(id, n_features, dsir_logratio)``; docs with no tokens are absent.
 
-    Shape: one map-side feature explode (tokens + zip_with bigrams — no
-    self-join), ONE bucket-count partial agg (raw and target counted
-    together via a conditional count) whose output is ``buckets``-sized,
-    a broadcast ratio join back onto the feature stream, one per-doc
-    partial agg. The exploded (id, tgt, bucket) stream is PERSISTED
-    (round-6; MEMORY_AND_DISK, no shuffle to produce) so the tokenize +
-    md5 work runs once instead of once per pass — interleaved
-    median-of-5 at sf0.1: 2.71 s → 1.47 s. Two other restructurings
-    were A/B-measured and REJECTED in round 5: persisting a per-doc
-    bucket HISTOGRAM (1.5× slower — forces a full-stream shuffle this
-    plan never pays) and scoring map-side via a broadcast lr-array
-    folded with ``aggregate``/``element_at`` (12% slower —
-    higher-order-function lambdas evaluate interpreted, outside
-    whole-stage codegen, while the exploded join stays codegen'd).
+    Shape: one INDEX explode over the bound token array (positions
+    1..2n−1: the first n are unigrams, the rest build bigram p−n from
+    two ``element_at`` reads — r12 rewrite; no bigram ARRAY is ever
+    materialized and no higher-order lambda runs: the previous
+    ``zip_with``-over-slices form paid interpreted lambda evaluation
+    per bigram, and the raw feature-stream pass measured 13.8 → 3.1 s
+    at 500k docs when rewritten this way), ONE bucket-count partial agg
+    (raw and target counted together via a conditional count) whose
+    output is ``buckets``-sized, a broadcast ratio join back onto the
+    feature stream, one per-doc partial agg. The (id, tgt, bucket)
+    stream is PERSISTED (round-6; no shuffle to produce) so the
+    tokenize + md5 work runs once instead of once per pass —
+    re-measured with the r12 expression at 500k docs: persist 27.9 s
+    vs no-persist 59.3 s; full op 34.1 → 27.9 s (1.9x vs the DuckDB
+    oracle, inside the 2x gate). Round-5 rejects still stand:
+    per-doc bucket HISTOGRAM persist (full-stream shuffle) and
+    broadcast lr-array folded with ``aggregate`` (interpreted lambda).
     The feature hash is the md5-derived ``hash60`` so the DuckDB oracle
     reproduces every bucket exactly. Caller drains the pin via
     ``caching.drain_persisted()`` (standard contract).
     """
-    toks = tokens(text_col)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
     base = spread(df).select(
-        F.col(id_col), target_pred.alias("__tgt"), toks.alias("__u"), bigrams.alias("__b")
+        F.col(id_col), target_pred.alias("__tgt"), tokens(text_col).alias("__t")
+    ).where(F.size("__t") >= 1)
+    n = F.size("__t")
+    pos = base.select(
+        id_col,
+        "__tgt",
+        "__t",
+        F.explode(F.sequence(F.lit(1), F.lit(2) * n - 1)).alias("__i"),
+    )
+    i = F.col("__i")
+    feat = F.when(i <= n, F.element_at("__t", i)).otherwise(
+        F.concat(
+            F.element_at("__t", i - n),
+            F.lit(" "),
+            F.element_at("__t", i - n + F.lit(1)),
+        )
     )
     feats = persist_tracked(
-        base.select(
-            id_col,
-            "__tgt",
-            F.explode(F.concat(F.col("__u"), F.col("__b"))).alias("__f"),
-        ).select(
-            id_col, "__tgt", (hash60(F.col("__f")) % buckets).alias("__bk")
+        pos.select(
+            id_col, "__tgt", (hash60(feat) % buckets).alias("__bk")
         )
     )
     # ONE pass over the feature stream counts raw and target together

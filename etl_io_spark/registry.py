@@ -52,23 +52,25 @@ _WINDOW_ORDER: tuple[str, ...] = (
     # guard; weighted_percentiles_prices: reserved-working-name guard
     # — changed code always re-grades). Then the ENTIRE
     # last-driver-graded-r6 cohort (26 — the stalest oracled keys in
-    # the registry) and a 18-key diverse slice of the
+    # the registry) and a 17-key diverse slice of the
     # last-graded-r7 cohort (sources/pipelines, SCD, embeddings,
-    # training, windows, aggregates); the remaining 15 r7 keys rotate
-    # in r13. No oracled key's latest grading is older than r6 going
+    # training, windows, aggregates); the remaining 17 r7 keys rotate
+    # in r13 (grouping_sets_flags and rfm_segments ceded their drafted
+    # slots to late r12 work). No oracled key's latest grading is older than r6 going
     # in, and none will be older than r7 coming out. All 50 swept with
     # tools/hash_parity.py at sf0.01 + sf0.1 BEFORE this rotation
     # shipped (HASHPARITY_r12.log); rows-only keys stay excluded (they
-    # can only return `err: no_oracle`). Totals: 6 + 26 + 18 = 50 (the
+    # can only return `err: no_oracle`). Totals: 7 + 26 + 17 = 50 (the
     # late-landed bpe_token_counts_docs displaced rfm_segments, which
     # rotates with the rest of the r7 cohort in r13).
     #
     # -- priority: keys ADDED in r12 (3)
     "bpe_train_merges", "survival_curve_censored_users",
     "bpe_token_counts_docs",
-    # -- priority: operator/oracle changed in r12 (3)
+    # -- priority: operator/oracle changed in r12 (4; dsir re-enters
+    #    for the index-explode perf rewrite, values unchanged)
     "conversion_attribution_events", "impute_interpolate_events",
-    "weighted_percentiles_prices",
+    "weighted_percentiles_prices", "dsir_weights_docs",
     # -- sentinels: stalest, last graded r6 (26 = the full cohort)
     "incremental_dedup", "cross_source_dups", "snm_neardup_docs",
     "segment_dedup_docs", "dedup_yield", "lsh_eval", "fuzzy_name_pairs",
@@ -87,7 +89,6 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "merge_upsert_customer", "scd2_snapshot_lookup",
     "changelog_compaction", "snapshot_diff_orders", "zorder_code_orders",
     "anomaly_zscore_events", "embedding_centroids", "kmeans_embeddings",
-    "grouping_sets_flags",
 )
 
 #: Previous rotation kept for provenance (r11, VERDICT r10 ask #1).
