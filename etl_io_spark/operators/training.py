@@ -1090,9 +1090,11 @@ def bpe_token_counts(
         (F.length(seg) - F.length(F.translate(seg, " ", ""))) / F.lit(2)
         - F.lit(1)
     ).cast("bigint")
-    vs = words.select("__w").distinct().select(
-        "__w", nsym.alias("__nsym")
-    )
+    # vocab derives from dw, not from the raw word stream: the distinct
+    # then shares dw's scan + (doc, word) partial-agg + exchange subtree
+    # (ReusedExchange) instead of tokenizing the corpus a second time
+    # (r12 self-review — the dsir/boilerplate single-pass cost class)
+    vs = dw.select("__w").distinct().select("__w", nsym.alias("__nsym"))
     return (
         dw.join(vs, "__w")
         .groupBy(doc_id_col)

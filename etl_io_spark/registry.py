@@ -44,25 +44,27 @@ def register(name: str, sql: str | None = None):
 #: by the stricter local gate (tools/check.py) and pytest.
 _WINDOW_ORDER: tuple[str, ...] = (
     # Round-12 rotation (VERDICT r11 ask #2: stalest-graded cohort).
-    # Priority slots (5): the 2 keys ADDED this round (new keys always
-    # enter the window the round they land) and the 3 keys whose
-    # operator or oracle changed in the r11-ADVICE hardening pass
+    # Priority slots (7): the 3 keys ADDED this round (new keys always
+    # enter the window the round they land), the 3 keys whose operator
+    # or oracle changed in the r11-ADVICE hardening pass
     # (conversion_attribution_events: NULL event_type exclusion;
     # impute_interpolate_events: coincident-neighbor divide-by-zero
-    # guard; weighted_percentiles_prices: reserved-working-name guard
-    # — changed code always re-grades). Then the ENTIRE
-    # last-driver-graded-r6 cohort (26 — the stalest oracled keys in
-    # the registry) and a 17-key diverse slice of the
-    # last-graded-r7 cohort (sources/pipelines, SCD, embeddings,
-    # training, windows, aggregates); the remaining 17 r7 keys rotate
-    # in r13 (grouping_sets_flags and rfm_segments ceded their drafted
-    # slots to late r12 work). No oracled key's latest grading is older than r6 going
-    # in, and none will be older than r7 coming out. All 50 swept with
+    # guard; weighted_percentiles_prices: reserved-working-name guard),
+    # and dsir_weights_docs, whose operator was perf-rewritten this
+    # round (index-explode feature stream; values unchanged — changed
+    # code always re-grades). Then the ENTIRE last-driver-graded-r6
+    # cohort (26 — the stalest oracled keys in the registry) and a
+    # 17-key diverse slice of the 33-key last-graded-r7 cohort
+    # (sources/pipelines, SCD, embeddings, training, windows,
+    # aggregates); the remaining 16 r7 keys rotate in r13
+    # (grouping_sets_flags and rfm_segments ceded their drafted slots
+    # to the late-landed bpe_token_counts_docs and the dsir re-entry).
+    # No oracled key's latest grading is older than r6 going in, and
+    # none will be older than r7 coming out. All 50 swept with
     # tools/hash_parity.py at sf0.01 + sf0.1 BEFORE this rotation
-    # shipped (HASHPARITY_r12.log); rows-only keys stay excluded (they
-    # can only return `err: no_oracle`). Totals: 7 + 26 + 17 = 50 (the
-    # late-landed bpe_token_counts_docs displaced rfm_segments, which
-    # rotates with the rest of the r7 cohort in r13).
+    # shipped (HASHPARITY_r12.log + addenda); rows-only keys stay
+    # excluded (they can only return `err: no_oracle`).
+    # Totals: 7 + 26 + 17 = 50.
     #
     # -- priority: keys ADDED in r12 (3)
     "bpe_train_merges", "survival_curve_censored_users",
@@ -81,8 +83,8 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "ewma_events", "twap_events", "resample_ffill_events",
     "sessionize_events", "readability_docs", "target_encode_orders",
     "rendezvous_shards_docs",
-    # -- sentinels: last graded r7, diverse slice (19; the other 14
-    #    r7-graded oracled keys rotate in r13)
+    # -- sentinels: last graded r7, diverse slice (17 of 33; the
+    #    other 16 rotate in r13)
     "select_project_filter", "group_count", "window_topk_per_group",
     "embedding_neardup", "split_assign", "stratified_sample",
     "weighted_mix", "profile_lineitem", "dq_violations",
@@ -8915,9 +8917,17 @@ def _bpe_chain_sql(n_merges: int) -> str:
     b{k} AS (SELECT {k} AS rnd, l, r, cnt FROM p{k}
              ORDER BY cnt DESC, l, r LIMIT 1),
     w{k} AS (
-      SELECT w, freq, replace(seg, ' ' || l || '  ' || r || ' ',
-                              ' ' || l || r || ' ') AS seg
-      FROM w{k - 1}, b{k}
+      -- LEFT JOIN ON TRUE, not a cross join: when the corpus exhausts
+      -- merge pairs before round {k}, b{k} is EMPTY and a cross join
+      -- would empty the whole vocabulary chain — the Spark loop
+      -- breaks and keeps the learned merges, so the oracle must carry
+      -- the vocab through no-op rounds unchanged (r12 self-review;
+      -- load-bearing for the apply oracle, which reads the final w)
+      SELECT w, freq,
+             CASE WHEN l IS NULL THEN seg
+                  ELSE replace(seg, ' ' || l || '  ' || r || ' ',
+                               ' ' || l || r || ' ') END AS seg
+      FROM w{k - 1} LEFT JOIN b{k} ON TRUE
     )"""
         )
     return "".join(parts)

@@ -205,3 +205,39 @@ def test_bpe_token_counts_no_merges_counts_chars(spark):
     docs = _docs(spark, ["ab abc"])
     out = training.bpe_token_counts(docs, []).collect()[0]
     assert (out["n_words"], out["bpe_tokens"]) == (2, 5)
+
+
+def test_bpe_oracles_survive_merge_exhaustion(spark, tmp_path):
+    """When the corpus runs out of pairs before round n (Spark breaks
+    early), the unrolled oracle must carry the vocab through the empty
+    rounds (LEFT JOIN ON TRUE), not empty it via a cross join — pinned
+    by running BOTH engines on an exhausting corpus ("aaa": 2 merges,
+    then nothing)."""
+    import duckdb
+    import pandas as pd
+
+    from etl_io_spark import registry
+    from etl_io_spark.operators import training
+
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["aaa", "aaa aa"]})
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    docs = spark.createDataFrame(pdf)
+
+    # merges key: oracle rows == Spark rows (early stop on both sides)
+    want_m = sorted(
+        map(tuple, training.bpe_train(docs, "text", n_merges=8).collect())
+    )
+    got_m = sorted(map(tuple, con.sql(registry._bpe_oracle_sql(8)).fetchall()))
+    assert got_m == want_m and len(got_m) < 8
+
+    # apply key: the final vocab must survive the no-op rounds
+    merges = [(l, r) for _, l, r, _ in want_m]
+    want_a = sorted(
+        map(tuple, training.bpe_token_counts(docs, merges).collect())
+    )
+    got_a = sorted(
+        map(tuple, con.sql(registry._bpe_apply_oracle_sql(8)).fetchall())
+    )
+    assert got_a == want_a
+    assert len(got_a) == 2  # one row per doc, NOT an emptied chain
