@@ -336,7 +336,10 @@ def simhash(
     ONE aggregate pass (no per-bit explode): the shuffle carries ``bits``
     ints per doc. Near-dup docs differ in few bits (small Hamming distance).
     """
-    tok = spread(df).select(
+    # spread_text (r12-opt): tokenize+md5 per token is the expensive map
+    # and the per-doc bit votes aggregate doc-locally (interleaved A/B at
+    # sf0.1: 1.09 -> 0.88 s median of 5)
+    tok = spread_text(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("t")
     ).withColumn("h", hash60(F.col("t")))
     votes = tok.groupBy(id_col).agg(

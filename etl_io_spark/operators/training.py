@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from etl_io_spark.caching import persist_tracked
-from etl_io_spark.operators.text import hash60, token_count_ws, tokens
+from etl_io_spark.operators.text import (
+    hash60,
+    spread_text,
+    token_count_ws,
+    tokens,
+)
 from etl_io_spark.partitioning import spread
 
 #: split thresholds are expressed in basis points of the hash ring so
@@ -100,7 +105,10 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
-    toked = spread(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    # spread_text (r12-opt): the tokenize+slice generator is a pure
+    # per-doc map with NO downstream shuffle, so parallelism is free
+    # (interleaved A/B at sf0.1: 0.40 -> 0.22 s median of 5)
+    toked = spread_text(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
     starts = F.sequence(
         F.lit(1), F.greatest(F.size("__toks"), F.lit(1)), F.lit(stride)
     )
@@ -231,7 +239,10 @@ def pii_redact(
             F.regexp_count(out, F.lit(pat)).alias(f"n_{kind}")
         )
         out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
-    return spread(df).select(
+    # spread_text (r12-opt): the regex battery is map-only (no shuffle
+    # follows), so the text-tuned split floor parallelizes it for free
+    # (interleaved A/B at sf0.1: 0.46 -> 0.18 s median of 5)
+    return spread_text(df).select(
         F.col(id_col), *counts, out.alias("redacted_text")
     )
 

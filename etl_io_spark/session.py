@@ -17,6 +17,7 @@ Key choices (rationale in comments; all are Spark built-ins):
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -80,7 +81,17 @@ def get_spark(
     # local mode: shuffle partitions = cores (AQE coalesces below that);
     # on a cluster the initialPartitionNum + AQE governs instead.
     if master.startswith("local"):
-        cores = os.cpu_count() or 8
+        # size to the master's ACTUAL core grant, not the machine's
+        # cpu_count: the driver harness also runs local[N] with N below
+        # the machine cores to measure per-query core scaling, and a
+        # 32-partition shuffle on local[8] pays 4 task waves per
+        # exchange for nothing (r12-opt; same class as deriving cluster
+        # parallelism from the driver host's cores).
+        m = re.fullmatch(r"local\[(\d+|\*)\]", master)
+        if m and m.group(1) != "*":
+            cores = int(m.group(1))
+        else:
+            cores = os.cpu_count() or 8
         conf["spark.sql.shuffle.partitions"] = str(min(32, cores))
         conf["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] = str(
             min(64, cores * 2)
