@@ -85,59 +85,273 @@ def agg_exprs(df: DataFrame, keys: Sequence[str], *exprs: Column) -> DataFrame:
     return df.groupBy(*keys).agg(*exprs)
 
 
+#: leaf-scan-bytes floor above which ``exact_percentiles`` takes the
+#: rank-targeting plan. Below it the single-window plan wins: at sf0.1
+#: (~11 MB lineitem) the window sorts ~200k rows per group in ~0.3 s
+#: while targeting pays three scans + broadcast plumbing (measured
+#: medians 1.04 vs 1.92 s on percentiles_by_flag); at the 10x corpus
+#: (~110 MB) the cliff has inverted — window 6.72 s vs targeting 3.14 s
+#: (2.1x) and the gap widens with scale because the window plan is ONE
+#: task per group. Same gate idiom as KCORE_PERSIST_MIN_SCAN_BYTES;
+#: unknown leaf stats read as huge and take the scale-protective
+#: targeting branch. 100 TB inputs are always far above this.
+EXACT_PCT_TARGET_MIN_SCAN_BYTES = 32 * 1024 * 1024
+
+
 def exact_percentiles(
     df: DataFrame,
     keys: Sequence[str],
     col: str,
     quantiles: Sequence[float],
     round_to: int = 2,
+    n_buckets: int | str = "auto",
 ) -> DataFrame:
     """Exact linear-interpolation percentiles per group (SQL
     ``quantile_cont`` semantics: rank ``r = (n-1)*q``, result
     ``v[floor(r)]*(1-frac) + v[ceil(r)]*frac`` over the sorted values).
 
-    Sort-based: one shuffle partitions by ``keys``, a Tungsten window sort
-    orders each group, and the interpolation endpoints are picked by row
-    number and combined in a final tiny per-group sum. Chosen over the
-    builtin ``percentile`` aggregate deliberately: that aggregate buffers
-    every distinct value per group in an in-memory hash map (OOM on
-    high-cardinality measures at scale, and ~1.5x slower measured at
-    sf0.1), while a window sort spills gracefully. Parallelism is bounded
-    by the number of groups — for percentiles over a handful of giant
-    groups at extreme scale, prefer the ``approx_percentile`` sketch
-    (see ``approx_percentile_price``)."""
+    Shape (r12-opt) — histogram-refinement rank TARGETING, the unweighted
+    twin of :func:`weighted_percentiles`' r11 rewrite (this operator had
+    kept the single-window plan, i.e. the exact scale cliff the weighted
+    rewrite retired: ``Window.partitionBy(few groups)`` hands each group
+    to ONE task — a sequential full-group sort at 100 TB). Three map-side
+    passes, zero data-sized exchanges: (1) per-group (n, min, max); (2)
+    per-(group, fixed-width-bucket) ROW COUNTS, then the only
+    sequential-per-group window — over the ≤``n_buckets`` count rows —
+    yields each bucket's inclusive end-cumulative and exclusive prefix,
+    from which both interpolation endpoint ranks (``floor(r)+1`` /
+    ``ceil(r)+1``, exact int64 arithmetic) are located in their target
+    buckets; (3) one final scan keeps only target-bucket rows, collapses
+    them to (value, count), and a bucket-sized running count picks each
+    endpoint's EXACT ranked value (``min(value WHERE prefix + cum >=
+    k)`` — the k-th smallest raw value, duplicates included). The
+    interpolation combines the two endpoint values with the identical
+    expression the old window plan summed (two IEEE terms — addition of
+    two doubles is order-insensitive, so outputs are bit-identical; the
+    lo == hi case keeps the single-term form so ``-0.0`` values cannot
+    pick up a ``+ 0.0``). Counts are exact integers, so the located
+    ranks can never drift cross-engine.
+
+    ``n_buckets="auto"`` (default) SIZE-GATES the plan choice on
+    ``partitioning.leaf_scan_bytes`` (the kcore idiom): below
+    ``EXACT_PCT_TARGET_MIN_SCAN_BYTES`` the single-window plan wins
+    (targeting's three scans + broadcast plumbing cost more than a
+    sub-second in-task sort — measured at sf0.1); above it — including
+    unknown-stats leaves, which read as huge — targeting wins and keeps
+    widening (10x corpus: 6.7 vs 3.1 s). Both plans are bit-identical,
+    so the gate can never change results. ``n_buckets=0`` forces the
+    single-window plan — also right when there are MANY groups (windows
+    already parallelize across groups and the per-group stats frame
+    would be too big to broadcast); it is the automatic fallback for
+    non-numeric (merely orderable) values, where bucket arithmetic is
+    undefined. Any int > 1 forces targeting with that bucket count.
+    Still chosen over the builtin ``percentile`` aggregate: that
+    buffers every distinct value per group in an in-memory hash map
+    (OOM on high-cardinality measures at scale, and ~1.5x slower
+    measured at sf0.1).
+
+    NULL measures are EXCLUDED up front — SQL quantile semantics
+    (quantile_cont skips NULLs); ranking them would poison both the
+    ranks and n, and Spark/DuckDB disagree on NULL sort position anyway
+    (NULLS FIRST vs LAST defaults — round-10 review). Floor-form
+    rounding, not ROUND: with frac = 0.5 the interpolated value is a
+    mean of two 2-decimal prices — terminates at the 2nd decimal, the
+    HALF_UP-vs-binary cross-engine class (caught live at sf0.001: p50
+    52724.245). Oracles mirror the interpolation arithmetic AND the
+    floor form verbatim."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*keys).orderBy(col)
-    part = Window.partitionBy(*keys)
-    # NULL measures are EXCLUDED up front — SQL quantile semantics
-    # (quantile_cont skips NULLs); ranking them would poison both the
-    # ranks and n, and Spark/DuckDB disagree on NULL sort position
-    # anyway (NULLS FIRST vs LAST defaults — round-10 review)
-    base = (
-        df.select(*keys, col)
-        .where(F.col(col).isNotNull())
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(part))
+    from pyspark.sql.types import NumericType
+
+    keys = list(keys)
+    quantiles = list(quantiles)
+    # internal working columns join back onto the user's frame — fail
+    # loudly on a clash (the asof_join/weighted_percentiles guard class)
+    reserved = {
+        "__g", "__q", "__r", "__e", "__k", "__b", "__bw", "__end",
+        "__prefix", "__n", "__lo", "__hi", "__c", "__cum", "__v",
+        "__vl", "__vh", "__kl", "__kh", "__rn",
+    }
+    clashes = sorted(c for c in df.columns if c in reserved)
+    if clashes:
+        raise ValueError(
+            f"exact_percentiles reserves column names {sorted(reserved)} "
+            f"internally; rename input columns {clashes}"
+        )
+    if n_buckets == "auto":
+        from etl_io_spark.partitioning import leaf_scan_bytes
+
+        n_buckets = (
+            1024
+            if leaf_scan_bytes(df) >= EXACT_PCT_TARGET_MIN_SCAN_BYTES
+            else 0
+        )
+    elif not isinstance(n_buckets, int) or isinstance(n_buckets, bool):
+        # any other string ('Auto', 'on') would coerce by truthiness and
+        # silently pin a branch
+        raise ValueError(
+            f"n_buckets must be an int or 'auto', got {n_buckets!r}"
+        )
+    if n_buckets and not isinstance(
+        df.schema[col].dataType, NumericType
+    ):
+        n_buckets = 0
+    drop_group = False
+    if not keys:
+        df = df.withColumn("__g", F.lit(1))
+        keys, drop_group = ["__g"], True
+    filt = df.select(*keys, col).where(F.col(col).isNotNull())
+    if not (n_buckets and n_buckets > 1):
+        # single-window plan (pre-r12 shape): right at high group
+        # cardinality, and the non-numeric-value fallback
+        w = Window.partitionBy(*keys).orderBy(col)
+        part = Window.partitionBy(*keys)
+        base = (
+            filt.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(part))
+        )
+        aggs = []
+        for q in quantiles:
+            r = (F.col("__n") - 1) * F.lit(float(q))
+            lo = F.floor(r) + 1  # 1-based row numbers of the endpoints
+            hi = F.ceil(r) + 1
+            frac = r - F.floor(r)
+            v = F.when(F.col("__rn") == lo, F.col(col) * (1 - frac)).when(
+                (F.col("__rn") == hi) & (lo != hi), F.col(col) * frac
+            )
+            aggs.append(
+                round_floor(F.sum(v), round_to).alias(
+                    f"p{int(round(q * 100))}"
+                )
+            )
+        out = base.groupBy(*keys).agg(*aggs)
+        return out.drop("__g") if drop_group else out
+
+    # -- pass 1: per-group stats (map-side combine; one row per group)
+    stats = filt.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(col).alias("__lo"),
+        F.max(col).alias("__hi"),
     )
-    aggs = []
-    for q in quantiles:
-        r = (F.col("__n") - 1) * F.lit(float(q))  # 0-based fractional rank
-        lo = F.floor(r) + 1  # 1-based row numbers of the endpoints
-        hi = F.ceil(r) + 1
-        frac = r - F.floor(r)
-        v = F.when(F.col("__rn") == lo, F.col(col) * (1 - frac)).when(
-            (F.col("__rn") == hi) & (lo != hi), F.col(col) * frac
+    step = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    bucket = (
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col(col) - F.col("__lo")) / step),
+                F.lit(n_buckets - 1),
+            )
         )
-        # floor-form, not ROUND: with frac = 0.5 the interpolated value
-        # is a mean of two 2-decimal prices — terminates at the 2nd
-        # decimal, the HALF_UP-vs-binary cross-engine class (caught live
-        # at sf0.001: p50 52724.245). Oracles mirror the interpolation
-        # arithmetic AND the floor form verbatim.
-        aggs.append(
-            round_floor(F.sum(v), round_to).alias(f"p{int(round(q * 100))}")
+        .cast("int")
+    )
+    # -- pass 2: per-(group, bucket) row counts (map-side combine), then
+    #    the ONLY sequential-per-group window — over those count rows
+    bt = (
+        filt.join(F.broadcast(stats), keys)
+        .groupBy(*keys, bucket.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__bw"))
+    )
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bt = bt.withColumn("__end", F.sum("__bw").over(wb)).withColumn(
+        "__prefix", F.col("__end") - F.col("__bw")
+    )
+    # endpoint-rank frame: one row per (group, quantile, endpoint) with
+    # the exact 1-based target rank __k; __r rides along for frac below.
+    # The rank arithmetic is IDENTICAL to the window plan's per-row form:
+    # r = (n - 1) * q in doubles, floor/ceil + 1.
+    qarr = F.array(*[F.lit(float(q)) for q in quantiles])
+    r = (F.col("__n") - 1) * F.col("__q")
+    ranks = (
+        stats.select(*keys, "__n")
+        .withColumn("__q", F.explode(qarr))
+        .withColumn("__r", r)
+        .select(
+            *keys,
+            "__q",
+            "__r",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("__e"),
+                        (F.floor(F.col("__r")) + 1).alias("__k"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("__e"),
+                        (F.ceil(F.col("__r")) + 1).alias("__k"),
+                    ),
+                )
+            ).alias("__ek"),
         )
-    return base.groupBy(*keys).agg(*aggs)
+        .select(*keys, "__q", "__r", F.col("__ek.__e").alias("__e"),
+                F.col("__ek.__k").alias("__k"))
+    )
+    # each endpoint's target bucket: the first whose inclusive
+    # end-cumulative reaches its rank — the ranked value lives there
+    tb = (
+        bt.join(F.broadcast(ranks), keys)
+        .groupBy(*keys, "__q", "__r", "__e", "__k")
+        .agg(
+            F.min(
+                F.when(F.col("__end") >= F.col("__k"), F.col("__b"))
+            ).alias("__b")
+        )
+    )
+    tinfo = tb.join(bt.select(*keys, "__b", "__prefix"), [*keys, "__b"]).join(
+        F.broadcast(stats.select(*keys, "__lo", "__hi")), keys
+    )
+    # -- pass 3: target-bucket rows only (a row can serve several
+    #    endpoints — the join fans it out per matching one), collapsed to
+    #    (value, count); running COUNT over the bucket-sized sliver picks
+    #    the exact ranked value. Integer counts are exact in any order.
+    cand = filt.join(F.broadcast(tinfo), keys).where(bucket == F.col("__b"))
+    gq = cand.groupBy(
+        *keys, "__q", "__r", "__e", "__k", "__prefix", col
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    run = (
+        Window.partitionBy(*keys, "__q", "__e")
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ansek = (
+        gq.withColumn("__cum", F.col("__prefix") + F.sum("__c").over(run))
+        .groupBy(*keys, "__q", "__r", "__e", "__k")
+        .agg(
+            F.min(
+                F.when(F.col("__cum") >= F.col("__k"), F.col(col))
+            ).alias("__v")
+        )
+    )
+    # fold the two endpoints back to one row per (group, quantile) and
+    # interpolate with the window plan's exact expression: frac = r -
+    # floor(r); two-term Add when lo != hi (order-insensitive for two
+    # doubles), single term when lo == hi (preserves -0.0 exactly as the
+    # old single-matching-row SUM did)
+    per_q = ansek.groupBy(*keys, "__q", "__r").agg(
+        F.min(F.when(F.col("__e") == 0, F.col("__v"))).alias("__vl"),
+        F.min(F.when(F.col("__e") == 1, F.col("__v"))).alias("__vh"),
+        F.min(F.when(F.col("__e") == 0, F.col("__k"))).alias("__kl"),
+        F.min(F.when(F.col("__e") == 1, F.col("__k"))).alias("__kh"),
+    )
+    frac = F.col("__r") - F.floor(F.col("__r"))
+    interp = F.when(
+        F.col("__kl") != F.col("__kh"),
+        F.col("__vl") * (1 - frac) + F.col("__vh") * frac,
+    ).otherwise(F.col("__vl") * (1 - frac))
+    scored = per_q.select(
+        *keys, "__q", round_floor(interp, round_to).alias("__v")
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("__q") == F.lit(float(q)), F.col("__v"))
+        ).alias(f"p{int(round(q * 100))}")
+        for q in quantiles
+    ]
+    out = scored.groupBy(*keys).agg(*aggs)
+    return out.drop("__g") if drop_group else out
 
 
 def weighted_percentiles(

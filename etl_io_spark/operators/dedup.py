@@ -1431,7 +1431,13 @@ def jaccard_pairs_prefix(
     )
 
     def prefix_rows(length, id_alias, rn_alias, sz_alias):
-        return docarr.select(
+        # spread (r12-opt): the candidate join + positional filters run
+        # map-side over THIS relation's partitions (index side and the
+        # doc arrays are broadcast), and with AQE re-sizing cached-plan
+        # output (session.py) the docarr cache lands in ~1 byte-sized
+        # partition — far too coarse for work that is quadratic per
+        # byte. spread no-ops at scale (never shrinks).
+        return spread(docarr, min_bytes_per_partition=32 * 1024).select(
             F.col(id_col).alias(id_alias),
             F.col("__sz").alias(sz_alias),
             F.posexplode(F.slice("__shs", F.lit(1), length)).alias(

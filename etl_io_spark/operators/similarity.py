@@ -861,8 +861,20 @@ def _semdedup_keep_within_cells(
     vector in the SAME cell has cosine ≥ threshold. One bucket-keyed
     self-join; shared by the LSH-cell (:func:`semdedup`) and
     k-means-cell (:func:`semdedup_kmeans`) variants."""
-    a = bk.select(
-        F.col("vec_id").alias("__aid"), F.col("__v").alias("__va"), "bucket"
+    # spread the probe side (r12-opt): with AQE re-sizing cached-plan
+    # output partitioning (session.py), the small bk cache materializes
+    # in ~1 byte-sized partition — but the pair pass below is QUADRATIC
+    # per byte (one interpreted dot per candidate pair), so it must not
+    # inherit the cache's byte-sized layout. spread never shrinks and
+    # no-ops once the cache has >= core-count partitions (100 TB), so
+    # this is local-regime parallelism only (A/B: 6.55 -> 2.0 s median).
+    a = spread(
+        bk.select(
+            F.col("vec_id").alias("__aid"),
+            F.col("__v").alias("__va"),
+            "bucket",
+        ),
+        min_bytes_per_partition=32 * 1024,
     )
     b = bk.select(
         F.col("vec_id").alias("__bid"), F.col("__v").alias("__vb"), "bucket"

@@ -33,6 +33,15 @@ _DEFAULTS: dict[str, str] = {
     # byte size is tiny but whose per-row compute is heavy (md5 shingling,
     # embedding dots) need task-count = parallelism, not one 64 MiB task.
     # At 100 TB the advisory size governs anyway (data >> cores × 64 MiB).
+    # let AQE re-size the OUTPUT partitioning of cached plans (off by
+    # default): a persisted relation otherwise materializes at the raw
+    # initialPartitionNum, and every pass over a small cache pays a task
+    # wave per partition (pmi's vocabulary cache: four 64-task stages at
+    # sf0.1, 2.54 -> 0.94 s with this on). Scale-correct by construction —
+    # the coalesce targets advisoryPartitionSizeInBytes, so big caches
+    # keep their parallelism. CPU-heavy consumers whose work is quadratic
+    # per byte (vector pair joins) re-spread explicitly (r12-opt).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # --- arrow / pandas interop --------------------------------------------
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

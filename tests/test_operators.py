@@ -201,6 +201,42 @@ def test_weighted_percentiles_excludes_null_values_and_weights(spark):
     assert got.asDict() == want.asDict()
 
 
+def test_exact_percentiles_targeting_matches_window(spark):
+    # r12-opt: the rank-targeting plan (forced via n_buckets) must be
+    # bit-identical to the single-window plan (n_buckets=0) — duplicates,
+    # negatives, all-equal groups, NULL rows, n=1 groups
+    import random
+
+    from etl_io_spark.operators import aggregate as agg
+
+    rng = random.Random(13)
+    rows = [
+        Row(g=f"g{g}", v=float(rng.choice([-5.5, -1.0, 0.0, 2.25, 7.0, 7.0])))
+        for g in range(5)
+        for _ in range(rng.choice([1, 2, 50, 301]))
+    ]
+    rows += [Row(g="eq", v=3.0)] * 9 + [Row(g="nl", v=None), Row(g="nl", v=4.0)]
+    df = spark.createDataFrame(rows)
+    qs = (0.0, 0.1, 0.5, 0.77, 1.0)
+    win = agg.exact_percentiles(df, ["g"], "v", qs, 4, n_buckets=0)
+    tgt = agg.exact_percentiles(df, ["g"], "v", qs, 4, n_buckets=64)
+    assert win.exceptAll(tgt).count() == 0
+    assert tgt.exceptAll(win).count() == 0
+
+
+def test_exact_percentiles_rejects_bad_gate_and_clash(spark):
+    import pytest as _pytest
+
+    from etl_io_spark.operators import aggregate as agg
+
+    df = spark.createDataFrame([Row(g="x", v=1.0)])
+    with _pytest.raises(ValueError, match="auto"):
+        agg.exact_percentiles(df, ["g"], "v", (0.5,), n_buckets="Auto")
+    clash = df.withColumnRenamed("v", "__k")
+    with _pytest.raises(ValueError, match="reserve"):
+        agg.exact_percentiles(clash, ["g"], "__k", (0.5,))
+
+
 def test_exact_percentiles_single_row_group(spark):
     from etl_io_spark.operators import aggregate as agg
 
