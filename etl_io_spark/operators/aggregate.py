@@ -738,30 +738,50 @@ def cooccurrence_pairs(
     )
 
 
-def _basket_pair_counts(
-    df: DataFrame, basket_col: str, item_col: str, min_count: int
+def _basket_item_sets(
+    df: DataFrame, basket_col: str, item_col: str
 ) -> DataFrame:
-    """Unordered-pair basket counts (a < b) — the shared core of
-    ``cooccurrence_pairs`` and ``item_similarity``: one collect_set
-    shuffle, map-side slice expansion, one pair-count shuffle."""
-    baskets = (
-        df.groupBy(basket_col)
-        .agg(F.array_sort(F.collect_set(item_col)).alias("__items"))
-        # singleton baskets produce no pairs; drop them BEFORE expansion
-        .where(F.size("__items") >= 2)
+    """Per-basket sorted distinct item arrays (UNFILTERED — singleton and
+    empty-set baskets kept): the ONE fact-keyed shuffle every basket
+    consumer derives from. collect_set partial-aggregates map-side and
+    skips NULL items; a basket whose items are all NULL keeps its row
+    with an empty array (so basket totals still count it, matching the
+    old DISTINCT formulation's (basket, NULL) row)."""
+    return df.groupBy(basket_col).agg(
+        F.array_sort(F.collect_set(item_col)).alias("__items")
     )
-    pairs = baskets.select(
-        "__items", F.posexplode("__items").alias("__i", "item_a")
-    ).select(
-        "item_a",
-        F.explode(
-            F.slice("__items", F.col("__i") + 2, F.size("__items"))
-        ).alias("item_b"),
+
+
+def _pair_counts_from_sets(sets: DataFrame, min_count: int) -> DataFrame:
+    """Unordered-pair basket counts (a < b) from a per-basket item-set
+    relation: map-side slice expansion + one pair-count shuffle."""
+    pairs = (
+        # singleton baskets produce no pairs; drop them BEFORE expansion
+        sets.where(F.size("__items") >= 2)
+        .select("__items", F.posexplode("__items").alias("__i", "item_a"))
+        .select(
+            "item_a",
+            F.explode(
+                F.slice("__items", F.col("__i") + 2, F.size("__items"))
+            ).alias("item_b"),
+        )
     )
     return (
         pairs.groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .where(F.col("n_baskets") >= min_count)
+    )
+
+
+def _basket_pair_counts(
+    df: DataFrame, basket_col: str, item_col: str, min_count: int
+) -> DataFrame:
+    """Unordered-pair basket counts (a < b) — the shared core of
+    ``cooccurrence_pairs``, ``item_similarity`` and ``basket_rules``:
+    one collect_set shuffle, map-side slice expansion, one pair-count
+    shuffle."""
+    return _pair_counts_from_sets(
+        _basket_item_sets(df, basket_col, item_col), min_count
     )
 
 
@@ -779,10 +799,22 @@ def item_similarity(
     bought b", normalized so ubiquitous items don't dominate raw counts).
 
     Adds to the pair-count core only two broadcast joins against the
-    (small) per-item count table; ranking plans as TakeOrdered."""
-    b = df.select(basket_col, item_col).distinct()
-    counts = b.groupBy(item_col).agg(F.count(F.lit(1)).alias("__n"))
-    pc = _basket_pair_counts(df, basket_col, item_col, min_pair_count)
+    (small) per-item count table; ranking plans as TakeOrdered.
+
+    r12-opt: the per-item counts are derived FROM the per-basket item-set
+    relation (explode + partial-agg count) instead of a second
+    DISTINCT(basket, item) pass — the old shape shuffled the fact table
+    twice on two different keys; this one shuffles it once (the
+    collect_set exchange is shared with the pair path via Spark's
+    exchange reuse) and the supports shuffle carries the exploded stream
+    partial-aggregated to vocabulary size. Value-identical: collect_set
+    holds exactly the basket's distinct non-NULL items, and the pair
+    joins never match a NULL item anyway."""
+    sets = _basket_item_sets(df, basket_col, item_col)
+    counts = sets.select(
+        F.explode("__items").alias(item_col)
+    ).groupBy(item_col).agg(F.count(F.lit(1)).alias("__n"))
+    pc = _pair_counts_from_sets(sets, min_pair_count)
     ca = counts.select(
         F.col(item_col).alias("item_a"), F.col("__n").alias("__na")
     )
@@ -1273,14 +1305,18 @@ def basket_rules(
     """
     from etl_io_spark.functions.numeric import round_floor
 
-    b = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
-    pairs = _basket_pair_counts(df, basket_col, item_col, min_count)
-    supports = b.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
-    n_baskets_total = b.agg(
-        F.countDistinct("__b").alias("__N")
-    )
+    # r12-opt: supports and the basket total are derived FROM the
+    # per-basket item-set relation instead of a second DISTINCT(basket,
+    # item) pass — one fact-keyed shuffle instead of two (see
+    # item_similarity). count(basket_col) over the set rows reproduces
+    # COUNT(DISTINCT basket) exactly: one row per basket, NULL baskets
+    # excluded by count's NULL-skip just as countDistinct skipped them.
+    sets = _basket_item_sets(df, basket_col, item_col)
+    pairs = _pair_counts_from_sets(sets, min_count)
+    supports = sets.select(F.explode("__items").alias("__i")).groupBy(
+        "__i"
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    n_baskets_total = sets.agg(F.count(basket_col).alias("__N"))
     directed = pairs.select(
         F.explode(
             F.array(

@@ -509,9 +509,19 @@ def label_propagation(
     # in tests/test_plans.py. The no-persist alternative re-runs the edge
     # DERIVATION per round — measured strictly slower (2.4 s vs 1.5 s at
     # sf0.1 on the trade graph).
+    # PINNED partition count (r12-opt): with AQE re-sizing cached-plan
+    # output (session.py), a bare repartition(col) cache coalesces to
+    # byte-sized partitions — and every ROUND's vote map (the |E|-row
+    # join + two aggregations) then runs on that handful of tasks. The
+    # explicit count disables AQE coalescing for this one exchange and
+    # keeps the loop body at shuffle parallelism (conf-controlled on a
+    # cluster). Interleaved A/B at sf0.1, median of 7: 2.22 -> 1.70 s,
+    # pairwise better on every rep. pagerank/hits keep bare repartition:
+    # their coalesced caches MEASURED faster under the same A/B.
+    n_shuffle = shuffle_parallelism(edges)
     e = persist_tracked(
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-        .repartition(F.col("__s"))
+        .repartition(n_shuffle, F.col("__s"))
     )
     # symmetrized input (the documented contract) has every node as a src,
     # so the node set is distinct(__s) alone — and with e partitioned on
