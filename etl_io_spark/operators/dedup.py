@@ -36,7 +36,7 @@ from etl_io_spark.caching import persist_tracked
 from etl_io_spark.functions.numeric import round_floor
 
 from etl_io_spark.operators.text import hash60, spread_text, tokens, word_ngrams
-from etl_io_spark.partitioning import spread
+from etl_io_spark.partitioning import spread, spread_small
 
 #: MinHash permutation parameters: h_j(x) = (A_j * x + B_j) mod P.
 #: P is the largest prime < 2^31 so A*x stays well inside int64
@@ -1431,13 +1431,18 @@ def jaccard_pairs_prefix(
     )
 
     def prefix_rows(length, id_alias, rn_alias, sz_alias):
-        # spread (r12-opt): the candidate join + positional filters run
-        # map-side over THIS relation's partitions (index side and the
-        # doc arrays are broadcast), and with AQE re-sizing cached-plan
-        # output (session.py) the docarr cache lands in ~1 byte-sized
-        # partition — far too coarse for work that is quadratic per
-        # byte. spread no-ops at scale (never shrinks).
-        return spread(docarr, min_bytes_per_partition=32 * 1024).select(
+        # spread_small (r12-opt): the candidate join + positional filters
+        # run map-side over THIS relation's partitions (index side and
+        # the doc arrays are broadcast), and with AQE re-sizing
+        # cached-plan output (session.py) the docarr cache lands in ~1
+        # byte-sized partition — far too coarse for work that is
+        # quadratic per byte. spread_small, NOT spread: the .rdd
+        # partition probe over the cached plan would execute its stages
+        # at plan construction; the probe-free variant gates on the
+        # ORIGINAL document scan's bytes and no-ops at scale.
+        return spread_small(
+            docarr, gate=df, min_bytes_per_partition=32 * 1024
+        ).select(
             F.col(id_col).alias(id_alias),
             F.col("__sz").alias(sz_alias),
             F.posexplode(F.slice("__shs", F.lit(1), length)).alias(

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from etl_io_spark.caching import persist_tracked
 
 from etl_io_spark.functions.numeric import round_pz
-from etl_io_spark.partitioning import spread
+from etl_io_spark.partitioning import spread, spread_small
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -850,11 +850,12 @@ def semdedup(
         )
         .transform(persist_tracked)
     )
-    return _semdedup_keep_within_cells(bk, threshold, round_to)
+    return _semdedup_keep_within_cells(bk, threshold, round_to, gate=emb)
 
 
 def _semdedup_keep_within_cells(
-    bk: DataFrame, threshold: float, round_to: int = 6
+    bk: DataFrame, threshold: float, round_to: int = 6,
+    gate: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup's within-cell keep rule over a pre-persisted
     (vec_id, __v, bucket) relation: a vector is DROPPED iff some lower-id
@@ -865,15 +866,19 @@ def _semdedup_keep_within_cells(
     # output partitioning (session.py), the small bk cache materializes
     # in ~1 byte-sized partition — but the pair pass below is QUADRATIC
     # per byte (one interpreted dot per candidate pair), so it must not
-    # inherit the cache's byte-sized layout. spread never shrinks and
-    # no-ops once the cache has >= core-count partitions (100 TB), so
-    # this is local-regime parallelism only (A/B: 6.55 -> 2.0 s median).
-    a = spread(
+    # inherit the cache's byte-sized layout. spread_small, NOT spread:
+    # the .rdd partition probe over the cached multi-exchange plan ran
+    # 14 driver-synchronized jobs at plan CONSTRUCTION (the lazy-
+    # construction tripwire); the probe-free variant gates on the
+    # ORIGINAL embedding scan's leaf bytes and is a strict no-op at
+    # scale regimes (>= 1 GB or unknown stats).
+    a = spread_small(
         bk.select(
             F.col("vec_id").alias("__aid"),
             F.col("__v").alias("__va"),
             "bucket",
         ),
+        gate=gate,
         min_bytes_per_partition=32 * 1024,
     )
     b = bk.select(
@@ -935,7 +940,7 @@ def semdedup_kmeans(
         )
         .transform(persist_tracked)
     )
-    return _semdedup_keep_within_cells(bk, threshold, round_to)
+    return _semdedup_keep_within_cells(bk, threshold, round_to, gate=emb)
 
 
 def power_iteration_top_pc(

@@ -1203,8 +1203,13 @@ def rake_keywords(
     length), which forced a full shuffle+sort of every token row; this
     plan's only corpus-proportional shuffles are the vocab-sized word
     aggregation and the (doc, phrase) score aggregation. The per-phrase
-    word relation is pinned — it feeds both the word stats and the
-    scoring join. All expression-level — no UDFs.
+    word relation is NOT pinned (r12-opt): it is map-only — there is no
+    exchange for the cache to save, recomputing the tokenize+explode per
+    consumer scales linearly, and the pin exposed the two consumers to
+    the AQE concurrent-materialization race (26 s of task time blocked
+    on cache fill at sf0.1 profiles). Interleaved A/B medians: persist
+    0.98 vs recompute 0.90 s at sf0.1, 9.03 vs 7.18 s at 500k docs —
+    recompute wins at BOTH scales. All expression-level — no UDFs.
     """
     from pyspark.sql import Window as W
 
@@ -1224,16 +1229,14 @@ def rake_keywords(
         F.col(id_col).alias("__doc"),
         F.posexplode(phrases_arr).alias("__pid", "__phrase"),
     )
-    pw = persist_tracked(
-        occ.select(
-            "__doc", "__pid", "__phrase", F.split("__phrase", " ").alias("__wa")
-        ).select(
-            "__doc",
-            "__pid",
-            "__phrase",
-            F.size("__wa").alias("__plen"),
-            F.explode("__wa").alias("__w"),
-        )
+    pw = occ.select(
+        "__doc", "__pid", "__phrase", F.split("__phrase", " ").alias("__wa")
+    ).select(
+        "__doc",
+        "__pid",
+        "__phrase",
+        F.size("__wa").alias("__plen"),
+        F.explode("__wa").alias("__w"),
     )
     stats = pw.groupBy("__w").agg(
         F.count(F.lit(1)).alias("__freq"),

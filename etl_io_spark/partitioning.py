@@ -99,6 +99,41 @@ def broadcast_budget_bytes(df: DataFrame) -> int:
         return 0
 
 
+def spread_small(
+    df: DataFrame,
+    gate: DataFrame | None = None,
+    min_bytes_per_partition: int = MIN_BYTES_PER_PARTITION,
+    max_bytes: int = 1 << 30,
+) -> DataFrame:
+    """Round-robin repartition for SMALL relations feeding CPU-heavy
+    map-side work, computed WITHOUT :func:`spread`'s ``.rdd`` partition
+    probe — that probe converts the plan to an RDD, and under AQE the
+    conversion EXECUTES every upstream query stage as driver-synchronized
+    jobs at plan-construction time (the localCheckpoint class; harmless
+    on scan-only plans, a lazy-construction violation over cached
+    multi-exchange plans — caught by
+    tests/test_plans.py::test_registry_construction_is_lazy, r12-opt).
+
+    Sizing gates on ``leaf_scan_bytes`` of ``gate`` (default ``df``) —
+    pass the operator's ORIGINAL source relation as ``gate`` when ``df``
+    sits over joins/caches whose Catalyst estimates inflate. At or above
+    ``max_bytes`` (and on unknown stats, which read huge) this is a
+    strict no-op: a scale-regime relation already carries parallelism,
+    and an unconditional repartition there would be a wasted full
+    shuffle."""
+    src = gate if gate is not None else df
+    sz = leaf_scan_bytes(src)
+    if sz >= max_bytes:
+        return df
+    target = min(
+        df.sparkSession.sparkContext.defaultParallelism,
+        max(1, sz // min_bytes_per_partition),
+    )
+    if target <= 1:
+        return df
+    return df.repartition(target)
+
+
 def spread(
     df: DataFrame,
     min_partitions: int | None = None,
