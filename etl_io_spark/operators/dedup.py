@@ -36,7 +36,7 @@ from etl_io_spark.caching import persist_tracked
 from etl_io_spark.functions.numeric import round_floor
 
 from etl_io_spark.operators.text import hash60, spread_text, tokens, word_ngrams
-from etl_io_spark.partitioning import spread, spread_small
+from etl_io_spark.partitioning import spread
 
 #: MinHash permutation parameters: h_j(x) = (A_j * x + B_j) mod P.
 #: P is the largest prime < 2^31 so A*x stays well inside int64
@@ -1400,8 +1400,25 @@ def jaccard_pairs_prefix(
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     # rarity-ordered per-doc array: position IS the prefix rank. Sorting
     # ~set-size arrays map-side replaces a full-relation window sort.
+    # PINNED partition count on the doc-collect exchange (r13-opt): the
+    # explicit-count keyed repartition satisfies the groupBy's required
+    # clustering, so it REPLACES the aggregate's own exchange (identical
+    # shuffle bytes — collect_list doesn't reduce map-side) while being
+    # exempt from AQE cached-plan coalescing (session.py flag). The
+    # cache therefore materializes at shuffle parallelism and every
+    # consumer — the two prefix probes (quadratic-per-byte candidate
+    # work) and the verification sides — keeps that parallelism with
+    # ZERO added exchanges. Interleaved A/B (median of 7): beats the
+    # r12 post-cache spread_small shape (2.45 vs 1.63 s) AND the
+    # flag-off r11 layout pairwise 7/7 (1.74 vs 1.63 s); the r12 shape's
+    # two post-cache round-robin spreads are gone (plan 62 → ~33
+    # exchanges). Count is conf-controlled on a cluster (the LPA pin
+    # treatment, graph.py:label_propagation).
+    from etl_io_spark.partitioning import shuffle_parallelism
+
     docarr = persist_tracked(
         sh.join(freq, "sh")
+        .repartition(shuffle_parallelism(df), F.col(id_col))
         .groupBy(id_col)
         .agg(
             F.sort_array(
@@ -1431,18 +1448,13 @@ def jaccard_pairs_prefix(
     )
 
     def prefix_rows(length, id_alias, rn_alias, sz_alias):
-        # spread_small (r12-opt): the candidate join + positional filters
-        # run map-side over THIS relation's partitions (index side and
-        # the doc arrays are broadcast), and with AQE re-sizing
-        # cached-plan output (session.py) the docarr cache lands in ~1
-        # byte-sized partition — far too coarse for work that is
-        # quadratic per byte. spread_small, NOT spread: the .rdd
-        # partition probe over the cached plan would execute its stages
-        # at plan construction; the probe-free variant gates on the
-        # ORIGINAL document scan's bytes and no-ops at scale.
-        return spread_small(
-            docarr, gate=df, min_bytes_per_partition=32 * 1024
-        ).select(
+        # The candidate join + positional filters run map-side over the
+        # docarr CACHE's partitions (index side and the doc arrays are
+        # broadcast) — parallelism comes from the pinned repartition
+        # above, not a per-consumer re-spread (the r12 spread_small here
+        # paid one extra round-robin shuffle of the doc arrays per
+        # consumer; VERDICT r12 measured the pair of them at −41%).
+        return docarr.select(
             F.col(id_col).alias(id_alias),
             F.col("__sz").alias(sz_alias),
             F.posexplode(F.slice("__shs", F.lit(1), length)).alias(
