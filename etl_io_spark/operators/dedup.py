@@ -1613,8 +1613,19 @@ def lsh_exact_pairs(
         ).alias(f"__m{j}")
         for j in range(num_perm)
     ]
+    # PINNED partition count on the signature-collect exchange (r13-opt,
+    # the jaccard_pairs_prefix treatment): the explicit-count keyed
+    # repartition substitutes for the aggregate's own exchange at
+    # identical shuffle volume while being exempt from AQE cached-plan
+    # coalescing, so the combined cache materializes at shuffle
+    # parallelism and the band-key + candidate passes keep it.
+    # Interleaved A/B median of 7 at sf0.1: 1.32 -> 1.07 s (7/7 pairwise,
+    # also beats the flag-off layout's 1.32 s).
+    from etl_io_spark.partitioning import shuffle_parallelism
+
     combined = persist_tracked(
         shingle_sets(df, id_col, text_col, n)
+        .repartition(shuffle_parallelism(df), F.col(id_col))
         .groupBy(id_col)
         .agg(*mins, F.sort_array(F.collect_list("sh")).alias("__arr"))
         .select(

@@ -518,6 +518,11 @@ def label_propagation(
     # cluster). Interleaved A/B at sf0.1, median of 7: 2.22 -> 1.70 s,
     # pairwise better on every rep. pagerank/hits keep bare repartition:
     # their coalesced caches MEASURED faster under the same A/B.
+    # r13-opt re-A/B (VERDICT r12 ask #1): the pin vs the r11 flag-off
+    # bare-repartition layout is a statistical tie at sf0.1 (interleaved
+    # medians of 7: 1.62 vs 1.60 s, pin wins 5/7 pairwise); pin64/pin128
+    # measured worse (1.66 / 2.21 s). The driver's -12% vs r11 did not
+    # reproduce; the pin stays as the best flag-on variant.
     n_shuffle = shuffle_parallelism(edges)
     e = persist_tracked(
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
@@ -770,9 +775,18 @@ def hits(
     # actions (or an AQE replan that splits them) recomputes the distinct
     # aggregation once per fill — correct, just ~2x that upstream stage;
     # persist e lazily before the repartitions if such callers appear.
+    # PINNED partition counts (r13-opt): under the cached-plan flag the
+    # bare repartition(col) caches coalesced to byte-sized partitions
+    # and every half-step's |E|-row join + aggregation ran on those few
+    # tasks. The explicit count is exempt from AQE coalescing; the r12
+    # "hits measured better coalesced" call was re-A/B'd against the pin
+    # directly: pin 2.95 vs bare 3.06 vs flag-off 2.99 s medians of 7
+    # (pin wins 6/7 pairwise). Conf-controlled on a cluster (LPA pin
+    # treatment).
     e = pairs.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
-    e_by_d = persist_tracked(e.repartition(F.col("__d")))
-    e_by_s = persist_tracked(e.repartition(F.col("__s")))
+    n = shuffle_parallelism(pairs)
+    e_by_d = persist_tracked(e.repartition(n, F.col("__d")))
+    e_by_s = persist_tracked(e.repartition(n, F.col("__s")))
     hub = None
     for i in range(iterations):
         # iteration 1 folds the all-ones hub vector into a plain count —
