@@ -96,8 +96,14 @@ def get_spark(
         # 32-partition shuffle on local[8] pays 4 task waves per
         # exchange for nothing (r12-opt; same class as deriving cluster
         # parallelism from the driver host's cores).
-        m = re.fullmatch(r"local\[(\d+|\*)\]", master)
-        if m and m.group(1) != "*":
+        # widened per ADVICE r12: bare 'local' means ONE thread, and
+        # 'local[N,maxFailures]' is legal — both previously fell through
+        # to os.cpu_count(), recreating the oversized-shuffle problem
+        # this parse exists to fix.
+        m = re.fullmatch(r"local(?:\[(\d+|\*)(?:,\d+)?\])?", master)
+        if m and m.group(1) is None:
+            cores = 1
+        elif m and m.group(1) != "*":
             cores = int(m.group(1))
         else:
             cores = os.cpu_count() or 8
