@@ -42,7 +42,6 @@ def profile_columns(
         aggs += [
             F.count(F.lit(1)).alias(f"__n_{c}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
-            F.countDistinct(c).cast("long").alias(f"__nd_{c}"),
             F.round(F.min(c).cast("double"), round_to).alias(f"__min_{c}"),
             F.round(F.max(c).cast("double"), round_to).alias(f"__max_{c}"),
             F.round(F.avg(c), round_to).alias(f"__avg_{c}"),
@@ -62,11 +61,28 @@ def profile_columns(
         aggs += [
             F.count(F.lit(1)).alias(f"__n_{c}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
-            F.countDistinct(c).cast("long").alias(f"__nd_{c}"),
         ]
         for m, pre in [("n", "__n_"), ("n_null", "__nn_"), ("n_distinct", "__nd_")]:
             stack_parts.append(f"'{c}', '{m}', CAST(`{pre}{c}` AS DOUBLE)")
+    # r13-opt (VERDICT r12 ask #6): the distinct counts used to be
+    # countDistinct expressions INSIDE the one aggregate, which plans as
+    # an Expand node multiplying the scanned row stream by
+    # (1 + number of distinct columns) before the partial aggregation.
+    # Each distinct count is instead its own pruned one-column leg —
+    # a two-level aggregate (map-side value dedup, exchange of distinct
+    # values, final non-null count) crossJoined back into the 1-row wide
+    # frame as a broadcast. Same exact semantics (COUNT(DISTINCT c)
+    # skips NULLs; the grouped leg keeps a NULL row that count(c)
+    # skips); the moments aggregate now scans each row once, not
+    # 1 + n_distinct_cols times.
     wide = df.agg(*aggs)
+    for c in [*numeric_cols, *other_cols]:
+        nd = (
+            df.select(c)
+            .distinct()
+            .agg(F.count(c).cast("long").alias(f"__nd_{c}"))
+        )
+        wide = wide.crossJoin(F.broadcast(nd))
     n = len(stack_parts)
     return wide.select(
         F.expr(

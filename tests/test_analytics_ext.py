@@ -373,14 +373,23 @@ def test_label_centroids_handcomputed(spark):
     assert out[(2, 0)] == (10.0, 1)
 
 
-def test_profile_is_single_scan(spark, cat):
+def test_profile_plan_shape(spark, cat):
+    # r13-opt: distinct counts moved OUT of the single aggregate (whose
+    # countDistinct expressions planned an Expand node multiplying the
+    # row stream by 1 + n_distinct_cols) into pruned one-column legs.
+    # Contract: NO Expand; one moments scan plus one single-column scan
+    # per profiled column, all in ONE plan (one action, never
+    # per-column driver jobs).
     from etl_io_spark.operators import profile as prof
 
     df = prof.profile_columns(
         cat.table("lineitem"), ["l_quantity", "l_extendedprice"], ["l_returnflag"]
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FileScan parquet") == 1  # one pass, never per-column jobs
+    assert "Expand" not in plan
+    assert plan.count("FileScan parquet") == 4  # moments + 3 distinct legs
+    # each distinct leg must be pruned to its own column
+    assert "ReadSchema: struct<l_returnflag:string>" in plan
 
 
 def test_ab_test_stats_handcomputed(spark):
