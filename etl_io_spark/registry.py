@@ -4860,23 +4860,33 @@ _TRIANGLE_SQL = """
 def _triangle_count_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_io_spark.operators import graph
 
-    ps = (
+    # r13-opt (VERDICT r12 ask #4, re-opening the r6 self-join A/B at
+    # current code): the co-supplier edges are the basket pair-count
+    # shape — groupBy(part).collect_set(supplier) (collect_set dedups,
+    # so the separate DISTINCT pass disappears) + map-side sorted-array
+    # pair expansion + one pair-count shuffle. Versus the ps self-join
+    # this derives the identical edge set (verified exactly) with ONE
+    # fact-keyed exchange instead of the distinct exchange plus two
+    # join re-partitions of ps, and no join at all. Interleaved A/B
+    # median of 7 on the full key: 5.36 -> 5.03 s (6/7 pairwise); the
+    # remainder is stage-wave latency at sf0.1 (the key's 8-vs-32-core
+    # ratio is ~1.0 per PERF_r12's scaling block), while the removed
+    # self-join re-shuffles are the 100 TB story. NULL partkeys are
+    # filtered to mirror the old join-on-p semantics (none exist in
+    # TPC-H data; collect_set already skips NULL suppliers like the old
+    # a.s < b.s predicate did).
+    li = (
         _cat(spark, sf_dir)
         .table("lineitem")
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
-        .distinct()
+        .where(F.col("p").isNotNull())
     )
-    edges = (
-        ps.alias("a")
-        .join(ps.alias("b"), (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("__support"))
-        .where(F.col("__support") >= 20)
-        .drop("__support")
+    edges = agg._basket_pair_counts(li, "p", "s", 20).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     )
-    # src < dst and duplicate-free by construction (a.s < b.s through a
-    # groupBy) — the canonicalization shuffle inside triangle_stats is
-    # provably a no-op here
+    # src < dst and duplicate-free by construction (sorted-array slice
+    # expansion through a groupBy) — the canonicalization shuffle inside
+    # triangle_stats is provably a no-op here
     return graph.triangle_stats(edges, assume_canonical=True)
 
 
