@@ -134,6 +134,36 @@ def spread_small(
     return df.repartition(target)
 
 
+def pin_keyed(
+    df: DataFrame,
+    cols,
+    gate: DataFrame | None = None,
+    max_bytes: int = 1 << 30,
+) -> DataFrame:
+    """Explicit-count KEYED repartition ahead of a window/groupBy keyed on
+    ``cols`` (or a superset-compatible key): the pinned exchange satisfies
+    the downstream clustering requirement, so it SUBSTITUTES for the
+    operator's own exchange at identical shuffle volume — while being
+    exempt from AQE partition coalescing, which at small shuffle sizes
+    collapses CPU-heavy window stages (sorts + frame aggregates) onto a
+    handful of tasks (the 1 MiB ``minPartitionSize`` floor: a ~2 MiB
+    events shuffle coalesces to 2 partitions regardless of cores).
+
+    Strict no-op at or above ``max_bytes`` of source leaves (and on
+    unknown stats, which read huge): in the scale regime AQE's
+    byte-sizing already yields full parallelism and a pinned conf-sized
+    count would fight it. Probe-free (``leaf_scan_bytes``), so plan
+    construction stays lazy."""
+    from pyspark.sql import functions as F
+
+    src = gate if gate is not None else df
+    if leaf_scan_bytes(src) >= max_bytes:
+        return df
+    return df.repartition(
+        shuffle_parallelism(df), *[F.col(c) for c in cols]
+    )
+
+
 def spread(
     df: DataFrame,
     min_partitions: int | None = None,
