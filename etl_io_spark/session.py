@@ -108,8 +108,19 @@ def get_spark(
         else:
             cores = os.cpu_count() or 8
         conf["spark.sql.shuffle.partitions"] = str(min(32, cores))
+        # initialPartitionNum = the core grant, not 2x it (r13-opt): at
+        # local shuffle sizes every exchange maps to initialPartitionNum
+        # blocks per map task, and the extra tiny blocks are pure fetch/
+        # open overhead (guide §2.2 — block count, not parallelism, is
+        # what doubles). Order-balanced interleaved A/B at sf0.1:
+        # 64 -> 32 wins 7-8/8 pairwise on ccnet/rake/sole_late/
+        # market_basket (-8..-15%), a wash on LPA; stage and task counts
+        # identical, so this is block-count overhead, not lost
+        # parallelism. AQE still coalesces below it; the cluster branch
+        # (initialPartitionNum=256 with byte-sized coalescing) is
+        # untouched.
         conf["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] = str(
-            min(64, cores * 2)
+            cores
         )
         conf.setdefault("spark.driver.memory", "8g")
     if extra_conf:
